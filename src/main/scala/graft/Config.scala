@@ -1,0 +1,35 @@
+package graft
+
+/** Pipeline configuration (SURVEY.md §2, §7).
+  *
+  * @param entities      ambiguous target terms to induce senses for (wsid's
+  *                      targets, e.g. "python"/"java" in the reference fixtures)
+  * @param window        ±window size in (stopword-filtered) token positions
+  * @param stopwords     closed-class terms dropped before any counting
+  * @param alpha         significance level; Bonferroni-corrected per entity
+  *                      by the candidate count m: keep logp < ln(alpha) - ln(m)
+  * @param topK          cap on significant terms kept per entity (descriptor size)
+  * @param salts         salt fan-out for the skewed co-occurrence groupBy (I1)
+  * @param kSenses       number of senses to induce per entity
+  * @param minSenseScore assignment confidence floor: below it no hasSense triple
+  * @param method        "nmf" (ALS-based distributed NMF) | "hclust" (BisectingKMeans)
+  * @param broadcastDictMaxRows  adaptive ceiling: term-statistics dictionaries
+  *                      smaller than this are broadcast (BASELINE.json:6 mandate);
+  *                      larger ones fall back to a shuffle join.
+  */
+final case class WsidConfig(
+    entities: Seq[String],
+    window: Int = 5,
+    stopwords: Set[String] = Set.empty,
+    alpha: Double = 0.01,
+    topK: Int = 200,
+    salts: Int = 64,
+    kSenses: Int = 2,
+    minSenseScore: Double = 0.05,
+    method: String = "nmf",
+    seed: Long = 42L,
+    maxDocChars: Int = 16 * 1024 * 1024,
+    nmfMaxIter: Int = 15,
+    nmfRegParam: Double = 0.01,
+    broadcastDictMaxRows: Long = 2000000L
+)

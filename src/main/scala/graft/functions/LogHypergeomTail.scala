@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expression for the hypergeometric log-tail (SURVEY.md §2.5 C1).
+  *
+  * A codegen'd expression rather than a ScalaUDF so the significance stage
+  * stays inside whole-stage codegen: no Row boxing, no UDF serialization, and
+  * the surrounding filter/project fuse into one generated function. The
+  * generated code calls the static `HyperGeom.logTail`, which is a pure
+  * function of four longs.
+  */
+case class LogHypergeomTail(k: Expression, n: Expression, bigK: Expression, bigN: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = k
+  override def second: Expression = n
+  override def third: Expression = bigK
+  override def fourth: Expression = bigN
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects 4 BIGINT arguments, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_log_hypergeom_tail"
+
+  override protected def nullSafeEval(kv: Any, nv: Any, kkv: Any, nnv: Any): Any =
+    HyperGeom.logTail(kv.asInstanceOf[Long], nv.asInstanceOf[Long],
+      kkv.asInstanceOf[Long], nnv.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.HyperGeom.logTail($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(k = newFirst, n = newSecond, bigK = newThird, bigN = newFourth)
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CodeDoc, CovTok, Token, WsidConfig}
+
+/** A1–A4 (SURVEY.md §2.4): marginals and co-occurrence counts over the
+  * distinct-coverage token sets. All counts are BIGINT-exact.
+  *
+  * Scale notes:
+  *  - marginals/cooc use the explicit salted two-phase combine (I1) —
+  *    'the'-class tokens are the canonical hot keys at 10^12 files;
+  *  - small dictionaries are broadcast adaptively (I2) downstream.
+  */
+object Cooc {
+
+  /** A1: global term marginals n(t) over the (stopword-filtered) token stream. */
+  def marginals(tokens: Dataset[Token], cfg: WsidConfig): DataFrame =
+    SaltedAgg.countBy(tokens.toDF(), Seq("term"), col("docid"), cfg.salts, "n")
+
+  /** A2: document frequency per term (exact). */
+  def docFreq(tokens: Dataset[Token]): DataFrame =
+    tokens.toDF().groupBy("term").agg(countDistinct(col("docid")).as("df"))
+
+  /** A3: co-occurrence counts k(e,t) = covered positions bearing t. */
+  def coocCounts(cov: Dataset[CovTok], cfg: WsidConfig): DataFrame =
+    SaltedAgg.countBy(cov.toDF(), Seq("entity", "term"), col("docid"), cfg.salts, "k")
+
+  /** A4: per-entity window mass K(e) = total covered positions. */
+  def windowMass(cov: Dataset[CovTok], cfg: WsidConfig): DataFrame =
+    SaltedAgg.countBy(cov.toDF(), Seq("entity"), col("docid"), cfg.salts, "bigk")
+
+  /** Assemble the full contingency inputs (entity, term, k, n, bigk, bign).
+    *
+    * The term-marginals dictionary is semi-join-reduced to the candidate
+    * vocabulary first, then broadcast when small enough
+    * (BASELINE.json:6 "broadcast joins carry the term-statistics dictionary");
+    * it falls back to a shuffle join past cfg.broadcastDictMaxRows.
+    */
+  def contingency(spark: SparkSession, tokens: Dataset[Token], cov: Dataset[CovTok],
+                  cfg: WsidConfig): DataFrame = {
+    val cooc = coocCounts(cov, cfg)
+    val marg = marginals(tokens, cfg)
+    val mass = windowMass(cov, cfg)
+    val bigN = tokens.count()
+
+    // dictionary = marginals restricted to candidate co-occurring terms
+    val dict = marg.join(cooc.select("term").distinct(), Seq("term"), "left_semi")
+    val dictSmall = dict.count() <= cfg.broadcastDictMaxRows
+    val margJoined =
+      if (dictSmall) cooc.join(broadcast(dict), Seq("term"))
+      else cooc.join(dict, Seq("term"))
+
+    margJoined
+      .join(broadcast(mass), Seq("entity")) // one row per entity: always tiny
+      .withColumn("bign", lit(bigN))
+      .select(col("entity"), col("term"), col("k"), col("n"), col("bigk"), col("bign"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** I1 (SURVEY.md §2.8): explicit two-phase salted aggregation for hot keys.
+  *
+  * Spark's HashAggregate is already partial+final, but a single pathological
+  * key ('the', 'import', 'def' in code corpora) still lands every partial on
+  * one reducer in the final exchange. Salting splits each logical key into
+  * `salts` shards in phase 1 (exchange keyed by (key, salt)), then merges the
+  * tiny per-shard partials in phase 2 — any single reducer's share of a hot
+  * key is bounded by ~1/salts. Mandated by the north rule
+  * (BASELINE.json:14 "skew handled explicitly"; AQE stays on as backstop).
+  */
+object SaltedAgg {
+
+  /** count(*) grouped by `keys`, salted on `saltSource` (any column with
+    * high cardinality within a hot key, e.g. docid). */
+  def countBy(df: DataFrame, keys: Seq[String], saltSource: Column, salts: Int,
+              countName: String = "cnt"): DataFrame = {
+    val phase1Keys: Seq[Column] = keys.map(col) :+ pmod(xxhash64(saltSource), lit(salts)).as("_salt")
+    df.groupBy(phase1Keys: _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as(countName))
+  }
+
+  /** sum(valueCol) grouped by `keys`, salted likewise. */
+  def sumBy(df: DataFrame, keys: Seq[String], valueCol: Column, saltSource: Column,
+            salts: Int, sumName: String = "total"): DataFrame = {
+    val phase1Keys: Seq[Column] = keys.map(col) :+ pmod(xxhash64(saltSource), lit(salts)).as("_salt")
+    df.groupBy(phase1Keys: _*)
+      .agg(sum(valueCol).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as(sumName))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftFunctions, WsidConfig}
+
+/** C1–C3 (SURVEY.md §2.5): hypergeometric significance scoring, the
+  * Bonferroni-corrected filter, and the per-entity top-k descriptor cap.
+  */
+object Significance {
+
+  /** C1: add logp = log P[X >= k], X ~ Hypergeom(bign, n, bigk).
+    * Uses the native codegen'd Catalyst expression when the session was built
+    * with GraftExtensions, else the registered UDF fallback. */
+  def withLogp(contingency: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(contingency.sparkSession)
+    contingency.withColumn("logp",
+      call_function(GraftFunctions.LogHypergeomName,
+        col("k").cast("long"), col("n").cast("long"),
+        col("bigk").cast("long"), col("bign").cast("long")))
+  }
+
+  /** C2: keep terms with p < alpha / m where m = per-entity candidate count
+    * (Bonferroni over the candidate vocabulary). */
+  def significant(scored: DataFrame, cfg: WsidConfig): DataFrame = {
+    val m = Window.partitionBy("entity")
+    scored
+      .withColumn("m", count(lit(1)).over(m))
+      .filter(col("logp") < log(lit(cfg.alpha)) - log(col("m")))
+      .drop("m")
+  }
+
+  /** C3: per-entity top-k by significance. Rank is made fully deterministic
+    * by ordering on the 1e-4-quantized logp (so float jitter between engines
+    * cannot swap near-ties) with the term as the tiebreak. */
+  def topK(sig: DataFrame, cfg: WsidConfig): DataFrame = {
+    val w = Window.partitionBy("entity")
+      .orderBy(round(col("logp") * 10000).cast("long").asc, col("term").asc)
+    sig.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfg.topK)
+  }
+}

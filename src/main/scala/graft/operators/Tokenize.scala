@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+import graft.{CodeDoc, CovTok, Token, WinTok, WsidConfig}
+
+/** T1–T4 (SURVEY.md §2.3): tokenization, stopword filtering, mention
+  * detection and context-window extraction — all doc-local, implemented as
+  * ONE typed mapPartitions pass (the north-star mandate, BASELINE.json:6).
+  *
+  * Doc-locality is the key scale property: window extraction never shuffles.
+  * The equivalent relational form (tokens self-join with a band predicate)
+  * is kept as the DuckDB oracle for T4 (SparkEntry.oracleSql), not as the
+  * production path.
+  */
+object Tokenize {
+
+  /** Unicode word tokenizer: maximal runs of letters/digits/underscore,
+    * lowercased. Positions are 0-based indexes in the stopword-FILTERED
+    * stream (stopwords are removed before positions are assigned, so the
+    * ±w window spans w real context terms — SURVEY.md §2.3 T1/T2). */
+  private val TokenRe = "[\\p{L}\\p{N}_]+".r
+
+  def tokensOf(content: String, stopwords: Set[String]): Array[String] = {
+    val it = TokenRe.findAllIn(content.toLowerCase)
+    val buf = new scala.collection.mutable.ArrayBuffer[String](64)
+    while (it.hasNext) {
+      val t = it.next()
+      if (!stopwords.contains(t)) buf += t
+    }
+    buf.toArray
+  }
+
+  @inline def docIdOf(d: CodeDoc): String = s"${d.repo}/${d.path}@${d.commit}"
+
+  /** T1+T2: the token stream. */
+  def tokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[Token] = {
+    import docs.sparkSession.implicits._
+    val stop = cfg.stopwords
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        val id = docIdOf(d)
+        tokensOf(d.content, stop).iterator.zipWithIndex.map { case (t, i) => Token(id, i, t) }
+      }
+    }
+  }
+
+  /** T3+T4, per-context form: every token inside the ±w window of every
+    * mention, mention position itself excluded, multiplicity preserved.
+    * Feeds the sense-induction context vectors (ctxid = docid#mpos). */
+  def windowTokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[WinTok] = {
+    import docs.sparkSession.implicits._
+    val entities = cfg.entities.toSet
+    val w = cfg.window
+    val stop = cfg.stopwords
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        val id = docIdOf(d)
+        val ts = tokensOf(d.content, stop)
+        val out = new scala.collection.mutable.ArrayBuffer[WinTok]
+        var p = 0
+        while (p < ts.length) {
+          if (entities.contains(ts(p))) {
+            val lo = math.max(0, p - w)
+            val hi = math.min(ts.length - 1, p + w)
+            var q = lo
+            while (q <= hi) {
+              if (q != p) out += WinTok(ts(p), id, p, q, ts(q))
+              q += 1
+            }
+          }
+          p += 1
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** T4, coverage form: the DISTINCT union of covered positions per
+    * (entity, doc) — the counting basis for the hypergeometric urn model
+    * (k <= min(n,K) and k >= n+K-N hold by construction). Dedup over
+    * overlapping windows happens doc-locally in a BitSet: NO shuffle, unlike
+    * a naive windowTokens.distinct(). */
+  def coverage(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[CovTok] = {
+    import docs.sparkSession.implicits._
+    val entities = cfg.entities.toSeq.sorted
+    val entitySet = entities.toSet
+    val w = cfg.window
+    val stop = cfg.stopwords
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        val id = docIdOf(d)
+        val ts = tokensOf(d.content, stop)
+        val out = new scala.collection.mutable.ArrayBuffer[CovTok]
+        // positions of each entity's mentions in this doc
+        val mentions = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        var p = 0
+        while (p < ts.length) {
+          if (entitySet.contains(ts(p)))
+            mentions.getOrElseUpdate(ts(p), new scala.collection.mutable.ArrayBuffer[Int]) += p
+          p += 1
+        }
+        mentions.foreach { case (e, ps) =>
+          val covered = new java.util.BitSet(ts.length)
+          ps.foreach { mp =>
+            val lo = math.max(0, mp - w)
+            val hi = math.min(ts.length - 1, mp + w)
+            var q = lo
+            while (q <= hi) { if (q != mp) covered.set(q); q += 1 }
+          }
+          var q = covered.nextSetBit(0)
+          while (q >= 0) {
+            out += CovTok(e, id, q, ts(q))
+            q = covered.nextSetBit(q + 1)
+          }
+        }
+        out.iterator
+      }
+    }
+  }
+}

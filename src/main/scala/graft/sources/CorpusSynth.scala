@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CodeDoc, Schemas, Triple}
+
+/** Deterministic corpora (FIXTURES.md).
+  *
+  * 1a. `fromDocuments`: maps the driver's documents.parquet
+  *     (doc_id, text, lang, source, n_chars) into the authoritative CodeDoc
+  *     shape (BASELINE.json:15) with pure column expressions — the DuckDB
+  *     oracle applies the identical mapping in SQL.
+  * 1b. `planted`: the wsid-style 'python'/'java' ambiguity fixtures with
+  *     analytically known ground truth (the reference tree is empty, so
+  *     golden triples come from the planter — SURVEY.md §5.2-3).
+  */
+object CorpusSynth {
+
+  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[CodeDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+        substring(sha2(col("text"), 256), 1, 12).as("commit"),
+        col("lang"),
+        col("text").as("content"))
+      .as[CodeDoc]
+  }
+
+  /** The DuckDB CTE equivalent of fromDocuments (prefix for every oracle). */
+  val docsSqlCte: String =
+    """docs AS (
+      |  SELECT source AS repo,
+      |         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+      |         substr(sha256(text), 1, 12) AS "commit",
+      |         lang,
+      |         text AS content
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---- 1b. planted-sense ambiguity fixture ------------------------------
+
+  final case class PlantedCorpus(
+      docs: Seq[CodeDoc],
+      /** expected hasSense triples: (subj, senseLabel) with senseLabel in {0,1}
+        * — cluster ids are induced up to permutation, resolved in the test */
+      expectedSense: Seq[(String, String, Int)], // (entity, subj, plantedSense)
+      /** expected coOccursWith triples (subj, term): sense-vocab terms present
+        * in the mention's ±window */
+      expectedCooc: Set[(String, String)],
+      senseVocab: Map[(String, Int), Set[String]],
+      noiseVocab: Set[String])
+
+  val senseVocabs: Map[(String, Int), Vector[String]] = Map(
+    ("python", 0) -> Vector("def", "import", "list", "lambda", "module", "script", "interpreter", "pip"),
+    ("python", 1) -> Vector("snake", "reptile", "venom", "jungle", "coil", "prey", "scales", "zoo"),
+    ("java", 0)   -> Vector("class", "jvm", "compiler", "static", "maven", "interface", "bytecode", "spring"),
+    ("java", 1)   -> Vector("island", "coffee", "indonesia", "volcano", "jakarta", "plantation", "sea", "batik"))
+
+  val noiseVocab: Vector[String] = Vector("the", "a", "of", "and", "code", "data", "world", "time")
+
+  /** Deterministic generator: seed=42, D docs per entity, 50/50 sense split,
+    * 1 mention + 20 sense tokens + 10 noise tokens per doc, shuffled. */
+  def planted(docsPerEntity: Int = 400, window: Int = 64, seed: Long = 42L): PlantedCorpus = {
+    val rnd = new scala.util.Random(seed)
+    val docs = Vector.newBuilder[CodeDoc]
+    val expSense = Vector.newBuilder[(String, String, Int)]
+    val expCooc = Set.newBuilder[(String, String)]
+
+    for (entity <- Seq("java", "python"); i <- 0 until docsPerEntity) {
+      val sense = i % 2
+      val vocab = senseVocabs((entity, sense))
+      val senseToks = Vector.fill(20)(vocab(rnd.nextInt(vocab.length)))
+      val noiseToks = Vector.fill(10)(noiseVocab(rnd.nextInt(noiseVocab.length)))
+      val ctx = rnd.shuffle(senseToks ++ noiseToks)
+      val mPos = rnd.nextInt(ctx.length + 1)
+      val toks = (ctx.take(mPos) :+ entity) ++ ctx.drop(mPos)
+      val content = toks.mkString(" ")
+      val commit = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val path = s"$entity/s$sense/$i.txt"
+      val subj = s"$entity@fixture/$path"
+      docs += CodeDoc("fixture", path, commit, "en", content)
+      expSense += ((entity, subj, sense))
+      // ground truth coOccursWith: sense-vocab terms inside the ±window
+      val lo = math.max(0, mPos - window)
+      val hi = math.min(toks.length - 1, mPos + window)
+      val inWin = (lo to hi).filter(_ != mPos).map(toks).toSet
+      vocab.toSet.intersect(inWin).foreach(t => expCooc += ((subj, t)))
+    }
+    PlantedCorpus(docs.result(), expSense.result(), expCooc.result(),
+      senseVocabs.map { case (k, v) => k -> v.toSet }, noiseVocab.toSet)
+  }
+
+  def plantedDocs(spark: SparkSession, docsPerEntity: Int = 400, window: Int = 64): Dataset[CodeDoc] = {
+    import spark.implicits._
+    spark.createDataset(planted(docsPerEntity, window).docs).repartition(8)
+  }
+}

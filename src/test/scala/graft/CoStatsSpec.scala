@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusSynth
+
+class CoStatsSpec extends SparkTestBase {
+
+  test("E2 on planted fixture: sense vocab significant, noise rejected") {
+    val corpus = CorpusSynth.planted(docsPerEntity = 100)
+    import spark.implicits._
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, alpha = 0.01, topK = 200)
+    val cs = Pipeline.coStats(docs, cfg)
+    val sig = cs.significant.select("entity", "term").as[(String, String)].collect().toSet
+
+    // every planted sense-vocab term must be judged significant for its entity
+    for (((entity, _), vocab) <- corpus.senseVocab; t <- vocab)
+      assert(sig.contains((entity, t)), s"missing significant pair ($entity, $t)")
+
+    // noise terms (uniform across the corpus) must be rejected for both entities
+    for (e <- Seq("python", "java"); t <- corpus.noiseVocab)
+      assert(!sig.contains((e, t)), s"noise term leaked through: ($e, $t)")
+
+    // no cross-entity leakage: python's snake/lang vocab not significant for java
+    for (t <- corpus.senseVocab(("python", 0)) ++ corpus.senseVocab(("python", 1)))
+      assert(!sig.contains(("java", t)), s"cross-entity leak: (java, $t)")
+  }
+
+  test("E2 native expression: plan uses codegen'd LogHypergeomTail, not ScalaUDF") {
+    val docs = CorpusSynth.plantedDocs(spark, docsPerEntity = 10)
+    val cfg = WsidConfig(entities = Seq("python"), window = 8)
+    val cs = Pipeline.coStats(docs, cfg)
+    val plan = cs.scored.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_log_hypergeom_tail"))
+    assert(!plan.contains("UDF"), "expected the native Catalyst expression, found a ScalaUDF")
+  }
+
+  test("entry() smoke: flagship returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.limit(5).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

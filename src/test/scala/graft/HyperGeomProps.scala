@@ -1,0 +1,42 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+import graft.functions.HyperGeom
+
+/** ScalaCheck property suite for the CO significance statistic (runs under
+  * sbt's native ScalaCheck framework — no scalatestplus bridge needed). */
+object HyperGeomProps extends Properties("HyperGeom") {
+
+  private val params = for {
+    nn <- Gen.choose(2L, 2000L)
+    n <- Gen.choose(1L, nn)
+    kk <- Gen.choose(1L, nn)
+    lo = math.max(0L, n + kk - nn)
+    hi = math.min(n, kk)
+    k <- Gen.choose(lo, hi)
+  } yield (k, n, kk, nn)
+
+  property("logp <= 0 and not NaN") = Prop.forAll(params) { case (k, n, kk, nn) =>
+    val p = HyperGeom.logTail(k, n, kk, nn)
+    p <= 0.0 && !p.isNaN
+  }
+
+  private val smallParams = for {
+    nn <- Gen.choose(2L, 300L)
+    n <- Gen.choose(1L, nn)
+    kk <- Gen.choose(1L, nn)
+    k <- Gen.choose(math.max(0L, n + kk - nn), math.min(n, kk))
+  } yield (k, n, kk, nn)
+
+  property("matches BigDecimal exact tail") = Prop.forAll(smallParams) { case (k, n, kk, nn) =>
+    val exact = math.log(HyperGeom.exactTail(k, n, kk, nn).toDouble)
+    math.abs(HyperGeom.logTail(k, n, kk, nn) - exact) <= 1e-8 * math.max(1.0, math.abs(exact))
+  }
+
+  property("tail at lower support bound is exactly 1") = Prop.forAll(params) {
+    case (_, n, kk, nn) =>
+      HyperGeom.logTail(math.max(0L, n + kk - nn), n, kk, nn) == 0.0
+  }
+}

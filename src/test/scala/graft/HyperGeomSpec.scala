@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HyperGeom
+
+class HyperGeomSpec extends AnyFunSuite {
+
+  test("C1: exact small cases (vs BigDecimal tail)") {
+    val cases = Seq( // (k, n, K, N)
+      (1L, 5L, 10L, 50L), (3L, 5L, 10L, 50L), (5L, 5L, 10L, 50L),
+      (2L, 2L, 2L, 4L), (10L, 20L, 30L, 100L), (1L, 1L, 1L, 2L),
+      (7L, 12L, 25L, 60L), (4L, 9L, 9L, 30L), (6L, 14L, 8L, 40L),
+      (15L, 40L, 35L, 120L), (2L, 3L, 99L, 100L), (50L, 50L, 60L, 200L)
+    )
+    cases.foreach { case (k, n, kk, nn) =>
+      val exact = HyperGeom.exactTail(k, n, kk, nn)
+      val got = HyperGeom.logTail(k, n, kk, nn)
+      val expLog = math.log(exact.toDouble)
+      assert(math.abs(got - expLog) <= 1e-9 * math.max(1.0, math.abs(expLog)),
+        s"case ($k,$n,$kk,$nn): got $got expected $expLog")
+    }
+  }
+
+  test("C1: 300 randomized small cases vs exact (seed=42)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val nn = 2L + rnd.nextInt(400)
+      val n = 1L + rnd.nextLong(nn)
+      val kk = 1L + rnd.nextLong(nn)
+      val lo = math.max(0L, n + kk - nn)
+      val hi = math.min(n, kk)
+      val k = lo + rnd.nextLong(hi - lo + 1)
+      val exact = HyperGeom.exactTail(k, n, kk, nn).toDouble
+      val got = HyperGeom.logTail(k, n, kk, nn)
+      val expLog = math.log(exact)
+      assert(math.abs(got - expLog) <= 1e-8 * math.max(1.0, math.abs(expLog)),
+        s"case ($k,$n,$kk,$nn): got $got expected $expLog")
+    }
+  }
+
+  test("C1: large-N log-space stability (N = 1e9 and N = 1e12)") {
+    val lp = HyperGeom.logTail(500L, 1000L, 1000000L, 1000000000L)
+    assert(lp < -1000.0 && !lp.isNegInfinity && !lp.isNaN)
+    // 10^12-token scale: must terminate fast (early truncation) and stay finite
+    val t0 = System.nanoTime()
+    val lp2 = HyperGeom.logTail(100000L, 10000000L, 100000000L, 1000000000000L)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(!lp2.isNaN && lp2 <= 0.0)
+    assert(ms < 2000.0, s"logTail too slow at 1e12 scale: $ms ms")
+  }
+
+  test("C1: p = 1 at/below the lower support bound") {
+    assert(HyperGeom.logTail(0L, 10L, 20L, 100L) == 0.0)
+    assert(HyperGeom.logTail(5L, 50L, 55L, 100L) == 0.0) // n+K-N = 5
+  }
+
+  test("C1 property: tail non-increasing in k; p in (0,1] (seed=42)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val nn = 10L + rnd.nextInt(5000)
+      val n = 1L + rnd.nextLong(nn / 2)
+      val kk = 1L + rnd.nextLong(nn / 2)
+      val lo = math.max(0L, n + kk - nn)
+      val hi = math.min(n, kk)
+      val ks = (lo to math.min(lo + 30, hi)).toList
+      val ps = ks.map(k => HyperGeom.logTail(k, n, kk, nn))
+      ps.foreach(p => assert(p <= 0.0 && !p.isNaN))
+      ps.sliding(2).foreach {
+        case List(a, b) => assert(b <= a + 1e-12, s"not monotone: n=$n K=$kk N=$nn")
+        case _ =>
+      }
+      assert(ps.head == 0.0) // P[X >= lowest support] = 1
+    }
+  }
+
+  test("C1 property: monotone in n (more frequent term => less significant)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val nn = 100L + rnd.nextInt(10000)
+      val kk = 10L + rnd.nextLong(nn / 4)
+      val k = 1L + rnd.nextLong(8)
+      val n1 = k + rnd.nextLong(nn / 8)
+      val n2 = n1 + 1 + rnd.nextLong(nn / 8)
+      if (n2 + kk - nn <= k) { // keep k in support for both
+        val p1 = HyperGeom.logTail(k, n1, kk, nn)
+        val p2 = HyperGeom.logTail(k, n2, kk, nn)
+        assert(p2 >= p1 - 1e-9, s"k=$k n1=$n1 n2=$n2 K=$kk N=$nn: $p1 -> $p2")
+      }
+    }
+  }
+
+  test("logChoose symmetry and edges") {
+    assert(HyperGeom.logChoose(10, 0) == 0.0)
+    assert(HyperGeom.logChoose(10, 10) == 0.0)
+    assert(math.abs(HyperGeom.logChoose(10, 3) - math.log(120.0)) < 1e-12)
+    assert(HyperGeom.logChoose(5, 7).isNegInfinity)
+  }
+}

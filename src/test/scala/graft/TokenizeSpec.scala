@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooc, Tokenize}
+
+class TokenizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = WsidConfig(entities = Seq("python", "java"), window = 2)
+
+  test("T1: tokenizer golden cases") {
+    assert(Tokenize.tokensOf("Hello, World! foo_bar 42 x", Set.empty).toSeq ==
+      Seq("hello", "world", "foo_bar", "42", "x"))
+    assert(Tokenize.tokensOf("", Set.empty).isEmpty)
+    assert(Tokenize.tokensOf("...!!!", Set.empty).isEmpty)
+    assert(Tokenize.tokensOf("a-b.c", Set.empty).toSeq == Seq("a", "b", "c"))
+    assert(Tokenize.tokensOf("def Foo(x): import os", Set("def")).toSeq ==
+      Seq("foo", "x", "import", "os"))
+  }
+
+  test("T1+T2: positions are assigned after stopword removal") {
+    val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox")).toDS()
+    val toks = Tokenize.tokens(docs, cfg.copy(stopwords = Set("the"))).collect().sortBy(_.pos)
+    assert(toks.map(t => (t.pos, t.term)).toSeq == Seq((0, "quick"), (1, "fox")))
+  }
+
+  test("T4: window edges — doc boundaries, adjacent mentions, w respected") {
+    // positions:        0      1        2       3      4
+    val content = "python starts python here end"
+    val docs = Seq(CodeDoc("r", "p", "c", "en", content)).toDS()
+    val win = Tokenize.windowTokens(docs, cfg).collect()
+    // mention at 0: window {1, 2}; mention at 2: window {0, 1, 3, 4}
+    val byM = win.groupBy(_.mpos).view.mapValues(_.map(_.pos).sorted.toSeq).toMap
+    assert(byM(0) == Seq(1, 2))
+    assert(byM(2) == Seq(0, 1, 3, 4))
+    // coverage = distinct union minus nothing (both mention positions covered
+    // by the other mention)
+    val cov = Tokenize.coverage(docs, cfg).collect().map(_.pos).sorted.toSeq
+    assert(cov == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("T4: coverage (doc-local BitSet) == relational DISTINCT band-join form") {
+    val docs = sources.CorpusSynth.plantedDocs(spark, docsPerEntity = 40)
+    val c = cfg.copy(window = 3)
+    val toks = Tokenize.tokens(docs, c).toDF()
+    val mentions = toks.filter(col("term").isin(c.entities: _*))
+      .select(col("docid"), col("pos").as("mpos"), col("term").as("entity"))
+    val joinForm = toks.join(mentions, Seq("docid"))
+      .filter(abs(col("pos") - col("mpos")) <= c.window && col("pos") =!= col("mpos"))
+      .select("entity", "docid", "pos", "term").distinct()
+    val covForm = Tokenize.coverage(docs, c).toDF()
+    assert(joinForm.exceptAll(covForm).isEmpty && covForm.exceptAll(joinForm).isEmpty)
+  }
+
+  test("A3/I1: salted co-occurrence counts == unsalted groupBy counts") {
+    val docs = sources.CorpusSynth.plantedDocs(spark, docsPerEntity = 60)
+    val c = WsidConfig(entities = Seq("python", "java"), window = 4, salts = 16)
+    val cov = Tokenize.coverage(docs, c)
+    val salted = Cooc.coocCounts(cov, c)
+    val unsalted = cov.toDF().groupBy("entity", "term").agg(count(lit(1)).as("k"))
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty)
+  }
+
+  test("S2: sha256 invariant — Spark sha2 matches JVM MessageDigest") {
+    val docs = sources.CorpusSynth.plantedDocs(spark, docsPerEntity = 5)
+    val sparkSide = docs.select(col("content"), sha2(col("content"), 256).as("sha"))
+      .as[(String, String)].collect().toMap
+    sparkSide.foreach { case (content, sha) =>
+      val jvm = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(jvm == sha)
+    }
+    // commit column = first 12 chars of the content hash (lineage invariant)
+    val bad = docs.filter(substring(sha2(col("content"), 256), 1, 12) =!= col("commit")).count()
+    assert(bad == 0)
+  }
+}
