@@ -1,0 +1,32 @@
+#!/bin/bash
+# Two-cluster-size scaling evidence (BASELINE.md protocol).
+#
+# Emulates an N-core vs 4N-core cluster on one host: taskset hard-pins the
+# WHOLE JVM (workers + GC + JIT + shuffle threads) to exactly N CPUs, the way
+# an N-core executor container would be limited. Each level runs in its own
+# JVM (fresh heap; no cross-run GC pollution). Repeat with TRIALS>1 and take
+# medians — single-box runs have JIT/GC variance.
+#
+# Usage: bin/scaling.sh [N] [REPS] [TRIALS]
+set -euo pipefail
+N="${1:-1}"
+REPS="${2:-60}"
+TRIALS="${3:-3}"
+BIG=$((4 * N))
+cd "$(dirname "$0")/.."
+
+run() { # cores
+  local cores=$1
+  local cpus="0-$((cores - 1))"
+  [ "$cores" = 1 ] && cpus="0"
+  taskset -c "$cpus" env \
+    SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+    GRAFT_BENCH_ONLY="$cores" GRAFT_BENCH_REPS="$REPS" SPARK_DRIVER_MEM=20g \
+    sbt -batch 'runMain graft.ScalingBench' 2>&1 | grep -o '"cores":[0-9]*,"sec":[0-9.]*,"triples":[0-9]*'
+}
+
+echo "# trial results (cores, sec, triples)"
+for t in $(seq "$TRIALS"); do
+  run "$N"
+  run "$BIG"
+done

@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: per-query timings for every registered operator plus
+  * the flagship E1 pipeline (tokenize → cooc → significance → NMF senses →
+  * link → triples), reported as ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,6 +13,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,10 +22,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // flagship E1 end-to-end: triples/sec is the headline metric (BASELINE.md)
+    val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    val t0 = System.nanoTime()
+    val triples = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
+      .triples.count()
+    val e1Sec = (System.nanoTime() - t0) / 1e9
+    val tps = triples / e1Sec
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum + e1Sec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""e1_sec":$e1Sec,"e1_triples":$triples,"e1_triples_per_sec":$tps,""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

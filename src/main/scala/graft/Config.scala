@@ -29,7 +29,7 @@ final case class WsidConfig(
     method: String = "nmf",
     seed: Long = 42L,
     maxDocChars: Int = 16 * 1024 * 1024,
-    nmfMaxIter: Int = 15,
+    nmfMaxIter: Int = 5,
     nmfRegParam: Double = 0.01,
     broadcastDictMaxRows: Long = 2000000L
 )

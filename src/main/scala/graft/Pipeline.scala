@@ -1,9 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooc, Significance, Tokenize}
+import graft.ml.SenseInduction
+import graft.operators.{Cooc, Linking, Significance, Tokenize}
+import graft.plans.Checkpoint
+import graft.sources.TableIO
 
 /** Query lifecycles (SURVEY.md §3).
   *
@@ -34,17 +37,126 @@ object Pipeline {
     CoStats(toks, cov, cont, scored, sig, top)
   }
 
+  final case class E1Result(
+      triples: DataFrame,
+      senseVec: DataFrame,
+      assignments: DataFrame,
+      checkpoint: Option[Checkpoint])
+
+  /** E1 flagship: induce senses and emit the knowledge graph
+    * (BASELINE.json:6). When `ckptRoot` is set, every boundary stage writes
+    * a parquet+manifest checkpoint and the run resumes mid-pipeline
+    * (SURVEY.md §3 E1, §4.3).
+    *
+    * `corpusId` identifies the input corpus in the checkpoint fingerprint
+    * chain (e.g. the source table URI) so a different input never resumes
+    * from a stale checkpoint. */
+  def induceAndEmit(spark: SparkSession, docs: Dataset[CodeDoc], cfg: WsidConfig,
+                    ckptRoot: Option[String] = None, corpusId: String = ""): E1Result = {
+    val ck = ckptRoot.map(new Checkpoint(spark, _))
+    val cfgId = s"$corpusId|${cfg.toString}"
+    // checkpoint parquet doubles as stage materialization; without it,
+    // persist each reused stage so downstream actions don't re-run the
+    // whole upstream chain (ALS alone takes ~30 actions)
+    def staged(name: String, inputs: Seq[String])(compute: => DataFrame): DataFrame =
+      ck match {
+        case Some(c) => c.stage(name, inputs, cfgId)(compute)
+        case None => compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    val guarded = docs.filter(length(col("content")).between(1, cfg.maxDocChars)).as(docs.encoder)
+
+    // lineage invariant table: per-row sha256(content) (BASELINE.json:15)
+    val dochash = staged("dochash", Nil) {
+      guarded.select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("sha256"))
+    }
+
+    // content tokenized exactly once; the cached columnar projection
+    // (dictionary-encoded terms) feeds coverage, marginals and context rows
+    val tokdocs = Tokenize.tokDocs(guarded, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cov = staged("coverage", Nil)(Tokenize.coverageFrom(tokdocs, cfg).toDF())
+
+    val sigcooc = staged("sigcooc", Seq("coverage")) {
+      import spark.implicits._
+      val toks = Tokenize.tokensFrom(tokdocs)
+      val cont = Cooc.contingency(spark, toks, cov.as[CovTok], cfg)
+      // Bonferroni filter + top-k cap, with a pure-dataflow per-entity
+      // fallback for corpora where nothing clears the cut
+      Significance.descriptors(Significance.withLogp(cont), cfg)
+    }
+
+    // per-mention sparse context vectors, built doc-locally against the
+    // broadcast dictionary: the whole ML input costs ZERO shuffles
+    val ctxrows = staged("ctxrows", Seq("sigcooc")) {
+      import spark.implicits._
+      val dict = SenseInduction.dictionary(sigcooc).collect()
+        .groupBy(_.getString(0))
+        .map { case (e, rows) => e -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap }
+      Tokenize.contextRowsFrom(tokdocs, cfg, dict).toDF()
+    }
+
+    // ctxrows is already cached in compact columnar form by staged();
+    // each NMF pass decodes Ctx records from it (decode < re-tokenize, and
+    // the columnar cache is ~5x smaller on heap than Java Ctx objects)
+    val grouped = {
+      import spark.implicits._
+      ctxrows.as[ml.ThinNMF.Ctx].rdd
+    }
+
+    val senseVecRaw = staged("senses", Seq("ctxrows")) {
+      SenseInduction.senseMatrix(spark, grouped, cfg)
+    }
+
+    val h = SenseInduction.collectH(senseVecRaw)
+    val assignRaw = ml.ThinNMF.assign(grouped, spark, h, cfg.minSenseScore)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assignments, senseVec) = Linking.relabel(assignRaw, senseVecRaw)
+
+    // A5 dedup happens per branch on compact keys (hasSenseTriples /
+    // coocTriples); the branches cannot collide (disjoint predicates), so no
+    // further distinct over the fat triple strings is needed
+    val triples = Linking.hasSenseTriples(assignments)
+      .unionByName(coocTriples(toCov(spark, cov), sigcooc))
+    val _ = dochash // materialized for lineage; consumed by tests/audits
+    E1Result(triples, senseVec, assignments, ck)
+  }
+
+  private def toCov(spark: SparkSession, df: DataFrame): Dataset[CovTok] = {
+    import spark.implicits._
+    df.as[CovTok]
+  }
+
+  /** E3: disambiguate new documents against an existing sense model
+    * (dict + senseVec, e.g. loaded from the "sigcooc"/"senses" checkpoints).
+    * Embarrassingly parallel: tokenize/window locally, broadcast the model,
+    * one final aggregation (SURVEY.md §3 E3). */
+  def disambiguate(spark: SparkSession, newDocs: Dataset[CodeDoc], dict: DataFrame,
+                   senseVec: DataFrame, cfg: WsidConfig): DataFrame = {
+    val windows = Tokenize.windowTokens(newDocs, cfg).toDF()
+    val ctxvec = SenseInduction.contextVectors(windows, dict)
+    Linking.assign(ctxvec, senseVec, cfg)
+  }
+
   /** coOccursWith triples from the top significant (entity, term) pairs:
     * one triple per (entity@repo/path, term) where the term occurs inside a
     * window of the entity in that doc (SURVEY.md §2.7 L2/L3, SQL-expressible
-    * part; hasSense triples are added by the ML stage in E1). */
+    * part; hasSense triples are added by the ML stage in E1). NOT deduped —
+    * E1 dedups once (A5) after the union; standalone consumers add their own
+    * distinct. */
   def coocTriples(cov: Dataset[CovTok], topTerms: DataFrame): DataFrame = {
     cov.toDF()
       .join(broadcast(topTerms.select("entity", "term")), Seq("entity", "term"))
+      // dedup (A5) on compact columns BEFORE building the subject string:
+      // the distinct exchange then carries (entity, docpath, term), not
+      // pre-concatenated triple strings
+      .select(col("entity"), substring_index(col("docid"), "@", 1).as("docpath"), col("term"))
+      .distinct()
       .select(
-        concat(col("entity"), lit("@"), substring_index(col("docid"), "@", 1)).as("subj"),
+        concat(col("entity"), lit("@"), col("docpath")).as("subj"),
         lit("coOccursWith").as("pred"),
         col("term").as("obj"))
-      .distinct()
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler for E1 (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = sys.env.getOrElse("GRAFT_BENCH_CORES", "32").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "60").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val cfg = Queries.cfg.copy(topK = 50)
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val base = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    val replicas = spark.range(reps).select(col("id").cast("int").as("rep"))
+    val docs = base.crossJoin(replicas)
+      .select(concat(col("repo"), lit("_r"), col("rep")).as("repo"),
+        col("path"), col("commit"), col("lang"), col("content"))
+      .as[CodeDoc].repartition(cores * 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("docs")(docs.count())
+
+    val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val windows = operators.Tokenize.windowTokens(docs, cfg).toDF().persist(st)
+    time("windows")(windows.count())
+    val cov = operators.Tokenize.coverage(docs, cfg).persist(st)
+    time("coverage")(cov.count())
+    val toks = operators.Tokenize.tokens(docs, cfg)
+    val cont = time("contingency")(operators.Cooc.contingency(spark, toks, cov, cfg))
+    val scored = operators.Significance.withLogp(cont).persist(st)
+    time("scored")(scored.count())
+    val sig = operators.Significance.significant(scored, cfg)
+    val top = operators.Significance.topK(sig, cfg).persist(st)
+    time("topk")(top.count())
+    val dictMap = ml.SenseInduction.dictionary(top).collect()
+      .groupBy(_.getString(0))
+      .map { case (e, rows) => e -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap }
+    val grouped = operators.Tokenize.contextRows(docs, cfg, dictMap).rdd.persist(st)
+    time("ctxrows")(grouped.count())
+    val sv = time("induce(fit)")(ml.SenseInduction.senseMatrix(spark, grouped, cfg).persist(st))
+    time("induce(cnt)")(sv.count())
+    val h = ml.SenseInduction.collectH(sv)
+    val assignRaw = ml.ThinNMF.assign(grouped, spark, h, cfg.minSenseScore).persist(st)
+    time("assign")(assignRaw.count())
+    val (a2, _) = operators.Linking.relabel(assignRaw, sv)
+    val hs = operators.Linking.hasSenseTriples(a2).persist(st)
+    time("hasSense")(hs.count())
+    val ct = Pipeline.coocTriples(cov, top).persist(st)
+    time("coocTrip")(ct.count())
+    val triples = hs.unionByName(ct).distinct()
+    time("finalDistinct")(triples.count())
+    spark.stop()
+  }
+}

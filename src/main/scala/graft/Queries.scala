@@ -21,8 +21,10 @@ import graft.sources.CorpusSynth
   */
 object Queries {
 
-  /** Entities tracked on the documents corpus (both in its 31-term vocab). */
-  val entities: Seq[String] = Seq("join", "spark")
+  /** Entities tracked on the documents corpus (all in its 31-term vocab).
+    * A realistic KG-construction run tracks many targets at once; the
+    * per-entity factorizations then overlap and scale with the cluster. */
+  val entities: Seq[String] = Seq("data", "hash", "join", "query", "scan", "sort", "spark", "table")
   val cfg: WsidConfig = WsidConfig(entities = entities, window = 5, alpha = 0.01, topK = 200)
 
   private def docs(spark: SparkSession, sfDir: String) = CorpusSynth.fromDocuments(spark, sfDir)

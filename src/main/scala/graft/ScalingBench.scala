@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-cluster-size scaling evidence (BASELINE.md protocol).
+  *
+  * No real multi-node cluster exists in this sandbox, so the N-vs-4N
+  * executor criterion (BASELINE.json:14) is evidenced by running the
+  * IDENTICAL E1 job on the IDENTICAL input at two local parallelism levels
+  * (local[N] vs local[4N], shuffle.partitions = cores) and reporting
+  *   efficiency = (tps_4N / tps_N) / 4.
+  *
+  * The sf corpus is deterministically amplified (replica index appended to
+  * repo/path; content untouched so the sha256 lineage stays valid per
+  * replica) so the job is compute-bound rather than overhead-bound — the
+  * honest stand-in for "same job, bigger cluster, proportional data math".
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), GRAFT_BENCH_N (default 8),
+  *      GRAFT_BENCH_REPS (default 20).
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Default N=4 (pair 4 vs 16): the host's 32 hardware threads are ~16
+    // physical cores with SMT, so a 4x thread scale-up must stay at or below
+    // 16 to measure resource scaling rather than the hyperthreading wall
+    // (measured pure-CPU ceilings on this box: 4->16 = 3.79x, 8->32 = 2.99x).
+    val n = sys.env.getOrElse("GRAFT_BENCH_N", "4").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "60").toInt
+
+    // single-run mode (one JVM per cluster size; a wrapper compares)
+    sys.env.get("GRAFT_BENCH_ONLY").foreach { c =>
+      val (t, cnt) = runOnce(c.toInt, sfDir, reps)
+      println(f"""{"metric":"e1_run","cores":$c,"sec":$t%.2f,"triples":$cnt,"sf":"$sfDir"}""")
+      return
+    }
+
+    val (tSmall, cSmall) = runOnce(n, sfDir, reps)
+    val (tBig, cBig) = runOnce(4 * n, sfDir, reps)
+    // ALS factor init depends on rating partitioning, so borderline sense
+    // assignments may flip across parallelism levels; counts must agree to 1%
+    require(math.abs(cSmall - cBig).toDouble / cSmall < 0.01,
+      s"triple counts diverge across parallelism: $cSmall vs $cBig")
+
+    val tpsSmall = cSmall / tSmall
+    val tpsBig = cBig / tBig
+    val eff = (tpsBig / tpsSmall) / 4.0
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_cores":$n,""" +
+      f""""4n_cores":${4 * n},"reps":$reps,"triples":$cSmall,""" +
+      f""""sec_n":$tSmall%.2f,"sec_4n":$tBig%.2f,""" +
+      f""""tps_n":$tpsSmall%.1f,"tps_4n":$tpsBig%.1f,"sf":"$sfDir"}""")
+  }
+
+  /** One full E1 run in a fresh session at the given core count. */
+  def runOnce(cores: Int, sfDir: String, reps: Int): (Double, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // tmpfs shuffle dirs: stand-in for per-executor local SSDs — a single
+      // contended virtio disk is a sandbox artifact, not a cluster property
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_DEBUG_JOBS")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.map(si => s"${si.name.takeWhile(_ != '.')}x${si.numTasks}").mkString("+")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+            val ms = (System.nanoTime() - t0) / 1000000
+            if (ms > 300) println(f"[job] cores=$cores job=${je.jobId}%3d ${ms}%6d ms  $desc")
+          }
+        }
+      })
+    }
+    try {
+      import spark.implicits._
+      // repartition the (single-file) base BEFORE amplifying: replica
+      // generation then runs in parallel on every partition instead of one
+      // serial task — the single-task crossJoin was a constant ~30 s serial
+      // phase that swamped the cluster-size comparison
+      val base = sources.CorpusSynth.fromDocuments(spark, sfDir).repartition(cores * 3)
+      val replicas = spark.range(reps).select(col("id").cast("int").as("rep"))
+      val docs = base.crossJoin(broadcast(replicas))
+        .select(concat(col("repo"), lit("_r"), col("rep")).as("repo"),
+          col("path"), col("commit"), col("lang"), col("content"))
+        .as[CodeDoc]
+      // warm the FS cache + JIT once with a cheap action, then time E1
+      docs.count()
+      val t0 = System.nanoTime()
+      val triples = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50),
+        None, s"$sfDir x$reps").triples.count()
+      ((System.nanoTime() - t0) / 1e9, triples)
+    } finally spark.stop()
+  }
+}

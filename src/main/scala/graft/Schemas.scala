@@ -19,6 +19,10 @@ final case class CodeDoc(repo: String, path: String, commit: String, lang: Strin
   * index in the stopword-filtered token stream (SURVEY.md §2.3 T1/T2). */
 final case class Token(docid: String, pos: Int, term: String)
 
+/** Tokenized-document projection: content scanned once, terms kept in
+  * position order (dictionary-encoded when cached columnar). */
+final case class TokDoc(docid: String, terms: Array[String])
+
 /** A detected mention of a tracked entity (SURVEY.md §2.3 T3). */
 final case class Mention(docid: String, pos: Int, entity: String)
 

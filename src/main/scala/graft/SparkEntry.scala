@@ -5,19 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the E2 CO-statistics slice and emits coOccursWith triples for the
-    * top significant terms of each tracked entity. (Upgraded to the full E1
-    * induce+link pipeline once the ML stage lands.) */
+  /** Flagship E1 on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full pipeline: tokenize/window → salted co-occurrence → hypergeometric
+    * significance → NMF sense induction → linking → (subj, pred, obj)
+    * triples. On the uniform harness corpus nothing clears the Bonferroni
+    * cut, so the descriptor fallback (rank-only top-k) kicks in — the whole
+    * operator chain still runs. */
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
-    val cs = Pipeline.coStats(
-      sources.CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
-    // top-k by significance rank regardless of the Bonferroni cut: the
-    // harness corpus is a uniform bag-of-words, so nothing clears alpha/m —
-    // the smoke check wants the full operator chain exercised with rows > 0
-    val top = operators.Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
-    Pipeline.coocTriples(cs.coverage, top)
+    val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir).triples
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

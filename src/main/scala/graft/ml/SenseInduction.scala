@@ -1,0 +1,162 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.BisectingKMeans
+import org.apache.spark.ml.feature.Normalizer
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.WsidConfig
+
+/** M1–M4 (SURVEY.md §2.6): distributed sense induction over the
+  * significant-context vectors.
+  *
+  * Default method "nmf" is the thin-matrix alternating-NNLS NMF (ThinNMF):
+  * one data pass per iteration, driver-solved H — the shape-aware choice for
+  * A(ctx x term) with ctx ~ 10^9+ and term <= topK (wsid's NMF ancestry:
+  * Van de Cruys & Apidianaki, ACL 2011). Alternatives:
+  *  - "als": nonnegative explicit-feedback ALS (generic factorizer; entities
+  *    fit concurrently to amortize its iteration-barrier latency);
+  *  - "hclust": BisectingKMeans (divisive hierarchical) on L2-normalized
+  *    vectors, cluster centers standing in for H.
+  *
+  * All methods converge on the same artifact: the per-entity k x m sense
+  * matrix H, from which senseVec (long form) and the fused assignment pass
+  * both derive.
+  */
+object SenseInduction {
+
+  /** V1: dense per-entity term ids from the significance ranking (rank is
+    * 1-based and unique per entity, so termid = rank - 1 is a bijection). */
+  def dictionary(topSig: DataFrame): DataFrame =
+    topSig.select(col("entity"), col("term"), (col("rank") - 1).cast("int").as("termid"))
+
+  /** V2: long-form sparse context vectors (entity, ctxid, termid, w);
+    * w = within-window term count. Dictionary is broadcast (I2). */
+  def contextVectors(winToks: DataFrame, dict: DataFrame): DataFrame =
+    winToks
+      .withColumn("ctxid", concat(col("docid"), lit("#"), col("mpos")))
+      .join(broadcast(dict), Seq("entity", "term"))
+      .groupBy("entity", "ctxid", "termid")
+      .agg(count(lit(1)).cast("double").as("w"))
+
+  /** M1/M2: fit the sense matrices and return them as the long-form senseVec
+    * table (entity, senseid, termid, weight) — checkpointable. */
+  def senseMatrix(spark: SparkSession, grouped: org.apache.spark.rdd.RDD[ThinNMF.Ctx],
+                  cfg: WsidConfig): DataFrame = {
+    lazy val ctxvec = longForm(spark, grouped) // only the alt methods need it
+    val h: Map[String, ThinNMF.H] = cfg.method match {
+      case "als" => alsH(spark, ctxvec, cfg)
+      case "hclust" => hclustH(spark, ctxvec, cfg)
+      case _ => ThinNMF.fit(grouped, spark, cfg.kSenses, cfg.nmfMaxIter, cfg.seed)
+    }
+    ThinNMF.senseVecDF(spark, h)
+  }
+
+  /** Long-form view of grouped context rows (entity, ctxid, termid, w). */
+  def longForm(spark: SparkSession, grouped: org.apache.spark.rdd.RDD[ThinNMF.Ctx]): DataFrame = {
+    import spark.implicits._
+    grouped.flatMap(c => c.termids.zip(c.ws).map { case (t, w) => (c.entity, c.ctxid, t, w) })
+      .toDF("entity", "ctxid", "termid", "w")
+  }
+
+  /** Rebuild the broadcastable H map from a (possibly checkpointed) senseVec
+    * table — tiny (k x topK doubles per entity). */
+  def collectH(senseVec: DataFrame): Map[String, ThinNMF.H] = {
+    val rows = senseVec.select("entity", "senseid", "termid", "weight").collect()
+    rows.groupBy(_.getString(0)).map { case (e, rs) =>
+      val k = rs.map(_.getInt(1)).max + 1
+      val m = rs.map(_.getInt(2)).max + 1
+      val h = Array.ofDim[Double](k, m)
+      rs.foreach(r => h(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      e -> h
+    }
+  }
+
+  /** M1-alt: NMF as nonnegative ALS; entities factorized concurrently
+    * (driver-side futures) to overlap the per-iteration job barriers. */
+  private def alsH(spark: SparkSession, ctxvec: DataFrame, cfg: WsidConfig): Map[String, ThinNMF.H] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val entities = ctxvec.select("entity").distinct().collect().map(_.getString(0)).sorted
+    val futures = entities.map { e =>
+      Future {
+        val cv = ctxvec.filter(col("entity") === e).select("ctxid", "termid", "w")
+        if (cv.isEmpty) None else Some(e -> alsFit(spark, cv, cfg))
+      }
+    }
+    futures.flatMap(f => Await.result(f, Duration.Inf)).toMap
+  }
+
+  private def alsFit(spark: SparkSession, cv: DataFrame, cfg: WsidConfig): ThinNMF.H = {
+    import spark.implicits._
+    // compact ctx ids to Int (ALS contract); zipWithUniqueId needs no extra
+    // count job and ids stay < rowCount * numPartitions (Int-safe here)
+    val idx = cv.select("ctxid").distinct().rdd
+      .map(_.getString(0)).zipWithUniqueId()
+      .map { case (c, i) =>
+        require(i <= Int.MaxValue, "context id space exceeds Int — shard entities")
+        (c, i.toInt)
+      }.toDF("ctxid", "cid")
+    val ratings = cv.join(idx, Seq("ctxid"))
+      .select(col("cid"), col("termid"), col("w").cast("float").as("rating"))
+    val als = new ALS()
+      .setUserCol("cid").setItemCol("termid").setRatingCol("rating")
+      .setRank(cfg.kSenses)
+      .setMaxIter(cfg.nmfMaxIter)
+      .setRegParam(cfg.nmfRegParam)
+      .setNonnegative(true)
+      .setImplicitPrefs(false)
+      .setSeed(cfg.seed)
+      // pinned block count: the job DAG is identical at any core count
+      .setNumUserBlocks(8).setNumItemBlocks(8)
+      .setColdStartStrategy("drop")
+    val model = als.fit(ratings)
+    val factors = model.itemFactors.select("id", "features")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val m = factors.map(_._1).max + 1
+    val h = Array.ofDim[Double](cfg.kSenses, m)
+    factors.foreach { case (t, fs) =>
+      var s = 0
+      while (s < cfg.kSenses) { h(s)(t) = math.max(0.0, fs(s).toDouble); s += 1 }
+    }
+    h
+  }
+
+  /** M2: divisive hierarchical clustering (BisectingKMeans) on L2-normalized
+    * sparse context vectors; cluster centers become the sense vectors. */
+  private def hclustH(spark: SparkSession, ctxvec: DataFrame, cfg: WsidConfig): Map[String, ThinNMF.H] = {
+    import spark.implicits._
+    val entities = ctxvec.select("entity").distinct().collect().map(_.getString(0)).sorted
+    entities.flatMap { e =>
+      val cv = ctxvec.filter(col("entity") === e).select("ctxid", "termid", "w")
+      if (cv.isEmpty) None
+      else {
+        val dim = cv.agg(max("termid")).head().getInt(0) + 1
+        val assembled = cv.groupBy("ctxid")
+          .agg(collect_list(struct(col("termid"), col("w"))).as("cells"))
+          .map { r =>
+            val cells = r.getSeq[Row](1).map(c => (c.getInt(0), c.getDouble(1))).sortBy(_._1)
+            (r.getString(0), Vectors.sparse(dim, cells.map(_._1).toArray, cells.map(_._2).toArray))
+          }.toDF("ctxid", "raw")
+        val normalized = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
+          .transform(assembled)
+        val bkm = new BisectingKMeans().setK(cfg.kSenses).setSeed(cfg.seed).setFeaturesCol("features")
+        val model = bkm.fit(normalized)
+        val h = model.clusterCenters.map(_.toArray.map(math.max(0.0, _)))
+        Some(e -> h)
+      }
+    }.toMap
+  }
+
+  /** M4: human-readable top-terms-per-sense descriptors. */
+  def descriptors(senseVec: DataFrame, dict: DataFrame, top: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity", "senseid").orderBy(col("weight").desc, col("term").asc)
+    senseVec.join(dict, Seq("entity", "termid"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= top)
+      .select("entity", "senseid", "term", "weight", "r")
+  }
+}

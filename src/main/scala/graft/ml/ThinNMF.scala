@@ -1,0 +1,219 @@
+package graft.ml
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed NMF specialized for wsid's matrix shape: A(ctx x term) with a
+  * HUGE context dimension (one row per mention, 10^9+ at full scale) and a
+  * SMALL term dimension (significant terms are capped at cfg.topK, <= a few
+  * hundred).
+  *
+  * Alternating nonnegative least squares where only W (ctx loadings) is
+  * distributed:
+  *   - W-step: each context row solves a k-variable NNLS against the
+  *     broadcast H — pure map work, no shuffle, whole partition streamed;
+  *   - H-step: needs only the k x m Gram aggregates (W^T A and W^T W),
+  *     reduced in one pass and solved on the driver (k*m doubles — tiny).
+  *
+  * One data pass per iteration, so cost is data-proportional and scales
+  * linearly with executors — unlike a generic factorizer that shuffles
+  * factor blocks every iteration. The final pass emits the per-context sense
+  * assignment directly, fusing wsid's disambiguation step into the last map.
+  *
+  * Deterministic: H is seeded per entity from cfg.seed; all entities are
+  * fit SIMULTANEOUSLY in the same passes (entity is part of the group key).
+  */
+object ThinNMF {
+
+  /** k x m nonnegative sense-by-term matrix. */
+  type H = Array[Array[Double]]
+
+  /** One context row of the sparse matrix (termids sorted, parallel ws). */
+  final case class Ctx(entity: String, ctxid: String, termids: Array[Int], ws: Array[Double])
+
+  /** Group long-form ctxvec (entity, ctxid, termid, w) into context rows —
+    * the ONE shuffle of the whole factorization; cache the result. */
+  def group(ctxvec: DataFrame): Dataset[Ctx] = {
+    val spark = ctxvec.sparkSession
+    import spark.implicits._
+    ctxvec.groupBy("entity", "ctxid")
+      .agg(collect_list(struct(col("termid"), col("w"))).as("cells"))
+      .map { r =>
+        val cells = r.getSeq[Row](2).map(c => (c.getInt(0), c.getDouble(1))).sortBy(_._1)
+        Ctx(r.getString(0), r.getString(1), cells.map(_._1).toArray, cells.map(_._2).toArray)
+      }
+  }
+
+  /** Projected Gauss–Seidel NNLS: min_{w>=0} w'Gw - 2b'w  (k <= ~16). */
+  private[ml] def nnlsCD(g: Array[Array[Double]], b: Array[Double], iters: Int = 30): Array[Double] = {
+    val k = b.length
+    val w = new Array[Double](k)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < k) {
+        var s = b(i)
+        var j = 0
+        while (j < k) { if (j != i) s -= g(i)(j) * w(j); j += 1 }
+        w(i) = if (g(i)(i) > 1e-12) math.max(0.0, s / g(i)(i)) else 0.0
+        i += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  private def gram(h: H): Array[Array[Double]] = {
+    val k = h.length
+    val g = Array.ofDim[Double](k, k)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j <= i) {
+        var s = 0.0
+        var t = 0
+        while (t < h(i).length) { s += h(i)(t) * h(j)(t); t += 1 }
+        g(i)(j) = s; g(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    g
+  }
+
+  /** Solve one context's loadings against (H, G=HH'). */
+  private def solveW(h: H, g: Array[Array[Double]], c: Ctx): Array[Double] = {
+    val k = h.length
+    val b = new Array[Double](k)
+    var s = 0
+    while (s < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < c.termids.length) { acc += h(s)(c.termids(i)) * c.ws(i); i += 1 }
+      b(s) = acc
+      s += 1
+    }
+    nnlsCD(g, b)
+  }
+
+  /** Fit all entities' sense matrices in `iters` alternating passes. */
+  def fit(grouped: RDD[Ctx], spark: SparkSession, k: Int, iters: Int, seed: Long): Map[String, H] = {
+    // per-entity term-dimension (max termid + 1): one cheap pass
+    val ms: Map[String, Int] = grouped
+      .map(c => (c.entity, if (c.termids.isEmpty) 0 else c.termids.max + 1))
+      .reduceByKey(math.max).collect().toMap
+
+    var h: Map[String, H] = ms.collect { case (e, m) if m > 0 =>
+      val rnd = new scala.util.Random(seed ^ e.hashCode.toLong)
+      e -> Array.fill(k, m)(0.1 + rnd.nextDouble())
+    }
+
+    var it = 0
+    while (it < iters && h.nonEmpty) {
+      val withGram = h.map { case (e, he) => e -> ((he, gram(he))) }
+      val bc = spark.sparkContext.broadcast(withGram)
+      // one pass: solve every context's W, accumulate W'A and W'W per entity
+      val partials = grouped.mapPartitions { rows =>
+        val acc = scala.collection.mutable.Map.empty[String, (Array[Double], Array[Double])]
+        rows.foreach { c =>
+          bc.value.get(c.entity).foreach { case (he, ge) =>
+            val m = he(0).length
+            val w = solveW(he, ge, c)
+            val (wta, wtw) = acc.getOrElseUpdate(c.entity,
+              (new Array[Double](k * m), new Array[Double](k * k)))
+            var s = 0
+            while (s < k) {
+              if (w(s) != 0.0) {
+                var i = 0
+                while (i < c.termids.length) {
+                  if (c.termids(i) < m) wta(s * m + c.termids(i)) += w(s) * c.ws(i)
+                  i += 1
+                }
+              }
+              s += 1
+            }
+            var a = 0
+            while (a < k) {
+              var b2 = 0
+              while (b2 < k) { wtw(a * k + b2) += w(a) * w(b2); b2 += 1 }
+              a += 1
+            }
+          }
+        }
+        acc.iterator.map { case (e, (wta, wtw)) => (e, (wta, wtw)) }
+      }.reduceByKey { (x: (Array[Double], Array[Double]), y: (Array[Double], Array[Double])) =>
+        val (a1, b1) = x
+        val (a2, b2) = y
+        var i = 0; while (i < a1.length) { a1(i) += a2(i); i += 1 }
+        i = 0; while (i < b1.length) { b1(i) += b2(i); i += 1 }
+        (a1, b1)
+      }.collect()
+
+      // driver-side H update: per term column, NNLS over the k x k Gram
+      h = partials.map { case (e, (wtaF, wtwF)) =>
+        val m = ms(e)
+        val wtw = Array.tabulate(k, k)((i, j) => wtwF(i * k + j) + (if (i == j) 1e-9 else 0.0))
+        val hNew = Array.ofDim[Double](k, m)
+        var t = 0
+        while (t < m) {
+          val b = Array.tabulate(k)(s => wtaF(s * m + t))
+          val col = nnlsCD(wtw, b)
+          var s = 0
+          while (s < k) { hNew(s)(t) = col(s); s += 1 }
+          t += 1
+        }
+        e -> hNew
+      }.toMap
+      bc.destroy()
+      it += 1
+    }
+    h
+  }
+
+  /** Final fused pass: per-context sense assignment (argmax NMF loading,
+    * cosine-to-sense confidence). */
+  def assign(grouped: RDD[Ctx], spark: SparkSession, h: Map[String, H], minScore: Double): DataFrame = {
+    import spark.implicits._
+    val withGram = h.map { case (e, he) => e -> ((he, gram(he))) }
+    val bc = spark.sparkContext.broadcast(withGram)
+    grouped.flatMap { c =>
+      bc.value.get(c.entity).flatMap { case (he, ge) =>
+        val w = solveW(he, ge, c)
+        val k = w.length
+        var best = 0
+        var s = 1
+        while (s < k) { if (w(s) > w(best)) best = s; s += 1 }
+        if (w(best) <= 0.0) None
+        else {
+          // cosine(a_c, H_best)
+          val hb = he(best)
+          var dot = 0.0; var na = 0.0
+          var i = 0
+          while (i < c.termids.length) {
+            val t = c.termids(i)
+            if (t < hb.length) dot += c.ws(i) * hb(t)
+            na += c.ws(i) * c.ws(i)
+            i += 1
+          }
+          var nh = 0.0
+          i = 0
+          while (i < hb.length) { nh += hb(i) * hb(i); i += 1 }
+          val score = if (na > 0 && nh > 0) dot / (math.sqrt(na) * math.sqrt(nh)) else 0.0
+          if (score >= minScore) Some((c.entity, c.ctxid, best, score)) else None
+        }
+      }
+    }.toDF("entity", "ctxid", "senseid", "score")
+  }
+
+  /** H as the long-form senseVec table (entity, senseid, termid, weight). */
+  def senseVecDF(spark: SparkSession, h: Map[String, H]): DataFrame = {
+    import spark.implicits._
+    val rows = h.toSeq.sortBy(_._1).flatMap { case (e, he) =>
+      he.zipWithIndex.toSeq.flatMap { case (row, s) =>
+        row.zipWithIndex.toSeq.collect { case (wgt, t) if wgt > 0.0 => (e, s, t, wgt) }
+      }
+    }
+    rows.toDF("entity", "senseid", "termid", "weight")
+  }
+}

@@ -40,16 +40,21 @@ object Cooc {
     */
   def contingency(spark: SparkSession, tokens: Dataset[Token], cov: Dataset[CovTok],
                   cfg: WsidConfig): DataFrame = {
-    val cooc = coocCounts(cov, cfg)
-    val marg = marginals(tokens, cfg)
+    // exactly two full-data traversals: cov -> cooc and tokens -> marginals;
+    // everything after operates on the small cached aggregates
+    val cooc = coocCounts(cov, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val marg = marginals(tokens, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one driver action for both N and the broadcast decision (vocab size
+    // bounds the dictionary, which is a subset of the marginals)
+    val totals = marg.agg(sum(col("n")), count(lit(1))).head()
+    val bigN = totals.getLong(0)
+    val vocabSize = totals.getLong(1)
     val mass = windowMass(cov, cfg)
-    val bigN = tokens.count()
 
     // dictionary = marginals restricted to candidate co-occurring terms
     val dict = marg.join(cooc.select("term").distinct(), Seq("term"), "left_semi")
-    val dictSmall = dict.count() <= cfg.broadcastDictMaxRows
     val margJoined =
-      if (dictSmall) cooc.join(broadcast(dict), Seq("term"))
+      if (vocabSize <= cfg.broadcastDictMaxRows) cooc.join(broadcast(dict), Seq("term"))
       else cooc.join(dict, Seq("term"))
 
     margJoined

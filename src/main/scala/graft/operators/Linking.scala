@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.WsidConfig
+
+/** L1–L3 (SURVEY.md §2.7): entity linking (mention → induced sense via
+  * cosine argmax against the broadcast sense model), canonicalization, and
+  * triple emission.
+  */
+object Linking {
+
+  /** L1: cosine(ctx vector, sense vector) per (ctx, sense); argmax per ctx;
+    * assignments below cfg.minSenseScore emit nothing (confidence floor).
+    * The sense model is tiny (k x topK doubles per entity) — broadcast. */
+  def assign(ctxvec: DataFrame, senseVec: DataFrame, cfg: WsidConfig): DataFrame = {
+    val senseNorm = senseVec.groupBy("entity", "senseid")
+      .agg(sqrt(sum(col("weight") * col("weight"))).as("snorm"))
+    val ctxNorm = ctxvec.groupBy("entity", "ctxid")
+      .agg(sqrt(sum(col("w") * col("w"))).as("cnorm"))
+    val dots = ctxvec
+      .join(broadcast(senseVec), Seq("entity", "termid"))
+      .groupBy("entity", "ctxid", "senseid")
+      .agg(sum(col("w") * col("weight")).as("dot"))
+    val scored = dots
+      .join(broadcast(senseNorm), Seq("entity", "senseid"))
+      .join(ctxNorm, Seq("entity", "ctxid"))
+      .withColumn("score",
+        when(col("snorm") > 0 && col("cnorm") > 0, col("dot") / (col("snorm") * col("cnorm")))
+          .otherwise(lit(0.0)))
+    val arg = Window.partitionBy("entity", "ctxid").orderBy(col("score").desc, col("senseid").asc)
+    scored.withColumn("rn", row_number().over(arg))
+      .filter(col("rn") === 1 && col("score") >= cfg.minSenseScore)
+      .select("entity", "ctxid", "senseid", "score")
+  }
+
+  /** Relabel induced sense ids per entity by descending cluster size (ties:
+    * original id) so output labels are stable across factorizer internals. */
+  def relabel(assignments: DataFrame, senseVec: DataFrame): (DataFrame, DataFrame) = {
+    val sizes = assignments.groupBy("entity", "senseid").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("entity").orderBy(col("sz").desc, col("senseid").asc)
+    val mapping = sizes.withColumn("label", row_number().over(w) - 1)
+      .select("entity", "senseid", "label")
+    val a2 = assignments.join(broadcast(mapping), Seq("entity", "senseid"))
+      .select(col("entity"), col("ctxid"), col("label").as("senseid"), col("score"))
+    val s2 = senseVec.join(broadcast(mapping), Seq("entity", "senseid"))
+      .select(col("entity"), col("label").as("senseid"), col("termid"), col("weight"))
+    (a2, s2)
+  }
+
+  /** L2+L3: hasSense triples, deduped (A5) on the COMPACT key
+    * (entity, docpath, senseid) BEFORE the subject string is materialized —
+    * the distinct shuffle then moves short columns instead of pre-built
+    * triple strings. subj = entity@repo/path (ctxid = repo/path@commit#mpos). */
+  def hasSenseTriples(assignments: DataFrame): DataFrame =
+    assignments.select(
+      col("entity"),
+      substring_index(substring_index(col("ctxid"), "#", 1), "@", 1).as("docpath"),
+      col("senseid"))
+      .distinct()
+      .select(
+        concat(col("entity"), lit("@"), col("docpath")).as("subj"),
+        lit("hasSense").as("pred"),
+        concat(col("entity"), lit("#s"), col("senseid")).as("obj"))
+}

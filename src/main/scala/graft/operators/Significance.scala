@@ -32,6 +32,22 @@ object Significance {
       .drop("m")
   }
 
+  /** C2+C3 fused with a pure-dataflow fallback: per entity keep the
+    * Bonferroni-significant terms, or — ONLY for entities where nothing
+    * clears the cut (uniform harness corpora) — fall back to all candidates,
+    * then cap at top-k. No driver-side isEmpty branch, no extra job. */
+  def descriptors(scored: DataFrame, cfg: WsidConfig): DataFrame = {
+    val byEntity = Window.partitionBy("entity")
+    val filtered = scored
+      .withColumn("m", count(lit(1)).over(byEntity))
+      .withColumn("is_sig",
+        when(col("logp") < log(lit(cfg.alpha)) - log(col("m")), 1).otherwise(0))
+      .withColumn("n_sig", sum(col("is_sig")).over(byEntity))
+      .filter(col("is_sig") === 1 || col("n_sig") === 0)
+      .drop("m", "is_sig", "n_sig")
+    topK(filtered, cfg)
+  }
+
   /** C3: per-entity top-k by significance. Rank is made fully deterministic
     * by ordering on the 1e-4-quantized logp (so float jitter between engines
     * cannot swap near-ties) with the term as the tiebreak. */

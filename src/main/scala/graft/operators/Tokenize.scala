@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Dataset
 
-import graft.{CodeDoc, CovTok, Token, WinTok, WsidConfig}
+import graft.{CodeDoc, CovTok, TokDoc, Token, WinTok, WsidConfig}
 
 /** T1–T4 (SURVEY.md §2.3): tokenization, stopword filtering, mention
   * detection and context-window extraction — all doc-local, implemented as
@@ -18,31 +18,56 @@ object Tokenize {
   /** Unicode word tokenizer: maximal runs of letters/digits/underscore,
     * lowercased. Positions are 0-based indexes in the stopword-FILTERED
     * stream (stopwords are removed before positions are assigned, so the
-    * ±w window spans w real context terms — SURVEY.md §2.3 T1/T2). */
-  private val TokenRe = "[\\p{L}\\p{N}_]+".r
+    * ±w window spans w real context terms — SURVEY.md §2.3 T1/T2).
+    *
+    * Hand-rolled char scanner instead of java.util.regex: tokenization runs
+    * 3x per document in E1 (coverage, marginals, context rows) over the full
+    * corpus, so the Matcher allocation + full-string toLowerCase copy were
+    * measurable memory-bandwidth costs at scale. Semantics: a token char is
+    * '_' or Character.isLetterOrDigit (ASCII-equal to the [\p{L}\p{N}_]+
+    * regex on this corpus), lowercased per char. */
+  @inline private def isTokenChar(c: Char): Boolean = c == '_' || Character.isLetterOrDigit(c)
 
   def tokensOf(content: String, stopwords: Set[String]): Array[String] = {
-    val it = TokenRe.findAllIn(content.toLowerCase)
     val buf = new scala.collection.mutable.ArrayBuffer[String](64)
-    while (it.hasNext) {
-      val t = it.next()
-      if (!stopwords.contains(t)) buf += t
+    val sb = new java.lang.StringBuilder(32)
+    val n = content.length
+    var i = 0
+    while (i <= n) {
+      val inTok = i < n && isTokenChar(content.charAt(i))
+      if (inTok) sb.append(Character.toLowerCase(content.charAt(i)))
+      else if (sb.length > 0) {
+        val t = sb.toString
+        sb.setLength(0)
+        if (!stopwords.contains(t)) buf += t
+      }
+      i += 1
     }
     buf.toArray
   }
 
   @inline def docIdOf(d: CodeDoc): String = s"${d.repo}/${d.path}@${d.commit}"
 
-  /** T1+T2: the token stream. */
-  def tokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[Token] = {
+  /** Tokenized-document projection: content is tokenized exactly ONCE and the
+    * (docid, terms) projection cached columnar (dictionary-encoded terms
+    * compress ~10x vs raw content); coverage/marginals/context-row passes all
+    * derive from it without touching `content` again. At 10^12-file scale
+    * this is the materialized projection that keeps E1 at one content scan. */
+  def tokDocs(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[TokDoc] = {
     import docs.sparkSession.implicits._
     val stop = cfg.stopwords
-    docs.mapPartitions { it =>
-      it.flatMap { d =>
-        val id = docIdOf(d)
-        tokensOf(d.content, stop).iterator.zipWithIndex.map { case (t, i) => Token(id, i, t) }
-      }
-    }
+    docs.mapPartitions(_.map(d => TokDoc(docIdOf(d), tokensOf(d.content, stop))))
+  }
+
+  /** T1+T2: the token stream. */
+  def tokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[Token] =
+    tokensFrom(tokDocs(docs, cfg))
+
+  def tokensFrom(td: Dataset[TokDoc]): Dataset[Token] = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      d.terms.iterator.zipWithIndex.map { case (t, i) => Token(d.docid, i, t) }
+    })
   }
 
   /** T3+T4, per-context form: every token inside the ±w window of every
@@ -76,21 +101,68 @@ object Tokenize {
     }
   }
 
+  /** T3+T4+V2 fused, production E1 path: per-mention sparse context vectors
+    * built doc-locally against the broadcast significant-term dictionary
+    * (entity -> term -> termid). Context rows are inherently doc-local, so
+    * the ENTIRE ML input is produced with ZERO shuffles — the long-form
+    * ctxvec + groupBy equivalent (SenseInduction.contextVectors ∘
+    * ThinNMF.group) is kept as the relational/oracle form. */
+  def contextRows(docs: Dataset[CodeDoc], cfg: WsidConfig,
+                  dict: Map[String, Map[String, Int]]): Dataset[graft.ml.ThinNMF.Ctx] =
+    contextRowsFrom(tokDocs(docs, cfg), cfg, dict)
+
+  def contextRowsFrom(td: Dataset[TokDoc], cfg: WsidConfig,
+                      dict: Map[String, Map[String, Int]]): Dataset[graft.ml.ThinNMF.Ctx] = {
+    import td.sparkSession.implicits._
+    val spark = td.sparkSession
+    val bc = spark.sparkContext.broadcast(dict)
+    val w = cfg.window
+    td.mapPartitions { it =>
+      val d0 = bc.value
+      it.flatMap { d =>
+        val id = d.docid
+        val ts = d.terms
+        val out = new scala.collection.mutable.ArrayBuffer[graft.ml.ThinNMF.Ctx]
+        var p = 0
+        while (p < ts.length) {
+          d0.get(ts(p)).foreach { termIds =>
+            val lo = math.max(0, p - w)
+            val hi = math.min(ts.length - 1, p + w)
+            val counts = scala.collection.mutable.TreeMap.empty[Int, Double]
+            var q = lo
+            while (q <= hi) {
+              if (q != p) termIds.get(ts(q)).foreach { tid =>
+                counts.update(tid, counts.getOrElse(tid, 0.0) + 1.0)
+              }
+              q += 1
+            }
+            if (counts.nonEmpty)
+              out += graft.ml.ThinNMF.Ctx(ts(p), s"$id#$p", counts.keysIterator.toArray,
+                counts.valuesIterator.toArray)
+          }
+          p += 1
+        }
+        out.iterator
+      }
+    }
+  }
+
   /** T4, coverage form: the DISTINCT union of covered positions per
     * (entity, doc) — the counting basis for the hypergeometric urn model
     * (k <= min(n,K) and k >= n+K-N hold by construction). Dedup over
     * overlapping windows happens doc-locally in a BitSet: NO shuffle, unlike
     * a naive windowTokens.distinct(). */
-  def coverage(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[CovTok] = {
-    import docs.sparkSession.implicits._
-    val entities = cfg.entities.toSeq.sorted
-    val entitySet = entities.toSet
+  def coverage(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[CovTok] =
+    coverageFrom(tokDocs(docs, cfg), cfg)
+
+  def coverageFrom(td: Dataset[TokDoc], cfg: WsidConfig): Dataset[CovTok] = {
+    import td.sparkSession.implicits._
+    val entitySet = cfg.entities.toSet
     val w = cfg.window
-    val stop = cfg.stopwords
-    docs.mapPartitions { it =>
+    td.mapPartitions { it =>
       it.flatMap { d =>
-        val id = docIdOf(d)
-        val ts = tokensOf(d.content, stop)
+        val id = d.docid
+        val ts = d.terms
         val out = new scala.collection.mutable.ArrayBuffer[CovTok]
         // positions of each entity's mentions in this doc
         val mentions = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.sources.TableIO
+import graft.sources.TableIO.TableManifest
+
+/** S4/I3/I4 (SURVEY.md §4.3): per-stage checkpoint with per-partition lineage
+  * and resume.
+  *
+  * Every stage writes parquet under `<root>/<stage>/data/` plus
+  * `<root>/<stage>/_manifest.json` holding {rowCount, per-file row/byte
+  * lineage, inputFingerprint, wallMs}. The manifest is written AFTER the data
+  * (commit point), so a killed job re-runs the interrupted stage.
+  *
+  * Resume rule (I4): a stage is skipped iff its manifest exists AND its
+  * recorded inputFingerprint equals the sha256 chained from the upstream
+  * stages' stable manifests — so editing any upstream stage invalidates
+  * everything downstream, while a pure re-run reuses all completed work.
+  */
+final class Checkpoint(spark: SparkSession, root: String) {
+
+  /** Stages that were skipped (manifest hit) during this run — test/metrics hook. */
+  val resumed: scala.collection.mutable.ArrayBuffer[String] = scala.collection.mutable.ArrayBuffer.empty
+  /** Stages that were (re)computed during this run. */
+  val computed: scala.collection.mutable.ArrayBuffer[String] = scala.collection.mutable.ArrayBuffer.empty
+
+  private val fingerprints = scala.collection.mutable.Map.empty[String, String]
+
+  /** Volatile-field-free fingerprint of a completed stage (excludes wallMs
+    * and byte sizes, which may vary across physically identical reruns). */
+  private def stableFingerprint(m: TableManifest): String = {
+    val stable = s"${m.table}|${m.rowCount}|${m.inputFingerprint}|" +
+      m.files.map(f => s"${new Path(f.name).getName}:${f.rows}").sorted.mkString(",")
+    sha256(stable)
+  }
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def fingerprintOf(stage: String): String = fingerprints(stage)
+
+  /** Run (or resume) one stage. `inputs` are upstream stage names whose
+    * fingerprints form this stage's input fingerprint; `extraInput` mixes in
+    * external identity (e.g. the source table URI + config hash). */
+  def stage(name: String, inputs: Seq[String] = Nil, extraInput: String = "")
+           (compute: => DataFrame): DataFrame = {
+    val inputFp = sha256((inputs.map(fingerprints) :+ extraInput).mkString("|"))
+    val dir = s"$root/$name"
+    val existing = TableIO.readManifest(spark, s"$dir/_manifest.json")
+
+    existing match {
+      case Some(m) if m.inputFingerprint == inputFp =>
+        resumed += name
+        fingerprints(name) = stableFingerprint(m)
+        spark.read.parquet(s"$dir/data")
+      case _ =>
+        val t0 = System.nanoTime()
+        compute.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val files = TableIO.parquetLineage(spark, s"$dir/data")
+        val m = TableManifest(name, files.map(_.rows).sum, files, inputFp,
+          Map("files" -> files.size.toLong), wallMs)
+        TableIO.writeManifest(spark, s"$dir/_manifest.json", m)
+        computed += name
+        fingerprints(name) = stableFingerprint(m)
+        spark.read.parquet(s"$dir/data")
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.NoTypeHints
+import org.json4s.jackson.Serialization
+
+import graft.{CodeDoc, Schemas}
+
+/** Iceberg-like table IO (SURVEY.md §0 decision).
+  *
+  * No iceberg-spark-runtime jar exists in this zero-egress image, so tables
+  * are partitioned parquet directories with an explicit JSON snapshot
+  * manifest (row count + per-file lineage) — the same metadata the
+  * checkpoint/resume layer needs anyway. All reads/writes go through here;
+  * binding a real Iceberg catalog later only changes this file.
+  */
+object TableIO {
+
+  final case class FileLineage(name: String, rows: Long, bytes: Long)
+  final case class TableManifest(
+      table: String,
+      rowCount: Long,
+      files: List[FileLineage],
+      inputFingerprint: String,
+      counters: Map[String, Long],
+      wallMs: Long)
+
+  implicit private val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
+
+  def readDocs(spark: SparkSession, uri: String): Dataset[CodeDoc] = {
+    import spark.implicits._
+    spark.read.schema(Schemas.docSchema).parquet(uri).as[CodeDoc]
+  }
+
+  /** S3: graph materialize — triples partitioned by predicate, sorted by
+    * subject within partitions for downstream range scans (SURVEY.md §4.2). */
+  def writeTriples(triples: DataFrame, uri: String, inputFingerprint: String = ""): TableManifest = {
+    val t0 = System.nanoTime()
+    triples
+      .repartition(col("pred"))
+      .sortWithinPartitions("subj", "obj")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pred")
+      .parquet(s"$uri/data")
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val files = parquetLineage(triples.sparkSession, s"$uri/data")
+    val m = TableManifest("triples", files.map(_.rows).sum, files, inputFingerprint,
+      Map("files" -> files.size.toLong), wallMs)
+    writeManifest(triples.sparkSession, s"$uri/_manifest.json", m)
+    m
+  }
+
+  def readTriples(spark: SparkSession, uri: String): DataFrame =
+    spark.read.parquet(s"$uri/data").select("subj", "pred", "obj")
+
+  /** Per-file row/byte lineage straight from parquet footers — no extra scan. */
+  def parquetLineage(spark: SparkSession, dir: String): List[FileLineage] = {
+    val conf = spark.sessionState.newHadoopConf()
+    listParquet(new Path(dir), conf).map { case (p, bytes) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try FileLineage(p.toString, reader.getRecordCount, bytes)
+      finally reader.close()
+    }.sortBy(_.name)
+  }
+
+  private def listParquet(root: Path, conf: Configuration): List[(Path, Long)] = {
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val out = List.newBuilder[(Path, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += ((f.getPath, f.getLen))
+    }
+    out.result()
+  }
+
+  def writeManifest(spark: SparkSession, path: String, m: TableManifest): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write(Serialization.write(m).getBytes("UTF-8")) finally os.close()
+  }
+
+  def readManifest(spark: SparkSession, path: String): Option[TableManifest] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(Serialization.read[TableManifest](
+        new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
+      catch { case _: Throwable => None }
+      finally in.close()
+    }
+  }
+}

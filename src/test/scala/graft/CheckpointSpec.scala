@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CorpusSynth, TableIO}
+
+class CheckpointSpec extends SparkTestBase {
+
+  test("S4/I4: E1 resumes mid-pipeline; early stages skipped; identical triples") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt").toString
+    val corpus = CorpusSynth.planted(docsPerEntity = 80)
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, kSenses = 2)
+
+    val r1 = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted80")
+    val t1 = r1.triples.as[(String, String, String)].collect().toSet
+    assert(r1.checkpoint.get.computed.toSet ==
+      Set("dochash", "coverage", "sigcooc", "ctxrows", "senses"))
+    assert(r1.checkpoint.get.resumed.isEmpty)
+
+    // kill mid-pipeline: delete sigcooc and everything downstream
+    for (s <- Seq("sigcooc", "ctxrows", "senses"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/$s"))
+
+    val r2 = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted80")
+    val t2 = r2.triples.as[(String, String, String)].collect().toSet
+    assert(r2.checkpoint.get.resumed.toSet == Set("dochash", "coverage"),
+      s"resumed=${r2.checkpoint.get.resumed}")
+    assert(r2.checkpoint.get.computed.toSet == Set("sigcooc", "ctxrows", "senses"))
+    assert(t1 == t2, "triples differ after resume")
+
+    // config change invalidates everything (fingerprint chain)
+    val r3 = Pipeline.induceAndEmit(spark, docs, cfg.copy(window = 32), Some(root), "planted80")
+    assert(r3.checkpoint.get.resumed.isEmpty)
+  }
+
+  test("I3: dochash lineage — sha256(content) multiset equals input") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt2").toString
+    val corpus = CorpusSynth.planted(docsPerEntity = 30)
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64)
+    Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted30")
+
+    val stored = spark.read.parquet(s"$root/dochash/data")
+      .select("sha256").as[String].collect().sorted.toSeq
+    val expected = corpus.docs
+      .map(d => java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.content.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sorted
+    assert(stored == expected)
+
+    // manifest carries per-file (per-partition) row lineage summing to total
+    val m = TableIO.readManifest(spark, s"$root/dochash/_manifest.json").get
+    assert(m.rowCount == corpus.docs.size)
+    assert(m.files.map(_.rows).sum == m.rowCount)
+    assert(m.files.nonEmpty && m.files.forall(_.bytes > 0))
+  }
+
+  test("S3: triple table round-trip with partitioned layout + manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_triples").toString
+    val triples = Seq(
+      ("python@r/p1", "hasSense", "python#s0"),
+      ("python@r/p1", "coOccursWith", "def"),
+      ("java@r/p2", "hasSense", "java#s1"),
+      ("java@r/p2", "coOccursWith", "island")
+    ).toDF("subj", "pred", "obj")
+    val m = TableIO.writeTriples(triples, dir, "fp123")
+    assert(m.rowCount == 4)
+    assert(m.inputFingerprint == "fp123")
+    // partitioned by predicate on disk
+    val preds = new java.io.File(s"$dir/data").listFiles().map(_.getName).filter(_.startsWith("pred="))
+    assert(preds.toSet == Set("pred=hasSense", "pred=coOccursWith"))
+    val back = TableIO.readTriples(spark, dir).as[(String, String, String)].collect().toSet
+    assert(back == triples.as[(String, String, String)].collect().toSet)
+  }
+
+  test("S1: readDocs applies the explicit schema (never inferred)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_docs").toString
+    val docs = CorpusSynth.plantedDocs(spark, docsPerEntity = 5)
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val back = TableIO.readDocs(spark, s"$dir/docs.parquet")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Schemas.docSchema.map(f => (f.name, f.dataType)))
+    assert(back.count() == docs.count())
+  }
+}
