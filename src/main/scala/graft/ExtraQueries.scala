@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextStats, Tokenize}
+
+/** Training-data-pipeline operators registered on the driver contract:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+  * similarity search (brute-force / LSH / IVF), and text analysis.
+  * Oracle SQL provided wherever DuckDB can express the semantics; hash-based
+  * operators (MinHash/SimHash/LSH/IVF) get rows-only checks plus scalatest
+  * gates against their exact counterparts.
+  */
+object ExtraQueries {
+
+  private def docs(spark: SparkSession, sfDir: String) =
+    sources.CorpusSynth.fromDocuments(spark, sfDir)
+
+  private def tokdocsUnder(spark: SparkSession, sfDir: String, maxDocId: Int): Dataset[TokDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id").cast("string").as("docid"), col("text"))
+      .as[(String, String)]
+      .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+  }
+
+  private def emb(spark: SparkSession, sfDir: String, maxId: Int) =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < maxId)
+
+  private def e4(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
+
+  val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.exactStats(docs(s, d))),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tokdocsUnder(s, d, 40), 2, 0.0)
+        .select(col("a"), col("b"), e4(col("jac")).as("jac_e4"))
+        .orderBy(col("jac_e4").desc, col("a"), col("b")).limit(10)),
+
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(tokdocsUnder(s, d, 200), n = 2, threshold = 0.2)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(tokdocsUnder(s, d, 200), maxHamming = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(min(col("hamming")), lit(0)).cast("long").as("min_hamming"))),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d, 500), -1.0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(e4(col("sim")) >= 8000, 1L).otherwise(0L)).as("n_neardups"))),
+
+    // ------------------------------------------------------ similarity
+    "q_sim_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d, 500), emb(s, d, 3), 5).orderBy("a", "rnk")),
+
+    "q_sim_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d, 500), emb(s, d, 3), 5)
+        .groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
+        .orderBy("a")),
+
+    "q_sim_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d, 500), emb(s, d, 3), 5)
+        .groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
+        .orderBy("a")),
+
+    // ---------------------------------------------------- text analysis
+    "q_text_quality" -> ((s, d) => {
+      import s.implicits._
+      val sub = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 100)
+        .select(lit("doc").as("repo"), col("doc_id").cast("string").as("path"),
+          lit("x").as("commit"), col("lang"), col("text").as("content"))
+        .as[CodeDoc]
+      TextStats.quality(sub).orderBy(length(col("doc")), col("doc"))
+    }),
+
+    "q_text_tokencount" -> ((s, d) =>
+      TextStats.tokenCounts(docs(s, d))
+        .select("repo", "ws_tokens", "re_tokens", "n_docs").orderBy("repo")),
+
+    "q_text_langid" -> ((s, d) => {
+      import s.implicits._
+      val td = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      TextStats.langId(td)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"), sum(col("marker_hits")).as("hits"))
+        .orderBy("lang_pred")
+    }),
+
+    // rows-only: the decode stub's features are not SQL-expressible, but the
+    // batching/schema plumbing is exercised end-to-end by the driver run
+    "q_multimodal_features" -> ((s, _) =>
+      multimodal.Multimodal.extractFeatures(multimodal.Multimodal.synth(s, 300), 32)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          max(col("dim")).cast("long").as("dim"),
+          round(sum(element_at(col("features"), 1)) * 10000).cast("long").as("f0_sum_e4"))
+        .orderBy("modality")),
+
+    "q_text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val td = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      TextStats.fingerprints(td)
+        .agg(countDistinct(col("docid")).as("n_docs"),
+          count(lit(1)).as("n_fps"),
+          countDistinct(col("fingerprint")).as("n_distinct_fps"))
+    })
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private val d40Cte =
+    """d40 AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+      |  FROM documents WHERE doc_id < 40
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH docs AS (SELECT text AS content FROM documents),
+        |g AS (SELECT sha256(content) AS sha, count(*) AS n FROM docs GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS total_docs,
+        |       count(*) AS distinct_docs,
+        |       CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS removable_dups,
+        |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+        |FROM g""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $d40Cte,
+         |sh AS (
+         |  SELECT DISTINCT docid,
+         |         unnest(list_transform(generate_series(1, len(arr) - 1),
+         |                i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+         |  FROM d40
+         |),
+         |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
+         |inter AS (
+         |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
+         |  GROUP BY a.docid, b.docid
+         |)
+         |SELECT a, b, CAST(round(i / (sa.sz + sb.sz - i) * 10000) AS BIGINT) AS jac_e4
+         |FROM inter JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
+         |ORDER BY jac_e4 DESC, a, b LIMIT 10""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id
+        |),
+        |sims AS (
+        |  SELECT dot / (na.nrm * nb.nrm) AS sim
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |)
+        |SELECT count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN CAST(round(sim * 10000) AS BIGINT) >= 8000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups
+        |FROM sims""".stripMargin,
+
+    "q_sim_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |q AS (SELECT * FROM e WHERE vec_id < 3),
+        |dots AS (
+        |  SELECT q.vec_id AS a, e.vec_id AS b, sum(q.v * e.v) AS dot
+        |  FROM q JOIN e ON q.i = e.i AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id
+        |),
+        |sims AS (
+        |  SELECT a, b, CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS sim_e4
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |)
+        |SELECT a, b, rnk, sim_e4 FROM (
+        |  SELECT a, b, sim_e4,
+        |         row_number() OVER (PARTITION BY a ORDER BY sim_e4 DESC, b) AS rnk
+        |  FROM sims)
+        |WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH sub AS (
+        |  SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS doc,
+        |         text AS content,
+        |         CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT doc,
+        |       CAST(length(content) AS BIGINT) AS n_chars,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is','it'))) AS BIGINT) AS n_stopwords,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       CASE WHEN len(toks) > 0 THEN CAST(round(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is','it'))) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS stop_ratio_e4,
+        |       CASE WHEN len(toks) > 0 THEN CAST(round(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS distinct_ratio_e4,
+        |       CASE WHEN len(toks) > 0 THEN CAST(round(length(content) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS chars_per_token_e4
+        |FROM sub ORDER BY length(doc), doc""".stripMargin,
+
+    "q_text_tokencount" ->
+      """WITH docs AS (SELECT source AS repo, text AS content FROM documents)
+        |SELECT repo,
+        |       CAST(sum(CASE WHEN length(trim(content)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(content), '\s+')) END) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9_]+'), t -> t <> ''))) AS BIGINT) AS re_tokens,
+        |       count(*) AS n_docs
+        |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |scores AS (
+        |  SELECT docid,
+        |         len(list_filter(arr, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |         len(list_filter(arr, x -> x IN ('the','and','of','a','is'))) AS en,
+        |         len(list_filter(arr, x -> x IN ('el','los','las','es','y'))) AS es,
+        |         len(list_filter(arr, x -> x IN ('le','la','les','et','est'))) AS fr
+        |  FROM t
+        |),
+        |pred AS (
+        |  SELECT docid, de + en + es + fr AS hits,
+        |         CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unk'
+        |              WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |              WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |              WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |              ELSE 'fr' END AS lang_pred
+        |  FROM scores
+        |)
+        |SELECT lang_pred, count(*) AS n, CAST(sum(hits) AS BIGINT) AS hits
+        |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  )
+}

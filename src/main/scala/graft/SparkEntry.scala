@@ -17,10 +17,12 @@ object SparkEntry {
     Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir).triples
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.sparkQueries
+  /** One entry per implemented operator: SURVEY.md §2 inventory (Queries)
+    * plus the training-data-pipeline extras (ExtraQueries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.sparkQueries ++ ExtraQueries.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] = Queries.oracle ++ ExtraQueries.oracle
 }

@@ -171,39 +171,56 @@ object ThinNMF {
     h
   }
 
+  /** Solve + argmax + cosine confidence for one context against the
+    * broadcast (H, Gram) map. Shared by the batch and streaming paths. */
+  private[graft] def assignOne(models: Map[String, (H, Array[Array[Double]])],
+                               c: Ctx, minScore: Double): Option[(String, String, Int, Double)] =
+    models.get(c.entity).flatMap { case (he, ge) =>
+      val w = solveW(he, ge, c)
+      val k = w.length
+      var best = 0
+      var s = 1
+      while (s < k) { if (w(s) > w(best)) best = s; s += 1 }
+      if (w(best) <= 0.0) None
+      else {
+        // cosine(a_c, H_best)
+        val hb = he(best)
+        var dot = 0.0; var na = 0.0
+        var i = 0
+        while (i < c.termids.length) {
+          val t = c.termids(i)
+          if (t < hb.length) dot += c.ws(i) * hb(t)
+          na += c.ws(i) * c.ws(i)
+          i += 1
+        }
+        var nh = 0.0
+        i = 0
+        while (i < hb.length) { nh += hb(i) * hb(i); i += 1 }
+        val score = if (na > 0 && nh > 0) dot / (math.sqrt(na) * math.sqrt(nh)) else 0.0
+        if (score >= minScore) Some((c.entity, c.ctxid, best, score)) else None
+      }
+    }
+
+  private[graft] def withGrams(h: Map[String, H]): Map[String, (H, Array[Array[Double]])] =
+    h.map { case (e, he) => e -> ((he, gram(he))) }
+
   /** Final fused pass: per-context sense assignment (argmax NMF loading,
     * cosine-to-sense confidence). */
   def assign(grouped: RDD[Ctx], spark: SparkSession, h: Map[String, H], minScore: Double): DataFrame = {
     import spark.implicits._
-    val withGram = h.map { case (e, he) => e -> ((he, gram(he))) }
-    val bc = spark.sparkContext.broadcast(withGram)
-    grouped.flatMap { c =>
-      bc.value.get(c.entity).flatMap { case (he, ge) =>
-        val w = solveW(he, ge, c)
-        val k = w.length
-        var best = 0
-        var s = 1
-        while (s < k) { if (w(s) > w(best)) best = s; s += 1 }
-        if (w(best) <= 0.0) None
-        else {
-          // cosine(a_c, H_best)
-          val hb = he(best)
-          var dot = 0.0; var na = 0.0
-          var i = 0
-          while (i < c.termids.length) {
-            val t = c.termids(i)
-            if (t < hb.length) dot += c.ws(i) * hb(t)
-            na += c.ws(i) * c.ws(i)
-            i += 1
-          }
-          var nh = 0.0
-          i = 0
-          while (i < hb.length) { nh += hb(i) * hb(i); i += 1 }
-          val score = if (na > 0 && nh > 0) dot / (math.sqrt(na) * math.sqrt(nh)) else 0.0
-          if (score >= minScore) Some((c.entity, c.ctxid, best, score)) else None
-        }
-      }
-    }.toDF("entity", "ctxid", "senseid", "score")
+    val bc = spark.sparkContext.broadcast(withGrams(h))
+    grouped.flatMap(c => assignOne(bc.value, c, minScore))
+      .toDF("entity", "ctxid", "senseid", "score")
+  }
+
+  /** Dataset variant of the assignment pass — STATELESS, so it runs
+    * unchanged on a Structured Streaming Dataset (append mode). */
+  def assignDS(grouped: Dataset[Ctx], h: Map[String, H], minScore: Double): DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(withGrams(h))
+    grouped.flatMap(c => assignOne(bc.value, c, minScore))
+      .toDF("entity", "ctxid", "senseid", "score")
   }
 
   /** H as the long-form senseVec table (entity, senseid, termid, weight). */

@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video carried
+  * as opaque BINARY payloads with typed metadata, processed in explicit
+  * batches inside mapPartitions (the JVM analogue of a vectorized/pandas UDF:
+  * fixed batch shape, one model/codec init per partition, streaming hand-off
+  * between batches).
+  *
+  * The actual codec step is a STUB — no image/audio libraries ship in this
+  * container — marked [DECODE-STUB] below: it derives a deterministic fake
+  * feature vector from the payload bytes. Everything AROUND the stub (schema,
+  * partitioning, batch shape, per-partition init, frame sampling) is the real
+  * production plumbing and is tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = false)
+  ))
+
+  final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                            meta: Map[String, String])
+  final case class MediaFeature(doc_id: Long, modality: String, dim: Int,
+                                features: Array[Float], batch_id: Int, batch_size: Int)
+  final case class Frame(doc_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** Deterministic synthetic media table derived from doc ids (seeded SHA
+    * bytes tiled per modality) — no external data, reproducible everywhere. */
+  def synth(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val modality = (id % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val base = md.digest(s"$seed/$id/$modality".getBytes("UTF-8"))
+      val len = modality match { case "image" => 512; case "audio" => 1024; case _ => 4096 }
+      val payload = Array.tabulate[Byte](len)(i => base(i % base.length))
+      MediaRow(id, modality, payload,
+        Map("codec" -> s"fake-$modality", "bytes" -> len.toString))
+    }
+  }
+
+  /** [DECODE-STUB] stands in for image decode / audio resample / model
+    * inference: a deterministic 8-bin byte histogram, L1-normalized.
+    * Swap this single function for a real codec + encoder on a cluster with
+    * the native libraries installed; the surrounding batching is unchanged. */
+  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >>> 5) += 1f
+      i += 1
+    }
+    val total = payload.length.toFloat
+    if (total > 0) { var j = 0; while (j < 8) { hist(j) /= total; j += 1 } }
+    hist
+  }
+
+  /** Batched feature extraction: partitions stream through fixed-size
+    * batches (`grouped(batchSize)`), one "codec" init per partition — the
+    * exact execution shape a vectorized UDF gives you, minus Python. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // [per-partition init] a real impl opens the codec/model ONCE here
+      var batchId = -1
+      it.grouped(batchSize).flatMap { batch =>
+        batchId += 1
+        val bid = batchId
+        // a real impl would hand `batch` to the codec as one vectorized call
+        batch.iterator.map { r =>
+          val f = decodeStub(r.payload)
+          MediaFeature(r.doc_id, r.modality, f.length, f, bid, batch.size)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: fixed-size frame windows over the
+    * byte stream (stub for container demuxing), every `everyNth` kept. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+                   everyNth: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("modality") === "video").as[MediaRow].flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (bytes, i) if i % everyNth == 0 => Frame(r.doc_id, i, bytes) }
+    }
+  }
+
+  /** "Resize" stub: truncate/tile payload to a target size, preserving the
+    * (doc_id, modality) key — the shape of a thumbnailing pass. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val out = Array.tabulate[Byte](targetBytes)(i => r.payload(i % r.payload.length))
+      r.copy(payload = out, meta = r.meta + ("bytes" -> targetBytes.toString))
+    }
+  }
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{CodeDoc, TokDoc, WsidConfig}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Every signature/shingle computation is doc-local (mapPartitions or
+  * per-row expressions — no shuffle until the candidate-generation groupBy),
+  * and candidate verification is exact, so LSH controls recall only, never
+  * precision. All hash functions are seeded and deterministic.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup key: sha256 of content. Returns per-document keys. */
+  def exactKeys(docs: Dataset[CodeDoc]): DataFrame =
+    docs.select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+
+  /** Corpus-level duplication stats (hash-groupBy, BIGINT-exact). */
+  def exactStats(docs: Dataset[CodeDoc]): DataFrame = {
+    val keys = exactKeys(docs)
+    val groups = keys.groupBy("sha").agg(count(lit(1)).as("n"))
+    groups.agg(
+      sum(col("n")).as("total_docs"),
+      count(lit(1)).as("distinct_docs"),
+      sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("removable_dups"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"))
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct n-gram (token) shingles per doc, doc-locally. */
+  def shingles(td: Dataset[TokDoc], n: Int): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      shingleSet(d.terms, n).iterator.map(s => (d.docid, s))
+    }).toDF("docid", "shingle")
+  }
+
+  private[graft] def shingleSet(terms: Array[String], n: Int): Set[String] = {
+    if (terms.length < n) Set.empty
+    else (0 to terms.length - n).map(i => terms.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  /** Exact pairwise n-gram Jaccard >= threshold, via the relational form:
+    * |A∩B| from a shingle self-join, |A∪B| = |A|+|B|-|A∩B|. Quadratic in
+    * per-shingle doc frequency — use on bounded subsets or as the verifier
+    * behind MinHash-LSH candidates. */
+  def ngramJaccardPairs(td: Dataset[TokDoc], n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(td, n)
+    val sizes = sh.groupBy("docid").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.docid") < col("b.docid"))
+      .groupBy(col("a.docid").as("a"), col("b.docid").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("docid", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("docid", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .withColumn("jac", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Seeded 64-bit hash of a string (xxhash-free, pure JVM, deterministic). */
+  @inline private[graft] def h64(s: String, seed: Long): Long = {
+    var h = seed ^ 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      i += 1
+    }
+    h
+  }
+
+  /** Doc-local MinHash signatures over n-gram shingles (numHashes values). */
+  def minhashSignatures(td: Dataset[TokDoc], n: Int, numHashes: Int, seed: Long): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      val sh = shingleSet(d.terms, n)
+      if (sh.isEmpty) None
+      else {
+        val sig = new Array[Long](numHashes)
+        java.util.Arrays.fill(sig, Long.MaxValue)
+        sh.foreach { s =>
+          val base = h64(s, seed)
+          var i = 0
+          while (i < numHashes) {
+            // cheap per-function derivation: one strong base hash remixed
+            val v = base * (2 * i + 1) + h64(s, seed + i)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        Some((d.docid, sig.toSeq))
+      }
+    }).toDF("docid", "sig")
+  }
+
+  /** MinHash + LSH banding: signatures → (band, bucket) keys → candidate
+    * pairs within buckets → EXACT Jaccard verification. `bands` bands of
+    * `numHashes/bands` rows; standard S-curve recall. Bucket size is capped
+    * (hot-bucket guard: a degenerate bucket of m docs would emit m^2 pairs). */
+  def minhashLshPairs(td: Dataset[TokDoc], n: Int, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+                      maxBucket: Int = 1000): DataFrame = {
+    import td.sparkSession.implicits._
+    val spark = td.sparkSession
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(td, n, numHashes, seed)
+
+    val buckets = sigs.as[(String, Seq[Long])].flatMap { case (docid, sig) =>
+      (0 until bands).iterator.map { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+        (b, h, docid)
+      }
+    }.toDF("band", "bucket", "docid")
+
+    // hot-bucket guard: a degenerate bucket of m docs emits m^2 pairs
+    val okBuckets = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bucket")
+    val pruned = buckets.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val candidates = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.docid") < col("y.docid"))
+      .select(col("x.docid").as("a"), col("y.docid").as("b"))
+      .distinct()
+
+    // exact verification of candidates only
+    val sh = shingles(td, n)
+    val sizes = sh.groupBy("docid").agg(count(lit(1)).as("sz"))
+    minhashVerify(spark, candidates, sh, sizes, threshold)
+  }
+
+  private def minhashVerify(spark: org.apache.spark.sql.SparkSession, candidates: DataFrame,
+                            sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    val shA = sh.toDF("a", "shingle")
+    val shB = sh.toDF("b", "shingle")
+    val inter = candidates.join(shA, Seq("a")).join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "sza"), Seq("a"))
+      .join(sizes.toDF("b", "szb"), Seq("b"))
+      .withColumn("jac", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** Doc-local 64-bit SimHash over term frequencies. */
+  def simhash(td: Dataset[TokDoc], seed: Long = 42L): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.map { d =>
+      val acc = new Array[Int](64)
+      d.terms.foreach { t =>
+        val h = h64(t, seed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      (d.docid, sig)
+    }).toDF("docid", "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via the
+    * pigeonhole band trick: split 64 bits into maxHamming+1 bands; any pair
+    * within distance d agrees exactly on >= 1 band → band-equality buckets
+    * generate all candidates; verify with popcount. */
+  def simhashNearDups(td: Dataset[TokDoc], maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    import td.sparkSession.implicits._
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sigs = simhash(td, seed).as[(String, Long)]
+    val buckets = sigs.flatMap { case (docid, sig) =>
+      (0 until nBands).iterator.map { b =>
+        val lo = b * width
+        val w = if (b == nBands - 1) 64 - lo else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        (b, (sig >>> lo) & mask, docid, sig)
+      }
+    }.toDF("band", "bucket", "docid", "sig")
+    val pairs = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.docid") < col("y.docid"))
+      .select(col("x.docid").as("a"), col("y.docid").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  // -------------------------------------------- embedding near-duplicates
+
+  /** Exact cosine near-dup pairs above `threshold` (relational form:
+    * posexplode + join + sum). Quadratic; bounded inputs or LSH first. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val norms = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val dots = e.toDF("a", "i", "va").join(e.toDF("b", "i", "vb"), Seq("i"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("va") * col("vb")).as("dot"))
+    dots
+      .join(norms.toDF("a", "na"), Seq("a"))
+      .join(norms.toDF("b", "nb"), Seq("b"))
+      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+}

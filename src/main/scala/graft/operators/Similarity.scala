@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (vec_id, embedding:
+  * array<float>).
+  *
+  * Baseline: exact brute-force cosine top-k — queries broadcast, one
+  * codegen'd pass over the corpus (zip_with + aggregate, no shuffle except
+  * the per-query top-k). Scale path: random-hyperplane LSH — signatures are
+  * row-local, candidates come from band-bucket equality joins, and the exact
+  * re-rank touches only candidates. Recall is tunable via bands/width;
+  * precision is exact by construction.
+  */
+object Similarity {
+
+  private def asDouble(c: String): org.apache.spark.sql.Column =
+    transform(col(c), x => x.cast("double"))
+
+  /** Exact cosine similarity column between two array<double> columns. */
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` and `corpus`: (vec_id, embedding). Queries are broadcast;
+    * the corpus is scanned once (whole-stage codegen, no UDF). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("b"), asDouble("embedding").as("eb"))
+    val q = queries.select(col("vec_id").as("a"), asDouble("embedding").as("ea"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      // quantize before ranking so ranks are reproducible across engines
+      .withColumn("sim_e4", round(col("sim") * 10000).cast("long"))
+    val w = Window.partitionBy("a").orderBy(col("sim_e4").desc, col("b").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("a", "b", "rnk", "sim_e4")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: planes(p)(d) in {-1, +1}
+    * derived from (seed, p, d) — reproducible across sessions/cluster sizes. */
+  private def hyperplaneSign(seed: Long, p: Int, d: Int): Double = {
+    var h = seed ^ (p.toLong * 0x9e3779b97f4a7c15L) ^ (d.toLong * 0xc2b2ae3d27d4eb4fL)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH top-k: `bands` signature bands of `width` bits;
+    * candidate = shares >= 1 band bucket with the query; exact cosine
+    * re-rank of candidates only. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, width: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPlanes = bands * width
+
+    def signatures(df: DataFrame, idCol: String): DataFrame = {
+      val in = df.select(col("vec_id"), asDouble("embedding").as("e"))
+        .as[(Long, Seq[Double])]
+      in.flatMap { case (id, e) =>
+        val bits = new Array[Boolean](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          var dot = 0.0
+          var d = 0
+          while (d < e.length) { dot += hyperplaneSign(seed, p, d) * e(d); d += 1 }
+          bits(p) = dot >= 0
+          p += 1
+        }
+        (0 until bands).iterator.map { b =>
+          var key = 0L
+          var i = 0
+          while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
+          (id, b, key)
+        }
+      }.toDF(idCol, "band", "bucket")
+    }
+
+    val cs = signatures(corpus, "b")
+    val qs = signatures(queries, "a")
+    val candidates = qs.join(cs, Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+
+    val rerank = candidates
+      .join(broadcast(queries.select(col("vec_id").as("a"), asDouble("embedding").as("ea"))), Seq("a"))
+      .join(corpus.select(col("vec_id").as("b"), asDouble("embedding").as("eb")), Seq("b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .withColumn("sim_e4", round(col("sim") * 10000).cast("long"))
+    val w = Window.partitionBy("a").orderBy(col("sim_e4").desc, col("b").asc)
+    rerank.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("a", "b", "rnk", "sim_e4")
+  }
+
+  /** IVF-style coarse quantization: KMeans centroids as the inverted index;
+    * probe the `nprobe` nearest centroids per query, exact re-rank inside
+    * probed cells only. The scale path when buckets must be balanced. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toVec = udf((e: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(e.toArray))
+    val train = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
+      .withColumn("features", toVec(col("e")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+
+    def nearestCells(n: Int) = udf((e: Seq[Double]) => {
+      val cs = bcCenters.value
+      cs.indices.map { ci =>
+        var d = 0.0
+        var i = 0
+        while (i < e.length) { val x = e(i) - cs(ci)(i); d += x * x; i += 1 }
+        (ci, d)
+      }.sortBy(_._2).take(n).map(_._1)
+    })
+
+    val cCells = train.withColumn("cell", explode(nearestCells(1)(col("e"))))
+      .select(col("vec_id").as("b"), col("cell"), col("e").as("eb"))
+    val qCells = queries.select(col("vec_id").as("a"), asDouble("embedding").as("ea"))
+      .withColumn("cell", explode(nearestCells(nprobe)(col("ea"))))
+
+    val rerank = qCells.join(cCells, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .withColumn("sim_e4", round(col("sim") * 10000).cast("long"))
+      .select("a", "b", "sim_e4").distinct()
+    val w = Window.partitionBy("a").orderBy(col("sim_e4").desc, col("b").asc)
+    rerank.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("a", "b", "rnk", "sim_e4")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.{CodeDoc, TokDoc}
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * token counting, language id, document fingerprinting. All per-document
+  * (narrow) except the final aggregations; quality metrics are pure column
+  * expressions (whole-stage codegen, pushdown-friendly).
+  */
+object TextStats {
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it")
+
+  /** Per-document quality metrics as pure column expressions.
+    * Emits 1e-4-scaled BIGINT ratios for engine-stable comparison. */
+  def quality(docs: Dataset[CodeDoc], stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = split(trim(col("content")), "\\s+")
+    val isEmpty0 = length(trim(col("content"))) === 0
+    val nTok = when(isEmpty0, 0).otherwise(size(toks)).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = when(isEmpty0, 0)
+      .otherwise(size(filter(toks, t => array_contains(stopArr, t)))).cast("long")
+    val nDistinct = when(isEmpty0, 0).otherwise(size(array_distinct(toks))).cast("long")
+    docs.select(
+      concat(col("repo"), lit("/"), col("path")).as("doc"),
+      length(col("content")).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nDistinct.as("n_distinct"),
+      when(nTok > 0, round(nStop * lit(10000.0) / nTok)).otherwise(0).cast("long")
+        .as("stop_ratio_e4"),
+      when(nTok > 0, round(nDistinct * lit(10000.0) / nTok)).otherwise(0).cast("long")
+        .as("distinct_ratio_e4"),
+      when(nTok > 0, round(length(col("content")) * lit(10000.0) / nTok)).otherwise(0)
+        .cast("long").as("chars_per_token_e4"))
+  }
+
+  /** Token counting: whitespace tokens vs word-regex tokens vs a BPE-ish
+    * subword estimate (splits on case/digit boundaries inside words). */
+  def tokenCounts(docs: Dataset[CodeDoc]): DataFrame = {
+    val ws = when(length(trim(col("content"))) === 0, 0)
+      .otherwise(size(split(trim(col("content")), "\\s+"))).cast("long")
+    val re = size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= ""))
+      .cast("long")
+    val bpeish = size(filter(
+      split(col("content"), "[^A-Za-z0-9_]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
+      t => t =!= "")).cast("long")
+    docs.groupBy("repo")
+      .agg(sum(ws).as("ws_tokens"), sum(re).as("re_tokens"), sum(bpeish).as("bpeish_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Marker-token language id: score per language = count of that language's
+    * closed-class markers; predict argmax (ties -> lexicographic lang).
+    * A deliberately simple, fully deterministic heuristic — the point is the
+    * distributed shape (broadcastable profiles, one narrow pass). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langId(td: Dataset[TokDoc]): DataFrame = {
+    import td.sparkSession.implicits._
+    val markers = langMarkers.toSeq.sortBy(_._1).map { case (l, ms) => (l, ms.toSet) }
+    td.map { d =>
+      val scores = markers.map { case (l, ms) => (l, d.terms.count(ms.contains)) }
+      val best = scores.maxBy { case (l, s) => (s, l) } // ties -> LAST lexicographic
+      val predicted = if (best._2 == 0) "unk" else scores.filter(_._2 == best._2).map(_._1).min
+      (d.docid, predicted, scores.map(_._2).sum)
+    }.toDF("docid", "lang_pred", "marker_hits")
+  }
+
+  /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
+    * over k-grams of the token stream, then the minimum hash in each sliding
+    * window of size w — a deterministic, position-robust signature set. */
+  def fingerprints(td: Dataset[TokDoc], k: Int = 5, w: Int = 4): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      val grams = kgramHashes(d.terms, k)
+      winnow(grams, w).iterator.map(fp => (d.docid, fp))
+    }).toDF("docid", "fingerprint").distinct()
+  }
+
+  private[graft] def kgramHashes(terms: Array[String], k: Int): Array[Long] = {
+    if (terms.length < k) return Array.empty
+    val out = new Array[Long](terms.length - k + 1)
+    var i = 0
+    while (i <= terms.length - k) {
+      var h = 1469598103934665603L
+      var j = i
+      while (j < i + k) {
+        var t = 0
+        val s = terms(j)
+        while (t < s.length) { h = (h ^ s.charAt(t)) * 1099511628211L; t += 1 }
+        h = (h ^ ' ') * 1099511628211L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def winnow(hashes: Array[Long], w: Int): Set[Long] = {
+    if (hashes.isEmpty) return Set.empty
+    if (hashes.length <= w) return Set(hashes.min)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    while (i + w <= hashes.length) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toSet
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.{CodeDoc, WsidConfig}
+import graft.ml.ThinNMF
+import graft.operators.Tokenize
+
+/** Structured Streaming extensions (SURVEY.md §7.6 — optional incremental
+  * ingest; the north rule itself is batch).
+  *
+  * The disambiguation path (E3) is deliberately STATELESS — doc-local
+  * tokenize/window/context-row extraction (mapPartitions) plus the fused
+  * broadcast-model assignment (flatMap). No streaming aggregation state, so
+  * it runs in append mode with exactly the same code as the batch path and
+  * scales like a map-only job.
+  */
+object StreamingOps {
+
+  /** Incremental disambiguation over a (streaming or batch) Dataset of new
+    * documents: same operators as batch E3, append-mode safe. */
+  def disambiguateStream(newDocs: Dataset[CodeDoc], h: Map[String, ThinNMF.H],
+                         cfg: WsidConfig, dict: Map[String, Map[String, Int]]): DataFrame = {
+    val ctx = Tokenize.contextRowsFrom(Tokenize.tokDocs(newDocs, cfg), cfg, dict)
+    ThinNMF.assignDS(ctx, h, cfg.minSenseScore)
+  }
+
+  /** Event-time windowed sense counts with a watermark: how often each
+    * induced sense is being mentioned per window — the streaming-aggregation
+    * shape (watermark + tumbling window) over the assignment stream. */
+  def windowedSenseCounts(assignments: DataFrame, tsCol: String = "ts",
+                          watermark: String = "2 minutes",
+                          windowLen: String = "1 minute"): DataFrame =
+    assignments
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("entity"), col("senseid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("entity"), col("senseid"), col("n"))
+
+  /** Timestamped assignment row for the windowed aggregation tests. */
+  final case class TimedAssignment(ts: Timestamp, entity: String, senseid: Int)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Tokenize}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 60 base docs (seeded) + exact copies of 10 + near-copies (1 token
+    * changed) of 10 more → known duplicate structure. */
+  private lazy val corpus: Seq[CodeDoc] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu")
+    val base = (0 until 60).map { i =>
+      val toks = Vector.fill(40)(vocab(rnd.nextInt(vocab.length)))
+      CodeDoc("r", s"base/$i.txt", "c", "en", toks.mkString(" "))
+    }
+    val exact = (0 until 10).map(i => base(i).copy(path = s"copy/$i.txt"))
+    val near = (10 until 20).map { i =>
+      val toks = base(i).content.split(" ").toVector.updated(20, "CHANGED")
+      CodeDoc("r", s"near/$i.txt", "c", "en", toks.mkString(" "))
+    }
+    base ++ exact ++ near
+  }
+
+  private lazy val docs = spark.createDataset(corpus).repartition(4)
+  private lazy val td = operators.Tokenize.tokDocs(docs, WsidConfig(Seq.empty))
+
+  test("exact dedup: planted copies found, counts exact") {
+    val row = Dedup.exactStats(docs).head()
+    assert(row.getAs[Long]("total_docs") == 80)
+    assert(row.getAs[Long]("distinct_docs") == 70) // 10 exact copies collapse
+    assert(row.getAs[Long]("removable_dups") == 10)
+    assert(row.getAs[Long]("dup_groups") == 10)
+  }
+
+  test("n-gram Jaccard: exact pairs at threshold 0.7 = planted dup structure") {
+    val pairs = Dedup.ngramJaccardPairs(td, 2, 0.7)
+      .select("a", "b").as[(String, String)].collect().toSet
+    // 10 exact pairs (jac 1.0) + 10 near pairs (1 token of 40 changed → high jac)
+    val expected = ((0 until 10).map(i => canon(s"r/base/$i.txt@c", s"r/copy/$i.txt@c")) ++
+      (10 until 20).map(i => canon(s"r/base/$i.txt@c", s"r/near/$i.txt@c"))).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    // precision: every reported pair must genuinely have jac >= 0.7 (exact op)
+    val jacs = Dedup.ngramJaccardPairs(td, 2, 0.7).select("jac").as[Double].collect()
+    assert(jacs.forall(_ >= 0.7))
+  }
+
+  private def canon(a: String, b: String): (String, String) = if (a < b) (a, b) else (b, a)
+
+  test("MinHash-LSH: recall vs exact n-gram Jaccard at threshold 0.7") {
+    val exact = Dedup.ngramJaccardPairs(td, 2, 0.7)
+      .select("a", "b").as[(String, String)].collect().map((canon _).tupled).toSet
+    val lsh = Dedup.minhashLshPairs(td, 2, 0.7)
+      .select("a", "b").as[(String, String)].collect().map((canon _).tupled).toSet
+    // precision is exact by construction (candidates are verified);
+    // recall must be high at this jac level (16 bands x 4 rows S-curve)
+    assert(lsh.subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    info(f"LSH recall=$recall%.3f over ${exact.size} true pairs")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  test("MinHash signatures approximate Jaccard") {
+    val sigs = Dedup.minhashSignatures(td, 2, 128, 42L)
+      .as[(String, Seq[Long])].collect().toMap
+    val sh = corpus.map(d => Tokenize.docIdOf(d) ->
+      Dedup.shingleSet(Tokenize.tokensOf(d.content, Set.empty), 2)).toMap
+    // exact copy pair: identical signatures; near pair: mostly equal
+    val (b0, c0) = (sigs("r/base/0.txt@c"), sigs("r/copy/0.txt@c"))
+    assert(b0 == c0)
+    val (b10, n10) = (sigs("r/base/10.txt@c"), sigs("r/near/10.txt@c"))
+    val est = b10.zip(n10).count { case (x, y) => x == y } / 128.0
+    val truth = {
+      val (sa, sb) = (sh("r/base/10.txt@c"), sh("r/near/10.txt@c"))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(math.abs(est - truth) < 0.2, s"minhash estimate $est vs true $truth")
+  }
+
+  test("SimHash: near-dups at small Hamming distance; distinct docs far") {
+    val sigs = Dedup.simhash(td).as[(String, Long)].collect().toMap
+    assert(sigs("r/base/0.txt@c") == sigs("r/copy/0.txt@c")) // identical docs
+    val hNear = java.lang.Long.bitCount(sigs("r/base/10.txt@c") ^ sigs("r/near/10.txt@c"))
+    val hFar = java.lang.Long.bitCount(sigs("r/base/20.txt@c") ^ sigs("r/base/21.txt@c"))
+    info(s"hamming near=$hNear far=$hFar")
+    assert(hNear < hFar)
+    val pairs = Dedup.simhashNearDups(td, maxHamming = hNear)
+      .select("a", "b").as[(String, String)].collect().map((canon _).tupled).toSet
+    assert(pairs.contains(canon("r/base/10.txt@c", "r/near/10.txt@c")))
+  }
+
+  test("embedding near-dup: exact cosine on a hand-checkable case") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.01f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("synthetic media table: schema, modalities, determinism") {
+    val m1 = Multimodal.synth(spark, 30).collect().sortBy(_.doc_id)
+    val m2 = Multimodal.synth(spark, 30).collect().sortBy(_.doc_id)
+    assert(m1.map(_.payload.toSeq).toSeq == m2.map(_.payload.toSeq).toSeq) // deterministic
+    assert(m1.map(_.modality).toSet == Set("image", "audio", "video"))
+    assert(m1.forall(r => r.meta("bytes").toInt == r.payload.length))
+    val df = Multimodal.synth(spark, 10).toDF()
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)).toSet ==
+      Multimodal.mediaSchema.map(f => (f.name, f.dataType.typeName)).toSet)
+  }
+
+  test("batched feature extraction: batch shape + deterministic features") {
+    val media = Multimodal.synth(spark, 100).repartition(3)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.dim == 8))
+    // every feature is an L1-normalized histogram
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    // batch shape: every batch except a partition's last has exactly 16 rows
+    val batches = feats.groupBy(f => (f.batch_id, f.batch_size)).keys
+    assert(batches.forall { case (_, sz) => sz <= 16 && sz > 0 })
+    // determinism across runs
+    val again = Multimodal.extractFeatures(media, batchSize = 16).collect()
+    assert(feats.map(f => (f.doc_id, f.features.toSeq)).toSet ==
+      again.map(f => (f.doc_id, f.features.toSeq)).toSet)
+  }
+
+  test("video frame sampling: every 4th fixed-size frame") {
+    val media = Multimodal.synth(spark, 30)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, everyNth = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 4 == 0))
+    // video payload = 4096 bytes -> 16 frames -> 4 sampled (0,4,8,12)
+    val perDoc = frames.groupBy(_.doc_id).values.map(_.length).toSet
+    assert(perDoc == Set(4))
+    assert(frames.forall(_.payload.length == 256))
+  }
+
+  test("resize: payload re-shaped, key preserved") {
+    val media = Multimodal.synth(spark, 9)
+    val resized = Multimodal.resize(media, 128).collect()
+    assert(resized.forall(_.payload.length == 128))
+    assert(resized.forall(_.meta("bytes") == "128"))
+    assert(resized.map(_.doc_id).toSet == (0L until 9L).toSet)
+  }
+}

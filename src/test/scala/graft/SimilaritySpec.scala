@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .cache()
+
+  test("brute-force top-k: matches a driver-side exact computation") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
+      .select("a", "b", "rnk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (a, rows) => a -> rows.sortBy(_._3).map(_._2).toSeq }
+    for (a <- Seq(0L, 1L)) {
+      val expected = vecs.keys.filter(_ != a).toSeq
+        .map(b => (b, math.round(cos(vecs(a), vecs(b)) * 10000)))
+        .sortBy { case (b, s) => (-s, b) }.take(5).map(_._1)
+      assert(got(a) == expected, s"query $a: got ${got(a)} expected $expected")
+    }
+  }
+
+  test("LSH top-k: exact precision, recall@5 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val lsh = Similarity.lshTopK(emb, queries, 5, bands = 16, width = 6)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val recalls = brute.keys.toSeq.map { a =>
+      val got = lsh.getOrElse(a, Set.empty)
+      (got & brute(a)).size.toDouble / brute(a).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH mean recall@5 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.5, f"LSH recall $mean%.3f < 0.5")
+  }
+
+  test("IVF top-k: recall@5 vs brute force with nprobe=4/16 cells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val recalls = brute.keys.toSeq.map { a =>
+      (ivf.getOrElse(a, Set.empty) & brute(a)).size.toDouble / brute(a).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@5 = $mean%.3f")
+    assert(mean >= 0.6, f"IVF recall $mean%.3f < 0.6")
+  }
+
+  // note: the embeddings table's labels are NOT cosine-separable (same-label
+  // fraction of true top-5 ≈ 0.11 ≈ chance, verified against numpy) — so
+  // recall tests compare against exact brute force, never against labels.
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusSynth
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("E3 streaming: stateless disambiguation matches the batch path") {
+    implicit val sql = spark.sqlContext
+    // train a model in batch
+    val corpus = CorpusSynth.planted(docsPerEntity = 100)
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, kSenses = 2)
+    val r = Pipeline.induceAndEmit(spark, docs, cfg)
+    val h = ml.SenseInduction.collectH(r.senseVec)
+    val cs = Pipeline.coStats(docs, cfg)
+    val dict = ml.SenseInduction.dictionary(
+        operators.Significance.descriptors(cs.scored, cfg)).collect()
+      .groupBy(_.getString(0))
+      .map { case (e, rows) => e -> rows.map(x => x.getString(1) -> x.getInt(2)).toMap }
+
+    // held-out docs arrive as a stream
+    val held = CorpusSynth.planted(docsPerEntity = 20, seed = 7L)
+    val stream = MemoryStream[CodeDoc]
+    val out = StreamingOps.disambiguateStream(stream.toDS(), h, cfg, dict)
+    val query = out.writeStream.format("memory").queryName("senses_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(held.docs)
+      query.processAllAvailable()
+      val streamed = spark.table("senses_stream")
+        .select("entity", "ctxid", "senseid").as[(String, String, Int)].collect().toSet
+      // batch reference over the same held-out docs
+      val batchDocs = spark.createDataset(held.docs).repartition(2)
+      val batch = StreamingOps.disambiguateStream(batchDocs, h, cfg, dict)
+        .select("entity", "ctxid", "senseid").as[(String, String, Int)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.size >= (held.docs.size * 0.95).toInt)
+    } finally query.stop()
+  }
+
+  test("windowed sense counts: watermark + tumbling window aggregation") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedAssignment]
+    val counts = StreamingOps.windowedSenseCounts(stream.toDS().toDF(), "ts")
+    val query = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      def t(min: Int, sec: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+      stream.addData(
+        StreamingOps.TimedAssignment(t(0, 10), "python", 0),
+        StreamingOps.TimedAssignment(t(0, 40), "python", 0),
+        StreamingOps.TimedAssignment(t(0, 50), "python", 1),
+        StreamingOps.TimedAssignment(t(1, 5), "java", 0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("win_start").cast("string"), col("entity"), col("senseid"), col("n"))
+        .as[(String, String, Int, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "python", 0, 2L),
+        ("2024-01-01 10:00:00", "python", 1, 1L),
+        ("2024-01-01 10:01:00", "java", 0, 1L)))
+    } finally query.stop()
+  }
+}

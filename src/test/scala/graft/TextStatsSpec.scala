@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{TextStats, Tokenize}
+
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quality: exact metrics on a hand-checked doc") {
+    val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox jumps")).toDS()
+    val row = TextStats.quality(docs).head()
+    assert(row.getAs[Long]("n_chars") == 23)
+    assert(row.getAs[Long]("n_tokens") == 5)
+    assert(row.getAs[Long]("n_stopwords") == 2)
+    assert(row.getAs[Long]("n_distinct") == 4)
+    assert(row.getAs[Long]("stop_ratio_e4") == 4000)
+    assert(row.getAs[Long]("distinct_ratio_e4") == 8000)
+    // empty content guard
+    val empty = TextStats.quality(Seq(CodeDoc("r", "p2", "c", "en", "  ")).toDS()).head()
+    assert(empty.getAs[Long]("n_tokens") == 0 && empty.getAs[Long]("stop_ratio_e4") == 0)
+  }
+
+  test("tokenCounts: whitespace vs regex vs BPE-ish subwords") {
+    val docs = Seq(CodeDoc("r", "p", "c", "en", "fooBar baz2qux hello-world")).toDS()
+    val row = TextStats.tokenCounts(docs).head()
+    assert(row.getAs[Long]("ws_tokens") == 3)
+    assert(row.getAs[Long]("re_tokens") == 4) // foobar, baz2qux, hello, world
+    // fooBar -> foo|Bar, baz2qux -> baz|2|qux, hello-world -> hello|world
+    assert(row.getAs[Long]("bpeish_tokens") == 7)
+  }
+
+  test("langId: marker-based prediction with deterministic tie-break") {
+    def td(text: String) = Seq(TokDoc("d", Tokenize.tokensOf(text, Set.empty))).toDS()
+    assert(TextStats.langId(td("the cat and the dog")).head().getString(1) == "en")
+    assert(TextStats.langId(td("der hund und die katze ist")).head().getString(1) == "de")
+    assert(TextStats.langId(td("xyzzy plugh")).head().getString(1) == "unk")
+    // tie: one marker each for de and en -> lexicographically first (de)
+    assert(TextStats.langId(td("der the")).head().getString(1) == "de")
+  }
+
+  test("fingerprints: winnowing is deterministic and overlap tracks similarity") {
+    val a = Tokenize.tokensOf("one two three four five six seven eight nine ten", Set.empty)
+    val b = Tokenize.tokensOf("one two three four five six seven eight nine zzz", Set.empty)
+    val c = Tokenize.tokensOf("totally different words here nothing shared at all xx", Set.empty)
+    val fa = TextStats.winnow(TextStats.kgramHashes(a, 3), 4)
+    val fa2 = TextStats.winnow(TextStats.kgramHashes(a, 3), 4)
+    val fb = TextStats.winnow(TextStats.kgramHashes(b, 3), 4)
+    val fc = TextStats.winnow(TextStats.kgramHashes(c, 3), 4)
+    assert(fa == fa2) // deterministic
+    val simAB = (fa & fb).size.toDouble / (fa | fb).size
+    val simAC = (fa & fc).size.toDouble / (fa | fc).size
+    info(f"fingerprint overlap: near=$simAB%.2f unrelated=$simAC%.2f")
+    assert(simAB > simAC)
+    assert(simAC == 0.0)
+    // short-doc edge: fewer tokens than k
+    assert(TextStats.kgramHashes(Array("a", "b"), 5).isEmpty)
+  }
+}
