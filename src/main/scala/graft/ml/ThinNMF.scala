@@ -223,6 +223,71 @@ object ThinNMF {
       .toDF("entity", "ctxid", "senseid", "score")
   }
 
+  /** Total squared reconstruction error ||A - W H||^2 per entity, one pass
+    * (per-context W solved against the broadcast H, residual accumulated). */
+  def reconstructionError(grouped: RDD[Ctx], spark: SparkSession,
+                          h: Map[String, H]): Map[String, Double] = {
+    val bc = spark.sparkContext.broadcast(withGrams(h))
+    grouped.mapPartitions { rows =>
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      rows.foreach { c =>
+        bc.value.get(c.entity).foreach { case (he, ge) =>
+          val w = solveW(he, ge, c)
+          val k = w.length
+          val m = he(0).length
+          // residual over the union of observed and reconstructed coords:
+          // sum_t (a_t - sum_s w_s H_st)^2; a is sparse, H dense over m
+          var err = 0.0
+          var t = 0
+          var oi = 0
+          while (t < m) {
+            val a = if (oi < c.termids.length && c.termids(oi) == t) {
+              val v = c.ws(oi); oi += 1; v
+            } else 0.0
+            var rec = 0.0
+            var s = 0
+            while (s < k) { rec += w(s) * he(s)(t); s += 1 }
+            val d = a - rec
+            err += d * d
+            t += 1
+          }
+          acc.update(c.entity, acc.getOrElse(c.entity, 0.0) + err)
+        }
+      }
+      acc.iterator
+    }.reduceByKey(_ + _).collect().toMap
+  }
+
+  /** M3: choose the sense count per entity when not given — fit k = 2..kMax
+    * and keep raising k while the relative reconstruction-error improvement
+    * stays >= tau (elbow rule; wsid fixtures pin k=2 so correctness gates do
+    * not depend on this heuristic). */
+  def selectK(grouped: RDD[Ctx], spark: SparkSession, kMax: Int, iters: Int,
+              seed: Long, tau: Double = 0.10): Map[String, Int] = {
+    val errByK: Map[Int, Map[String, Double]] =
+      (1 to kMax).map { k =>
+        val h = fit(grouped, spark, k, iters, seed)
+        k -> reconstructionError(grouped, spark, h)
+      }.toMap
+    val entities = errByK.values.flatMap(_.keys).toSet
+    entities.map { e =>
+      // improvements normalized by the k=1 error (total-variance proxy):
+      // per-step relative drops stay inflated long past the elbow on noisy
+      // count data, but err1-normalized drops collapse right after it
+      val err1 = errByK(1).getOrElse(e, 0.0)
+      var best = 1
+      var k = 2
+      var continue = true
+      while (continue && k <= kMax) {
+        val prev = errByK(k - 1).getOrElse(e, 0.0)
+        val cur = errByK(k).getOrElse(e, 0.0)
+        if (err1 > 0 && (prev - cur) / err1 >= tau) { best = k; k += 1 }
+        else continue = false
+      }
+      e -> math.max(best, 2).min(kMax) // wsid induces at least 2 senses
+    }.toMap
+  }
+
   /** H as the long-form senseVec table (entity, senseid, termid, weight). */
   def senseVecDF(spark: SparkSession, h: Map[String, H]): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusSynth
+
+/** Physical-plan assertions (SURVEY.md §4.1): the optimizations the engine
+  * RELIES on must actually be present in the executed plan, not assumed. */
+class PlanSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("predicate pushdown + column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id", "source")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$scan")
+    // pruning: the scan must not read text/n_chars for this projection
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"column pruning failed (text read for a 2-column projection):\n$scan")
+  }
+
+  test("partition pruning on the partitioned triple table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    val triples = Seq(("a", "hasSense", "x"), ("b", "coOccursWith", "y"))
+      .toDF("subj", "pred", "obj")
+    sources.TableIO.writeTriples(triples, dir)
+    val plan = sources.TableIO.readTriples(spark, dir)
+      .filter(col("pred") === "hasSense")
+      .queryExecution.executedPlan.toString
+    // partition filter, not a data filter: pruned at planning
+    assert(plan.contains("PartitionFilters") && plan.contains("pred"), plan)
+  }
+
+  test("term-statistics dictionary join is a broadcast, not a shuffle join") {
+    val cs = Pipeline.coStats(CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
+    val plan = cs.contingency.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("coocTriples join is broadcast; significance stays in codegen") {
+    val cs = Pipeline.coStats(CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
+    val triples = Pipeline.coocTriples(cs.coverage, cs.top)
+    val plan = triples.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    cs.scored.collect() // finalize the adaptive plan so codegen spans appear
+    val scored = cs.scored.queryExecution.executedPlan.toString
+    assert(scored.contains("graft_log_hypergeom_tail("), scored) // native expression inline
+    assert(scored.contains("WholeStageCodegen") || scored.contains("*("),
+      s"no whole-stage-codegen spans:\n$scored")
+    assert(!scored.contains("BatchEvalPython") && !scored.contains("ScalaUDF"), scored)
+  }
+
+  test("salted aggregation produces two exchanges with partial aggregation") {
+    import spark.implicits._
+    val toks = operators.Tokenize.tokens(CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
+    val plan = operators.Cooc.marginals(toks, Queries.cfg).queryExecution.executedPlan.toString
+    // phase 1 (term, salt) exchange + phase 2 (term) exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("context rows (ML input) plan contains NO exchange at all") {
+    import spark.implicits._
+    val docs = CorpusSynth.fromDocuments(spark, sfDir)
+    val dict = Map("spark" -> Map("data" -> 0, "join" -> 1))
+    val ctx = operators.Tokenize.contextRows(docs, Queries.cfg, dict)
+    val plan = ctx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"doc-local path must not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SaltedAgg, Tokenize}
+
+class SkewAndSelectKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("I1 skew: 'hot' token in every window — salted counts exact, hot key sharded") {
+    // 10k docs; 'hot' appears in every doc next to the mention (100x any
+    // other term's frequency) — FIXTURES.md §3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = spark.createDataset((0 until 10000).map { i =>
+      val ctx = Vector.fill(6)(vocab(rnd.nextInt(vocab.length)))
+      val toks = (ctx.take(3) :+ "hot" :+ "python") ++ ctx.drop(3)
+      CodeDoc("r", s"d/$i.txt", "c", "en", toks.mkString(" "))
+    }).repartition(8)
+    val cfg = WsidConfig(entities = Seq("python"), window = 8, salts = 64)
+    val cov = Tokenize.coverage(docs, cfg)
+
+    // correctness: salted two-phase == plain groupBy
+    val salted = operators.Cooc.coocCounts(cov, cfg)
+    val plain = cov.toDF().groupBy("entity", "term").agg(count(lit(1)).as("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    val hotK = salted.filter(col("term") === "hot").select("k").as[Long].head()
+    assert(hotK == 10000L)
+
+    // mechanism: phase-1 shards the hot key — no single (key, salt) group
+    // carries more than ~total/salts (3x slack for hash imbalance)
+    val phase1 = cov.toDF()
+      .groupBy(col("entity"), col("term"), pmod(xxhash64(col("docid")), lit(64)).as("salt"))
+      .agg(count(lit(1)).as("partial"))
+    val maxHotShard = phase1.filter(col("term") === "hot")
+      .agg(max(col("partial"))).as[Long].head()
+    assert(maxHotShard <= 3 * (10000 / 64),
+      s"hot key not sharded: max shard $maxHotShard of 10000")
+  }
+
+  test("M3: elbow selection recovers the planted sense count") {
+    // entity 'alpha' planted with THREE disjoint sense vocabularies
+    val vocabs = Vector(
+      Vector("cat", "dog", "fox", "owl"),
+      Vector("red", "blue", "green", "teal"),
+      Vector("run", "jump", "swim", "dive"))
+    val rnd = new scala.util.Random(42)
+    val docs = spark.createDataset((0 until 300).map { i =>
+      val v = vocabs(i % 3)
+      val ctx = Vector.fill(12)(v(rnd.nextInt(v.length)))
+      CodeDoc("r", s"d/$i.txt", "c", "en", (ctx.take(6) :+ "alpha") ++ ctx.drop(6) mkString " ")
+    }).repartition(4)
+    val cfg = WsidConfig(entities = Seq("alpha"), window = 16, topK = 50)
+    val cs = Pipeline.coStats(docs, cfg)
+    val dict = ml.SenseInduction.dictionary(cs.top).collect()
+      .groupBy(_.getString(0))
+      .map { case (e, rows) => e -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap }
+    val grouped = Tokenize.contextRows(docs, cfg, dict).rdd.cache()
+    val ks = ml.ThinNMF.selectK(grouped, spark, kMax = 6, iters = 10, seed = 42L)
+    info(s"selected k = ${ks("alpha")}")
+    assert(ks("alpha") == 3, s"expected k=3, got ${ks("alpha")}")
+  }
+}
