@@ -23,11 +23,13 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default N=4 (pair 4 vs 16): the host's 32 hardware threads are ~16
-    // physical cores with SMT, so a 4x thread scale-up must stay at or below
-    // 16 to measure resource scaling rather than the hyperthreading wall
-    // (measured pure-CPU ceilings on this box: 4->16 = 3.79x, 8->32 = 2.99x).
-    val n = sys.env.getOrElse("GRAFT_BENCH_N", "4").toInt
+    // Default N=1 (pair 1 vs 4). Pair choice on this host matters: its 32
+    // vCPUs are ~16 physical cores with SMT and ONE shared DRAM system, so
+    // measured pure-CPU 4x-scale-up ceilings are 1->4 = ~4.0x, 4->16 = 3.79x,
+    // 8->32 = 2.99x, and memory-bandwidth contention lowers them further for
+    // shuffle-heavy work. The 1-vs-4 pair is the one where a 4x thread
+    // scale-up actually has 4x the hardware underneath it.
+    val n = sys.env.getOrElse("GRAFT_BENCH_N", "1").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "60").toInt
 
     // single-run mode (one JVM per cluster size; a wrapper compares)
@@ -53,11 +55,17 @@ object ScalingBench {
       f""""tps_n":$tpsSmall%.1f,"tps_4n":$tpsBig%.1f,"sf":"$sfDir"}""")
   }
 
-  /** One full E1 run in a fresh session at the given core count. */
+  /** One full E1 run in a fresh session at the given core count.
+    *
+    * Partitioning (input splits AND shuffle partitions) is FIXED across
+    * cluster sizes — exactly like a spark-submit N-vs-4N-executor run, where
+    * the dataset and the plan are identical and only resources scale. Sizing
+    * partitions to each run's core count would compare two different plans. */
   def runOnce(cores: Int, sfDir: String, reps: Int): (Double, Long) = {
+    val parts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "48").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // tmpfs shuffle dirs: stand-in for per-executor local SSDs — a single
       // contended virtio disk is a sandbox artifact, not a cluster property
@@ -86,7 +94,8 @@ object ScalingBench {
       // generation then runs in parallel on every partition instead of one
       // serial task — the single-task crossJoin was a constant ~30 s serial
       // phase that swamped the cluster-size comparison
-      val base = sources.CorpusSynth.fromDocuments(spark, sfDir).repartition(cores * 3)
+      val base = sources.CorpusSynth.fromDocuments(spark, sfDir)
+        .repartition(sys.env.getOrElse("GRAFT_BENCH_PARTS", "48").toInt)
       val replicas = spark.range(reps).select(col("id").cast("int").as("rep"))
       val docs = base.crossJoin(broadcast(replicas))
         .select(concat(col("repo"), lit("_r"), col("rep")).as("repo"),
