@@ -118,8 +118,21 @@ object Pipeline {
     // A5 dedup happens per branch on compact keys (hasSenseTriples /
     // coocTriples); the branches cannot collide (disjoint predicates), so no
     // further distinct over the fat triple strings is needed
-    val triples = Linking.hasSenseTriples(assignments)
+    val triplesRaw = Linking.hasSenseTriples(assignments)
       .unionByName(coocTriples(toCov(spark, cov), sigcooc))
+
+    // S3 graph materialize (checkpointed mode): the partitioned triple table
+    // is the terminal resume point — identical inputs skip the rewrite
+    val triples = (ck, ckptRoot) match {
+      case (Some(c), Some(root)) =>
+        val fp = Seq("coverage", "sigcooc", "senses").map(c.fingerprintOf).mkString("|")
+        val uri = s"$root/triples"
+        val existing = TableIO.readManifest(spark, s"$uri/_manifest.json")
+        if (existing.exists(_.inputFingerprint == fp)) c.resumed += "triples"
+        else { TableIO.writeTriples(triplesRaw, uri, fp); c.computed += "triples" }
+        TableIO.readTriples(spark, uri)
+      case _ => triplesRaw
+    }
     val _ = dochash // materialized for lineage; consumed by tests/audits
     E1Result(triples, senseVec, assignments, ck)
   }

@@ -28,13 +28,13 @@ final class Checkpoint(spark: SparkSession, root: String) {
 
   private val fingerprints = scala.collection.mutable.Map.empty[String, String]
 
-  /** Volatile-field-free fingerprint of a completed stage (excludes wallMs
-    * and byte sizes, which may vary across physically identical reruns). */
-  private def stableFingerprint(m: TableManifest): String = {
-    val stable = s"${m.table}|${m.rowCount}|${m.inputFingerprint}|" +
-      m.files.map(f => s"${new Path(f.name).getName}:${f.rows}").sorted.mkString(",")
-    sha256(stable)
-  }
+  /** Fingerprint of a completed stage: computation identity (the chained
+    * input fingerprint) + logical output size. Physical layout (file count,
+    * per-file rows, bytes, wallMs) is deliberately EXCLUDED — a resumed
+    * upstream read from parquet partitions differently than a fresh
+    * in-memory one, and identical logical content must fingerprint equal. */
+  private def stableFingerprint(m: TableManifest): String =
+    sha256(s"${m.table}|${m.rowCount}|${m.inputFingerprint}")
 
   private def sha256(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -58,11 +58,18 @@ final class Checkpoint(spark: SparkSession, root: String) {
         spark.read.parquet(s"$dir/data")
       case _ =>
         val t0 = System.nanoTime()
-        compute.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+        // I3: counters ride the write itself via Dataset.observe — no extra
+        // pass; harvested after the action and persisted in the manifest
+        val obs = org.apache.spark.sql.Observation(s"graft_${name}_${System.nanoTime()}")
+        compute
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+        val observedRows = obs.get.get("rows").collect { case l: Long => l }.getOrElse(-1L)
         val wallMs = (System.nanoTime() - t0) / 1000000
         val files = TableIO.parquetLineage(spark, s"$dir/data")
         val m = TableManifest(name, files.map(_.rows).sum, files, inputFp,
-          Map("files" -> files.size.toLong), wallMs)
+          Map("files" -> files.size.toLong, "observed_rows" -> observedRows), wallMs)
         TableIO.writeManifest(spark, s"$dir/_manifest.json", m)
         computed += name
         fingerprints(name) = stableFingerprint(m)

@@ -18,19 +18,29 @@ class CheckpointSpec extends SparkTestBase {
     val r1 = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted80")
     val t1 = r1.triples.as[(String, String, String)].collect().toSet
     assert(r1.checkpoint.get.computed.toSet ==
-      Set("dochash", "coverage", "sigcooc", "ctxrows", "senses"))
+      Set("dochash", "coverage", "sigcooc", "ctxrows", "senses", "triples"))
     assert(r1.checkpoint.get.resumed.isEmpty)
 
-    // kill mid-pipeline: delete sigcooc and everything downstream
+    // kill mid-pipeline: delete sigcooc and everything downstream of it
     for (s <- Seq("sigcooc", "ctxrows", "senses"))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/$s"))
 
     val r2 = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted80")
     val t2 = r2.triples.as[(String, String, String)].collect().toSet
-    assert(r2.checkpoint.get.resumed.toSet == Set("dochash", "coverage"),
+    // content-addressed resume: the recomputed stages produce identical data,
+    // so the terminal triple table's fingerprint still matches -> skipped
+    assert(r2.checkpoint.get.resumed.toSet == Set("dochash", "coverage", "triples"),
       s"resumed=${r2.checkpoint.get.resumed}")
     assert(r2.checkpoint.get.computed.toSet == Set("sigcooc", "ctxrows", "senses"))
     assert(t1 == t2, "triples differ after resume")
+
+    // I3: observe-counters recorded and consistent with the footer lineage
+    val sm = sources.TableIO.readManifest(spark, s"$root/sigcooc/_manifest.json").get
+    assert(sm.counters("observed_rows") == sm.rowCount)
+    // S3: the graph table itself carries a manifest with per-file lineage
+    val tm = sources.TableIO.readManifest(spark, s"$root/triples/_manifest.json").get
+    assert(tm.rowCount == t1.size)
+    assert(tm.files.nonEmpty && tm.files.map(_.rows).sum == tm.rowCount)
 
     // config change invalidates everything (fingerprint chain)
     val r3 = Pipeline.induceAndEmit(spark, docs, cfg.copy(window = 32), Some(root), "planted80")
