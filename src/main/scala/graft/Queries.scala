@@ -85,6 +85,10 @@ object Queries {
     "q_a2_docfreq" -> ((s, d) =>
       Cooc.docFreq(Tokenize.tokens(docs(s, d), cfg)).orderBy("term")),
 
+    // A2': HLL++ sketch — deterministic but not SQL-reproducible (rows-only)
+    "q_a2_docfreq_approx" -> ((s, d) =>
+      Cooc.docFreqApprox(Tokenize.tokens(docs(s, d), cfg)).orderBy("term")),
+
     "q_a3_cooc_salted" -> ((s, d) =>
       Cooc.coocCounts(Tokenize.coverage(docs(s, d), cfg), cfg).orderBy("entity", "term")),
 

@@ -23,6 +23,12 @@ object Cooc {
   def docFreq(tokens: Dataset[Token]): DataFrame =
     tokens.toDF().groupBy("term").agg(countDistinct(col("docid")).as("df"))
 
+  /** A2': document frequency via HyperLogLog++ — the scale path: exact
+    * countDistinct shuffles every (term, docid) pair; the sketch keeps the
+    * exchange at one fixed-size buffer per term per partition. */
+  def docFreqApprox(tokens: Dataset[Token], rsd: Double = 0.02): DataFrame =
+    tokens.toDF().groupBy("term").agg(approx_count_distinct(col("docid"), rsd).as("df_approx"))
+
   /** A3: co-occurrence counts k(e,t) = covered positions bearing t. */
   def coocCounts(cov: Dataset[CovTok], cfg: WsidConfig): DataFrame =
     SaltedAgg.countBy(cov.toDF(), Seq("entity", "term"), col("docid"), cfg.salts, "k")

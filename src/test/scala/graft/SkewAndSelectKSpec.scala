@@ -38,6 +38,35 @@ class SkewAndSelectKSpec extends SparkTestBase {
       s"hot key not sharded: max shard $maxHotShard of 10000")
   }
 
+  test("A2': approximate doc frequency within the configured error bound") {
+    val docs = sources.CorpusSynth.plantedDocs(spark, docsPerEntity = 200)
+    val cfg = WsidConfig(entities = Seq("python", "java"))
+    val toks = Tokenize.tokens(docs, cfg)
+    val exact = operators.Cooc.docFreq(toks).as[(String, Long)].collect().toMap
+    val approx = operators.Cooc.docFreqApprox(toks, 0.02).as[(String, Long)].collect().toMap
+    exact.foreach { case (t, df) =>
+      val a = approx(t)
+      assert(math.abs(a - df) <= math.max(2.0, 0.1 * df), s"term $t: approx $a vs exact $df")
+    }
+  }
+
+  test("M4: sense descriptors surface the planted vocabulary") {
+    val corpus = sources.CorpusSynth.planted(docsPerEntity = 100)
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, kSenses = 2)
+    val r = Pipeline.induceAndEmit(spark, docs, cfg)
+    val cs = Pipeline.coStats(docs, cfg)
+    val dict = ml.SenseInduction.dictionary(cs.top)
+    val desc = ml.SenseInduction.descriptors(r.senseVec, dict, top = 5)
+      .select("entity", "senseid", "term").as[(String, Int, String)].collect()
+    // each (entity, sense) descriptor must be drawn from ONE planted vocab
+    desc.groupBy(t => (t._1, t._2)).foreach { case ((e, _), rows) =>
+      val terms = rows.map(_._3).toSet
+      val purity = Seq(0, 1).map(s => (terms & corpus.senseVocab((e, s))).size).max
+      assert(purity >= 4, s"descriptor for $e not vocab-pure: $terms")
+    }
+  }
+
   test("M3: elbow selection recovers the planted sense count") {
     // entity 'alpha' planted with THREE disjoint sense vocabularies
     val vocabs = Vector(
