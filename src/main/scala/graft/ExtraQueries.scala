@@ -95,6 +95,16 @@ object ExtraQueries {
         .orderBy("lang_pred")
     }),
 
+    // E3 end-to-end on the driver contract: induce on the corpus, then link
+    // every mention to its sense (rows-only: the model is ML-derived)
+    "q_e3_disambiguate" -> ((s, d) => {
+      val cfg = WsidConfig(entities = Seq("join", "spark"), window = 5, topK = 30)
+      val r = Pipeline.induceAndEmit(s, docs(s, d), cfg, None, d)
+      r.assignments.groupBy("entity", "senseid")
+        .agg(count(lit(1)).as("n"), e4(avg(col("score"))).as("avg_score_e4"))
+        .orderBy("entity", "senseid")
+    }),
+
     // rows-only: the decode stub's features are not SQL-expressible, but the
     // batching/schema plumbing is exercised end-to-end by the driver run
     "q_multimodal_features" -> ((s, _) =>
