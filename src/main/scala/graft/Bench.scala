@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: per-query timings for every registered operator plus
   * the flagship E1 pipeline (tokenize → cooc → significance → NMF senses →
-  * link → triples), reported as ONE JSON line. */
+  * link → triples), reported as ONE JSON line on stdout AND written to a
+  * dedicated file (env SPARK_GRAFT_BENCH_OUT, default BENCH/bench_last.json)
+  * so log noise can never hide it.
+  *
+  * Failures are LOUD: a query that throws is recorded with its error, the
+  * run prints every failure to stderr and exits nonzero — a crashing query
+  * can never masquerade as a fast one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,25 +24,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
     // flagship E1 end-to-end: triples/sec is the headline metric (BASELINE.md)
     val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
     val t0 = System.nanoTime()
-    val triples = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
-      .triples.count()
+    val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
+    val triples = r.triples.count()
     val e1Sec = (System.nanoTime() - t0) / 1e9
     val tps = triples / e1Sec
+    r.cleanup()
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.values.sum + e1Sec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""e1_sec":$e1Sec,"e1_triples":$triples,"e1_triples_per_sec":$tps,""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}""")
+      s""""cpus":$cpus,"sf":${jstr(sfDir)},"n_errors":${errors.size},"errors":$errJson}"""
+    println(json)
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json + "\n")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+      sys.exit(1)
+    }
   }
 }

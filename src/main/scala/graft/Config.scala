@@ -16,6 +16,10 @@ package graft
   * @param broadcastDictMaxRows  adaptive ceiling: term-statistics dictionaries
   *                      smaller than this are broadcast (BASELINE.json:6 mandate);
   *                      larger ones fall back to a shuffle join.
+  * @param descriptorFallback  when true (default), entities where NOTHING
+  *                      clears the Bonferroni cut fall back to rank-only
+  *                      top-k descriptors (marked `fallback = true` in the
+  *                      output); when false such entities emit no descriptors.
   */
 final case class WsidConfig(
     entities: Seq[String],
@@ -31,5 +35,6 @@ final case class WsidConfig(
     maxDocChars: Int = 16 * 1024 * 1024,
     nmfMaxIter: Int = 5,
     nmfRegParam: Double = 0.01,
-    broadcastDictMaxRows: Long = 2000000L
+    broadcastDictMaxRows: Long = 2000000L,
+    descriptorFallback: Boolean = true
 )

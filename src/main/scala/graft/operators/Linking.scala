@@ -37,11 +37,17 @@ object Linking {
   }
 
   /** Relabel induced sense ids per entity by descending cluster size (ties:
-    * original id) so output labels are stable across factorizer internals. */
+    * original id) so output labels are stable across factorizer internals.
+    * The mapping is built from senseVec's sense ids (sizes left-joined,
+    * missing = 0) so a fitted sense with zero assignments keeps a label in
+    * the returned model instead of silently disappearing from senseVec. */
   def relabel(assignments: DataFrame, senseVec: DataFrame): (DataFrame, DataFrame) = {
     val sizes = assignments.groupBy("entity", "senseid").agg(count(lit(1)).as("sz"))
+    val ids = senseVec.select("entity", "senseid").distinct()
     val w = Window.partitionBy("entity").orderBy(col("sz").desc, col("senseid").asc)
-    val mapping = sizes.withColumn("label", row_number().over(w) - 1)
+    val mapping = ids.join(sizes, Seq("entity", "senseid"), "left")
+      .withColumn("sz", coalesce(col("sz"), lit(0L)))
+      .withColumn("label", row_number().over(w) - 1)
       .select("entity", "senseid", "label")
     val a2 = assignments.join(broadcast(mapping), Seq("entity", "senseid"))
       .select(col("entity"), col("ctxid"), col("label").as("senseid"), col("score"))

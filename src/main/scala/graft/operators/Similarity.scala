@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def asDouble(c: String): org.apache.spark.sql.Column =
+  private[operators] def asDouble(c: String): org.apache.spark.sql.Column =
     transform(col(c), x => x.cast("double"))
 
   /** Exact cosine similarity column between two array<double> columns. */
-  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+  private[operators] def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -52,39 +52,42 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** Row-local hyperplane LSH band buckets for a (vec_id, embedding) frame:
+    * one (idCol, band, bucket) row per band. Shared by ANN search (lshTopK)
+    * and embedding near-dup dedup (Dedup.embeddingNearDupsLsh). */
+  private[operators] def hyperplaneBuckets(df: DataFrame, idCol: String,
+                                           bands: Int, width: Int, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPlanes = bands * width
+    val in = df.select(col("vec_id"), asDouble("embedding").as("e"))
+      .as[(Long, Seq[Double])]
+    in.flatMap { case (id, e) =>
+      val bits = new Array[Boolean](nPlanes)
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < e.length) { dot += hyperplaneSign(seed, p, d) * e(d); d += 1 }
+        bits(p) = dot >= 0
+        p += 1
+      }
+      (0 until bands).iterator.map { b =>
+        var key = 0L
+        var i = 0
+        while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
+        (id, b, key)
+      }
+    }.toDF(idCol, "band", "bucket")
+  }
+
   /** Random-hyperplane LSH top-k: `bands` signature bands of `width` bits;
     * candidate = shares >= 1 band bucket with the query; exact cosine
     * re-rank of candidates only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 8, width: Int = 8, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val nPlanes = bands * width
-
-    def signatures(df: DataFrame, idCol: String): DataFrame = {
-      val in = df.select(col("vec_id"), asDouble("embedding").as("e"))
-        .as[(Long, Seq[Double])]
-      in.flatMap { case (id, e) =>
-        val bits = new Array[Boolean](nPlanes)
-        var p = 0
-        while (p < nPlanes) {
-          var dot = 0.0
-          var d = 0
-          while (d < e.length) { dot += hyperplaneSign(seed, p, d) * e(d); d += 1 }
-          bits(p) = dot >= 0
-          p += 1
-        }
-        (0 until bands).iterator.map { b =>
-          var key = 0L
-          var i = 0
-          while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
-          (id, b, key)
-        }
-      }.toDF(idCol, "band", "bucket")
-    }
-
-    val cs = signatures(corpus, "b")
-    val qs = signatures(queries, "a")
+    val cs = hyperplaneBuckets(corpus, "b", bands, width, seed)
+    val qs = hyperplaneBuckets(queries, "a", bands, width, seed)
     val candidates = qs.join(cs, Seq("band", "bucket"))
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()

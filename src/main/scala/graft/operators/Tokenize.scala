@@ -15,18 +15,21 @@ import graft.{CodeDoc, CovTok, TokDoc, Token, WinTok, WsidConfig}
   */
 object Tokenize {
 
-  /** Unicode word tokenizer: maximal runs of letters/digits/underscore,
-    * lowercased. Positions are 0-based indexes in the stopword-FILTERED
+  /** Word tokenizer: maximal runs of [a-z0-9_] after per-char ASCII
+    * lowercasing. Positions are 0-based indexes in the stopword-FILTERED
     * stream (stopwords are removed before positions are assigned, so the
     * ±w window spans w real context terms — SURVEY.md §2.3 T1/T2).
     *
-    * Hand-rolled char scanner instead of java.util.regex: tokenization runs
-    * 3x per document in E1 (coverage, marginals, context rows) over the full
-    * corpus, so the Matcher allocation + full-string toLowerCase copy were
-    * measurable memory-bandwidth costs at scale. Semantics: a token char is
-    * '_' or Character.isLetterOrDigit (ASCII-equal to the [\p{L}\p{N}_]+
-    * regex on this corpus), lowercased per char. */
-  @inline private def isTokenChar(c: Char): Boolean = c == '_' || Character.isLetterOrDigit(c)
+    * The token-character class is pinned to the oracle's contract — DuckDB
+    * splits lower(content) on '[^a-z0-9_]+' — on EVERY corpus, not just
+    * ASCII ones: non-ASCII letters are separators by definition, so token
+    * streams, marginals and all downstream compares agree engine-to-engine
+    * regardless of input language (TokenizeSpec pins this with accented
+    * text). Hand-rolled char scanner instead of java.util.regex:
+    * tokenization runs over the full corpus, so Matcher allocation + the
+    * full-string toLowerCase copy were measurable memory-bandwidth costs. */
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || c == '_'
 
   def tokensOf(content: String, stopwords: Set[String]): Array[String] = {
     val buf = new scala.collection.mutable.ArrayBuffer[String](64)
@@ -73,15 +76,17 @@ object Tokenize {
   /** T3+T4, per-context form: every token inside the ±w window of every
     * mention, mention position itself excluded, multiplicity preserved.
     * Feeds the sense-induction context vectors (ctxid = docid#mpos). */
-  def windowTokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[WinTok] = {
-    import docs.sparkSession.implicits._
+  def windowTokens(docs: Dataset[CodeDoc], cfg: WsidConfig): Dataset[WinTok] =
+    windowTokensFrom(tokDocs(docs, cfg), cfg)
+
+  def windowTokensFrom(td: Dataset[TokDoc], cfg: WsidConfig): Dataset[WinTok] = {
+    import td.sparkSession.implicits._
     val entities = cfg.entities.toSet
     val w = cfg.window
-    val stop = cfg.stopwords
-    docs.mapPartitions { it =>
+    td.mapPartitions { it =>
       it.flatMap { d =>
-        val id = docIdOf(d)
-        val ts = tokensOf(d.content, stop)
+        val id = d.docid
+        val ts = d.terms
         val out = new scala.collection.mutable.ArrayBuffer[WinTok]
         var p = 0
         while (p < ts.length) {

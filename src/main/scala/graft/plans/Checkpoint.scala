@@ -57,6 +57,13 @@ final class Checkpoint(spark: SparkSession, root: String) {
         fingerprints(name) = stableFingerprint(m)
         spark.read.parquet(s"$dir/data")
       case _ =>
+        // Kill the old manifest BEFORE the data rewrite starts: a crash midway
+        // through SaveMode.Overwrite must leave NO matching manifest, or a
+        // later run with the old config would resume from this run's partial
+        // data. Manifest-after-data is the commit point in both directions.
+        val mPath = new Path(s"$dir/_manifest.json")
+        val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(mPath)) fs.delete(mPath, false)
         val t0 = System.nanoTime()
         // I3: counters ride the write itself via Dataset.observe — no extra
         // pass; harvested after the action and persisted in the manifest

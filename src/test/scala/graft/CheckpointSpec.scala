@@ -18,7 +18,7 @@ class CheckpointSpec extends SparkTestBase {
     val r1 = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted80")
     val t1 = r1.triples.as[(String, String, String)].collect().toSet
     assert(r1.checkpoint.get.computed.toSet ==
-      Set("dochash", "coverage", "sigcooc", "ctxrows", "senses", "triples"))
+      Set("dochash", "coverage", "sigcooc", "ctxrows", "senses", "sensevec", "triples"))
     assert(r1.checkpoint.get.resumed.isEmpty)
 
     // kill mid-pipeline: delete sigcooc and everything downstream of it
@@ -29,10 +29,20 @@ class CheckpointSpec extends SparkTestBase {
     val t2 = r2.triples.as[(String, String, String)].collect().toSet
     // content-addressed resume: the recomputed stages produce identical data,
     // so the terminal triple table's fingerprint still matches -> skipped
-    assert(r2.checkpoint.get.resumed.toSet == Set("dochash", "coverage", "triples"),
+    assert(r2.checkpoint.get.resumed.toSet == Set("dochash", "coverage", "sensevec", "triples"),
       s"resumed=${r2.checkpoint.get.resumed}")
     assert(r2.checkpoint.get.computed.toSet == Set("sigcooc", "ctxrows", "senses"))
     assert(t1 == t2, "triples differ after resume")
+
+    // one-call E3 model round-trip: loadModel returns the same relabeled
+    // sense model the run produced, keyed off the checkpoints alone
+    val (dict, senseVec) = Pipeline.loadModel(spark, root)
+    assert(Pipeline.modelExists(spark, root))
+    val svLive = r2.senseVec.as[(String, Int, Int, Double)].collect().toSet
+    val svLoaded = senseVec.as[(String, Int, Int, Double)].collect().toSet
+    assert(svLive == svLoaded, "loadModel senseVec differs from the live run's")
+    assert(dict.columns.toSeq == Seq("entity", "term", "termid"))
+    assert(dict.count() > 0)
 
     // I3: observe-counters recorded and consistent with the footer lineage
     val sm = sources.TableIO.readManifest(spark, s"$root/sigcooc/_manifest.json").get
@@ -45,6 +55,31 @@ class CheckpointSpec extends SparkTestBase {
     // config change invalidates everything (fingerprint chain)
     val r3 = Pipeline.induceAndEmit(spark, docs, cfg.copy(window = 32), Some(root), "planted80")
     assert(r3.checkpoint.get.resumed.isEmpty)
+  }
+
+  test("S4: interrupted overwrite cannot leave a stale resumable manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt_stale").toString
+    val df = Seq(1, 2, 3).toDF("x")
+    val ck1 = new plans.Checkpoint(spark, root)
+    ck1.stage("s", Nil, "cfgA")(df)
+    assert(ck1.computed.toSeq == Seq("s"))
+
+    // a run with config B crashes mid-overwrite (compute throws after the
+    // rewrite began): the surviving on-disk state must NOT contain the old
+    // config-A manifest, or a later config-A run would resume from B's
+    // partial/foreign data (ADVICE r1, medium)
+    val ck2 = new plans.Checkpoint(spark, root)
+    intercept[RuntimeException] {
+      ck2.stage("s", Nil, "cfgB")(throw new RuntimeException("boom"))
+    }
+    assert(sources.TableIO.readManifest(spark, s"$root/s/_manifest.json").isEmpty,
+      "stale manifest survived an interrupted overwrite")
+
+    // the config-A rerun therefore RECOMPUTES instead of resuming
+    val ck3 = new plans.Checkpoint(spark, root)
+    ck3.stage("s", Nil, "cfgA")(df)
+    assert(ck3.computed.toSeq == Seq("s") && ck3.resumed.isEmpty)
   }
 
   test("I3: dochash lineage — sha256(content) multiset equals input") {

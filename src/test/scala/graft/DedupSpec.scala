@@ -100,4 +100,39 @@ class DedupSpec extends SparkTestBase {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  /** 200 seeded random 32-d vectors + planted near-dup copies of 40 of them
+    * (small deterministic perturbation, cosine ≈ 0.999). */
+  private lazy val plantedEmb = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(32)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val dups = base.take(40).map { case (id, e) =>
+      (id + 1000L, e.zipWithIndex.map { case (x, j) => x * (1.0f + 0.02f * (j % 5 - 2)) })
+    }
+    spark.createDataset(base ++ dups).toDF("vec_id", "embedding").repartition(4)
+  }
+
+  test("embedding LSH dedup: exact precision, recall >= 0.9 vs exact verifier") {
+    val exact = Dedup.embeddingNearDups(plantedEmb, 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 40, s"planted near-dups missing from exact verifier: ${exact.size}")
+    val lsh = Dedup.embeddingNearDupsLsh(plantedEmb, 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision exact by construction (candidates are cosine-verified)
+    assert(lsh.subsetOf(exact))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"embedding-LSH recall=$recall%.3f over ${exact.size} true pairs")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  test("MinHash-LSH: invalid banding parameters fail fast") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(td, 2, 0.5, numHashes = 64, bands = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(td, 2, 0.5, numHashes = 16, bands = 32)
+    }
+  }
 }

@@ -59,16 +59,17 @@ class SenseSpec extends SparkTestBase {
     import spark.implicits._
     val docs = spark.createDataset(corpus.docs).repartition(8)
     val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, kSenses = 2)
-    val r = Pipeline.induceAndEmit(spark, docs, cfg)
 
-    // model from the training run
-    val cs = Pipeline.coStats(docs, cfg)
-    val dict = ml.SenseInduction.dictionary(operators.Significance.topK(cs.significant, cfg))
+    // train into a checkpoint, then E3 is ONE loadModel call (wsid shape) —
+    // no hand-assembly of dict/senseVec from intermediate stages
+    val root = java.nio.file.Files.createTempDirectory("graft_model").toString
+    Pipeline.induceAndEmit(spark, docs, cfg, Some(root), "planted200")
+    val (dict, senseVec) = Pipeline.loadModel(spark, root)
 
     // held-out corpus: same generator, different seed
     val held = CorpusSynth.planted(docsPerEntity = 50, seed = 7L)
     val newDocs = spark.createDataset(held.docs).repartition(4)
-    val senseOf = Pipeline.disambiguate(spark, newDocs, dict, r.senseVec, cfg)
+    val senseOf = Pipeline.disambiguate(spark, newDocs, dict, senseVec, cfg)
       .as[(String, String, Int, Double)].collect()
 
     assert(senseOf.length >= (held.docs.size * 0.95).toInt,

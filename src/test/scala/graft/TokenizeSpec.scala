@@ -19,6 +19,18 @@ class TokenizeSpec extends SparkTestBase {
       Seq("foo", "x", "import", "os"))
   }
 
+  test("T1: non-ASCII chars are separators — pinned to the oracle's [a-z0-9_] class") {
+    // DuckDB oracle: split lower(content) on '[^a-z0-9_]+' — accented letters
+    // are separators after lowercasing. The Spark scanner must agree on ANY
+    // corpus, not just ASCII ones (ADVICE r1).
+    assert(Tokenize.tokensOf("Caffé im Müller_3 straße", Set.empty).toSeq ==
+      Seq("caff", "im", "m", "ller_3", "stra", "e"))
+    assert(Tokenize.tokensOf("naïve café déjà-vu", Set.empty).toSeq ==
+      Seq("na", "ve", "caf", "d", "j", "vu"))
+    // CJK and emoji: no ASCII token chars at all
+    assert(Tokenize.tokensOf("日本語 🦜 текст", Set.empty).isEmpty)
+  }
+
   test("T1+T2: positions are assigned after stopword removal") {
     val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox")).toDS()
     val toks = Tokenize.tokens(docs, cfg.copy(stopwords = Set("the"))).collect().sortBy(_.pos)
