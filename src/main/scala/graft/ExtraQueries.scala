@@ -51,12 +51,13 @@ object ExtraQueries {
     * recall@5 against the exact brute-force top-k on the identical input. */
   private def withRecallVsBrute(topk: DataFrame, s: SparkSession, d: String): DataFrame = {
     val brute = Similarity.bruteForceTopK(emb(s, d, 500), emb(s, d, 3), 5)
-    val hits = topk.select("a", "b").join(brute.select("a", "b"), Seq("a", "b"))
-      .groupBy("a").agg(count(lit(1)).as("n_hit"))
-    topk.groupBy("a").agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"))
-      .join(hits, Seq("a"), "left")
-      .withColumn("recall_e4", e4(coalesce(col("n_hit"), lit(0L)) / 5.0))
-      .drop("n_hit")
+      .select(col("a"), col("b"), lit(1L).as("hit"))
+    // left join + one aggregation: the ANN chain (KMeans fit for IVF) and
+    // the brute-force pass each evaluate exactly once
+    topk.join(brute, Seq("a", "b"), "left")
+      .groupBy("a")
+      .agg(count(lit(1)).as("n"), max(col("sim_e4")).as("best_e4"),
+        e4(sum(coalesce(col("hit"), lit(0L))) / 5.0).as("recall_e4"))
       .orderBy("a")
   }
 
@@ -77,12 +78,18 @@ object ExtraQueries {
     // the DedupSpec gate asserts regardless.
     "q_dedup_minhash_lsh" -> ((s, d) => {
       val td = tokdocsUnder(s, d, 200)
-      val lsh = Dedup.minhashLshPairs(td, n = 2, threshold = 0.2)
-      val exact = Dedup.ngramJaccardPairs(td, 2, 0.2)
-      val found = exact.select("a", "b").join(lsh.select("a", "b"), Seq("a", "b"), "left_semi")
-      lsh.agg(count(lit(1)).as("n_lsh"), coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      // full-outer pair join -> ONE aggregation pass evaluates the LSH chain
+      // and the exact verifier exactly once each
+      val l = Dedup.minhashLshPairs(td, n = 2, threshold = 0.2)
+        .select(col("a"), col("b"), col("jac"), lit(1L).as("in_lsh"))
+      val x = Dedup.ngramJaccardPairs(td, 2, 0.2)
+        .select(col("a"), col("b"), lit(1L).as("in_exact"))
+      l.join(x, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))).as("n_found"),
+          coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))
         .select(col("n_lsh"), col("n_exact"), col("n_found"),
           (col("n_lsh") - col("n_found")).as("n_false"),
           (col("n_exact") - col("n_found")).as("n_missed"),
@@ -115,12 +122,15 @@ object ExtraQueries {
     // with the exact-quadratic form as the in-query recall verifier
     "q_dedup_embedding_lsh" -> ((s, d) => {
       val e = embWithPlantedDups(s, d, 500, 50)
-      val lsh = Dedup.embeddingNearDupsLsh(e, 0.95)
-      val exact = Dedup.embeddingNearDups(e, 0.95)
-      val found = exact.select("a", "b").join(lsh.select("a", "b"), Seq("a", "b"), "left_semi")
-      lsh.agg(count(lit(1)).as("n_lsh"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      val l = Dedup.embeddingNearDupsLsh(e, 0.95)
+        .select(col("a"), col("b"), lit(1L).as("in_lsh"))
+      val x = Dedup.embeddingNearDups(e, 0.95)
+        .select(col("a"), col("b"), lit(1L).as("in_exact"))
+      l.join(x, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))).as("n_found"))
         .select(col("n_lsh"), col("n_exact"), col("n_found"),
           (col("n_exact") - col("n_found")).as("n_missed"),
           e4(col("n_found") / col("n_exact")).as("recall_e4"))

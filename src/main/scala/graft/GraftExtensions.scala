@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperGeom, LogHypergeomTail}
+import graft.functions.{ArrayDot, HyperGeom, LogHypergeomTail}
 
 /** Public SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions. Activate with
@@ -20,11 +20,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 4, s"${GraftFunctions.LogHypergeomName} expects 4 arguments")
         LogHypergeomTail(children(0), children(1), children(2), children(3))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.ArrayDotName),
+      new ExpressionInfo(classOf[ArrayDot].getName, GraftFunctions.ArrayDotName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"${GraftFunctions.ArrayDotName} expects 2 arguments")
+        ArrayDot(children(0), children(1))
+      }))
   }
 }
 
 object GraftFunctions {
   val LogHypergeomName = "graft_log_hypergeom_tail"
+  val ArrayDotName = "graft_array_dot"
 
   /** Make graft functions callable on any session, including ones the driver
     * built without our extensions: if the native Catalyst expression is not
@@ -34,6 +42,16 @@ object GraftFunctions {
     if (!spark.catalog.functionExists(GraftFunctions.LogHypergeomName)) {
       spark.udf.register(GraftFunctions.LogHypergeomName,
         (k: Long, n: Long, bigK: Long, bigN: Long) => HyperGeom.logTail(k, n, bigK, bigN))
+    }
+    if (!spark.catalog.functionExists(GraftFunctions.ArrayDotName)) {
+      spark.udf.register(GraftFunctions.ArrayDotName,
+        (a: Seq[Double], b: Seq[Double]) => {
+          val n = math.min(a.length, b.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += a(i) * b(i); i += 1 }
+          s
+        })
     }
   }
 }

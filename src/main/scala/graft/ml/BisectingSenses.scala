@@ -1,0 +1,215 @@
+package graft.ml
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+/** M2: distributed divisive hierarchical clustering (bisecting k-means) over
+  * the per-mention context vectors — ALL ENTITIES SIMULTANEOUSLY. Entity is
+  * part of every aggregation key, so the number of Spark passes depends only
+  * on k and the Lloyd budget, never on the entity count (round 1 ran one
+  * BisectingKMeans fit per entity: jobs ∝ entities).
+  *
+  * Semantics match the classic divisive recipe (Steinbach/Karypis/Kumar,
+  * KDD-2000 workshop; Spark ML's BisectingKMeans lineage): rows are
+  * L2-normalized, the tree starts as one root cluster, and each round splits
+  * the largest splittable leaf of every still-growing entity with a seeded
+  * 2-means. Tree encoding: node 1 = root, children of n are 2n and 2n+1; a
+  * row's leaf is found by walking from the root to the nearer child center —
+  * row-local against the broadcast center map, zero shuffles beyond the
+  * per-pass (entity, side) reduceByKey on k x m-sized partials.
+  */
+object BisectingSenses {
+
+  private type Center = Array[Double]
+
+  /** Fit per-entity sense matrices: H rows = leaf centers (clipped at 0,
+    * which is a no-op for centers of nonnegative data), ordered by node id
+    * so labels are deterministic. */
+  def fit(grouped: RDD[ThinNMF.Ctx], spark: SparkSession, k: Int,
+          lloydIters: Int, seed: Long): Map[String, ThinNMF.H] = {
+    val sc = spark.sparkContext
+
+    // per-entity term dimension (one cheap pass, as in ThinNMF.fit)
+    val ms: Map[String, Int] = grouped
+      .map(c => (c.entity, if (c.termids.isEmpty) 0 else c.termids.max + 1))
+      .reduceByKey(math.max).collect().toMap.filter(_._2 > 0)
+    if (ms.isEmpty) return Map.empty
+    val bcMs = sc.broadcast(ms)
+
+    // pass 0: root center per entity = mean of L2-normalized rows
+    val rootAgg = rootPass(grouped, bcMs)
+    var centers: Map[String, Map[Int, Center]] = rootAgg.collect {
+      case ((e, _), (sum, n)) if n > 0 => e -> Map(1 -> scale(sum, 1.0 / n))
+    }.toMap
+    var leaves: Map[String, Vector[Int]] = centers.map { case (e, _) => e -> Vector(1) }
+    var sizes: Map[(String, Int), Long] = rootAgg.map { case ((e, _), (_, n)) => (e, 1) -> n }.toMap
+
+    var round = 0
+    while (round < k - 1 && centers.exists { case (e, _) => leaves(e).size < k }) {
+      // split target per entity: largest splittable leaf (ties: lowest node)
+      val targets: Map[String, Int] = centers.collect {
+        case (e, _) if leaves(e).size < k =>
+          val splittable = leaves(e).filter(n => sizes.getOrElse((e, n), 0L) >= 2)
+          e -> splittable
+      }.collect { case (e, s) if s.nonEmpty =>
+        e -> s.maxBy(n => (sizes((e, n)), -n))
+      }.toMap
+      if (targets.isEmpty) return result(centers, leaves)
+
+      // seeded deterministic child init: target center ± epsilon * unit noise
+      var children: Map[String, (Center, Center)] = targets.map { case (e, n) =>
+        val c = centers(e)(n)
+        val rnd = new scala.util.Random(seed ^ e.hashCode.toLong ^ n.toLong * 1000003L)
+        val p = Array.fill(c.length)((rnd.nextDouble() - 0.5) * 1e-3)
+        e -> ((c.zip(p).map { case (x, d) => x + d }, c.zip(p).map { case (x, d) => x - d }))
+      }
+      var lastAgg: Map[(String, Int), (Center, Long)] = Map.empty
+      var it = 0
+      while (it < lloydIters) {
+        // one pass: rows inside each entity's target leaf assign to the
+        // nearer child; per-(entity, side) mean partials combined map-side
+        val bcState = sc.broadcast((centers, targets, children))
+        lastAgg = lloydPass(grouped, bcState, bcMs)
+        bcState.destroy()
+        children = targets.map { case (e, _) =>
+          val (a, b) = children(e)
+          val na = lastAgg.get((e, 0)).filter(_._2 > 0).map(x => scale(x._1, 1.0 / x._2)).getOrElse(a)
+          val nb = lastAgg.get((e, 1)).filter(_._2 > 0).map(x => scale(x._1, 1.0 / x._2)).getOrElse(b)
+          e -> ((na, nb))
+        }
+        it += 1
+      }
+      // commit the split: children become leaves 2n/2n+1 (parent center is
+      // kept as the routing node); sizes from the final assignment pass
+      centers = centers.map { case (e, cm) =>
+        targets.get(e) match {
+          case Some(n) =>
+            val (a, b) = children(e)
+            e -> (cm + (2 * n -> a) + (2 * n + 1 -> b))
+          case None => e -> cm
+        }
+      }
+      leaves = leaves.map { case (e, ls) =>
+        targets.get(e) match {
+          case Some(n) => e -> (ls.filterNot(_ == n) :+ (2 * n) :+ (2 * n + 1)).sorted
+          case None => e -> ls
+        }
+      }
+      sizes = sizes ++ targets.flatMap { case (e, n) =>
+        Seq((e, 2 * n) -> lastAgg.get((e, 0)).map(_._2).getOrElse(0L),
+          (e, 2 * n + 1) -> lastAgg.get((e, 1)).map(_._2).getOrElse(0L))
+      }
+      round += 1
+    }
+    result(centers, leaves)
+  }
+
+  private def result(centers: Map[String, Map[Int, Center]],
+                     leaves: Map[String, Vector[Int]]): Map[String, ThinNMF.H] =
+    centers.map { case (e, cm) =>
+      e -> leaves(e).sorted.toArray.map(n => cm(n).map(math.max(0.0, _)))
+    }
+
+  private def scale(a: Center, f: Double): Center = a.map(_ * f)
+
+  /** Walk the tree from the root to the nearest leaf (row-local). */
+  private def leafOf(cm: Map[Int, Center], termids: Array[Int], ws: Array[Double],
+                     invNorm: Double): Int = {
+    var node = 1
+    while (cm.contains(2 * node)) {
+      val l = cm(2 * node)
+      val r = cm(2 * node + 1)
+      node = if (distSq(l, termids, ws, invNorm) <= distSq(r, termids, ws, invNorm))
+        2 * node else 2 * node + 1
+    }
+    node
+  }
+
+  /** ||x - c||^2 for L2-normalized sparse x: 1 - 2 x·c + |c|^2. */
+  private def distSq(c: Center, termids: Array[Int], ws: Array[Double],
+                     invNorm: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < termids.length) {
+      if (termids(i) < c.length) dot += ws(i) * invNorm * c(termids(i))
+      i += 1
+    }
+    var c2 = 0.0
+    i = 0
+    while (i < c.length) { c2 += c(i) * c(i); i += 1 }
+    1.0 - 2.0 * dot + c2
+  }
+
+  /** Root-init pass: mean of normalized rows per entity (side key fixed 0
+    * maps to node 1 in the caller). */
+  private def rootPass(grouped: RDD[ThinNMF.Ctx],
+                       bcMs: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
+  : Array[((String, Int), (Center, Long))] = {
+    grouped.mapPartitions { rows =>
+      val ms = bcMs.value
+      val acc = scala.collection.mutable.Map.empty[(String, Int), (Center, Long)]
+      rows.foreach { c =>
+        ms.get(c.entity).foreach { m =>
+          val inv = invNormOf(c.ws)
+          if (inv > 0) {
+            val (sum, n) = acc.getOrElseUpdate((c.entity, 0), (new Array[Double](m), 0L))
+            var i = 0
+            while (i < c.termids.length) {
+              if (c.termids(i) < m) sum(c.termids(i)) += c.ws(i) * inv
+              i += 1
+            }
+            acc.update((c.entity, 0), (sum, n + 1))
+          }
+        }
+      }
+      acc.iterator
+    }.reduceByKey(mergeCenters).collect()
+  }
+
+  /** One Lloyd pass: per-(entity, side∈{0,1}) sum + count of the normalized
+    * rows currently inside the entity's split-target leaf. */
+  private def lloydPass(grouped: RDD[ThinNMF.Ctx],
+                        bcState: org.apache.spark.broadcast.Broadcast[(Map[String, Map[Int, Center]], Map[String, Int], Map[String, (Center, Center)])],
+                        bcMs: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
+  : Map[(String, Int), (Center, Long)] = {
+    grouped.mapPartitions { rows =>
+      val (centers, targets, children) = bcState.value
+      val ms = bcMs.value
+      val acc = scala.collection.mutable.Map.empty[(String, Int), (Center, Long)]
+      rows.foreach { c =>
+        targets.get(c.entity).foreach { tgt =>
+          val m = ms(c.entity)
+          val inv = invNormOf(c.ws)
+          if (inv > 0 && leafOf(centers(c.entity), c.termids, c.ws, inv) == tgt) {
+            val (ca, cb) = children(c.entity)
+            val side = if (distSq(ca, c.termids, c.ws, inv) <=
+              distSq(cb, c.termids, c.ws, inv)) 0 else 1
+            val (sum, n) = acc.getOrElseUpdate((c.entity, side), (new Array[Double](m), 0L))
+            var i = 0
+            while (i < c.termids.length) {
+              if (c.termids(i) < m) sum(c.termids(i)) += c.ws(i) * inv
+              i += 1
+            }
+            acc.update((c.entity, side), (sum, n + 1))
+          }
+        }
+      }
+      acc.iterator
+    }.reduceByKey(mergeCenters).collect().toMap
+  }
+
+  private def mergeCenters(x: (Center, Long), y: (Center, Long)): (Center, Long) = {
+    val (a, na) = x
+    val (b, nb) = y
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    (a, na + nb)
+  }
+
+  private def invNormOf(ws: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ws.length) { s += ws(i) * ws(i); i += 1 }
+    if (s > 0) 1.0 / math.sqrt(s) else 0.0
+  }
+}

@@ -1,10 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.clustering.BisectingKMeans
-import org.apache.spark.ml.feature.Normalizer
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.recommendation.ALS
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.WsidConfig
@@ -16,10 +13,12 @@ import graft.WsidConfig
   * one data pass per iteration, driver-solved H — the shape-aware choice for
   * A(ctx x term) with ctx ~ 10^9+ and term <= topK (wsid's NMF ancestry:
   * Van de Cruys & Apidianaki, ACL 2011). Alternatives:
-  *  - "als": nonnegative explicit-feedback ALS (generic factorizer; entities
-  *    fit concurrently to amortize its iteration-barrier latency);
-  *  - "hclust": BisectingKMeans (divisive hierarchical) on L2-normalized
-  *    vectors, cluster centers standing in for H.
+  *  - "als": nonnegative explicit-feedback ALS — ONE composite block-diagonal
+  *    fit for all entities (entity-offset item ids), jobs independent of the
+  *    entity count;
+  *  - "hclust": distributed bisecting k-means (BisectingSenses) on
+  *    L2-normalized vectors, all entities split in the same passes, cluster
+  *    centers standing in for H.
   *
   * All methods converge on the same artifact: the per-entity k x m sense
   * matrix H, from which senseVec (long form) and the fused assignment pass
@@ -45,10 +44,9 @@ object SenseInduction {
     * table (entity, senseid, termid, weight) — checkpointable. */
   def senseMatrix(spark: SparkSession, grouped: org.apache.spark.rdd.RDD[ThinNMF.Ctx],
                   cfg: WsidConfig): DataFrame = {
-    lazy val ctxvec = longForm(spark, grouped) // only the alt methods need it
     val h: Map[String, ThinNMF.H] = cfg.method match {
-      case "als" => alsH(spark, ctxvec, cfg)
-      case "hclust" => hclustH(spark, ctxvec, cfg)
+      case "als" => alsH(spark, longForm(spark, grouped), cfg)
+      case "hclust" => BisectingSenses.fit(grouped, spark, cfg.kSenses, 10, cfg.seed)
       case _ => ThinNMF.fit(grouped, spark, cfg.kSenses, cfg.nmfMaxIter, cfg.seed)
     }
     ThinNMF.senseVecDF(spark, h)
@@ -74,37 +72,43 @@ object SenseInduction {
     }
   }
 
-  /** M1-alt: NMF as nonnegative ALS; entities factorized concurrently
-    * (driver-side futures) to overlap the per-iteration job barriers. */
+  /** M1-alt: NMF as nonnegative ALS — ONE composite fit for every entity.
+    * Entities share no observed cells, so the joint problem is
+    * block-diagonal: item ids are entity-offset termids, user ids are dense
+    * (entity, ctxid) codes, and a single rank-k explicit-feedback ALS
+    * factorizes all blocks at once (the squared loss and the per-row normal
+    * equations decompose exactly per block, because a user's equations touch
+    * only the items it rated). Spark jobs per iteration are therefore
+    * independent of the entity count — round 1 ran one ALS per entity. */
   private def alsH(spark: SparkSession, ctxvec: DataFrame, cfg: WsidConfig): Map[String, ThinNMF.H] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val entities = ctxvec.select("entity").distinct().collect().map(_.getString(0)).sorted
-    val futures = entities.map { e =>
-      Future {
-        val cv = ctxvec.filter(col("entity") === e).select("ctxid", "termid", "w")
-        if (cv.isEmpty) None else Some(e -> alsFit(spark, cv, cfg))
-      }
-    }
-    futures.flatMap(f => Await.result(f, Duration.Inf)).toMap
-  }
-
-  private def alsFit(spark: SparkSession, cv: DataFrame, cfg: WsidConfig): ThinNMF.H = {
     import spark.implicits._
-    // compact ctx ids to Int (ALS contract); zipWithUniqueId needs no extra
-    // count job and ids stay < rowCount * numPartitions (Int-safe here)
-    val idx = cv.select("ctxid").distinct().rdd
-      .map(_.getString(0)).zipWithUniqueId()
-      .map { case (c, i) =>
+    val k = cfg.kSenses
+    // per-entity term dims -> contiguous item-id offsets (dictionary-sized)
+    val ms = ctxvec.groupBy("entity").agg(max(col("termid")).as("m"))
+      .as[(String, Int)].collect().map { case (e, mMax) => e -> (mMax + 1) }.toMap
+    if (ms.isEmpty) return Map.empty
+    val entities = ms.keys.toSeq.sorted
+    val offArr = entities.scanLeft(0)((acc, e) => acc + ms(e)).dropRight(1).toArray
+    require(offArr.last.toLong + ms(entities.last) <= Int.MaxValue,
+      "composite item id space exceeds Int — shard entities")
+    val offsetDF = entities.zip(offArr).toDF("entity", "off")
+
+    // dense Int user ids over (entity, ctxid); zipWithUniqueId needs no
+    // extra count job and ids stay < rowCount * numPartitions (Int-safe)
+    val users = ctxvec.select("entity", "ctxid").distinct().rdd
+      .map(r => (r.getString(0), r.getString(1))).zipWithUniqueId()
+      .map { case ((e, c), i) =>
         require(i <= Int.MaxValue, "context id space exceeds Int — shard entities")
-        (c, i.toInt)
-      }.toDF("ctxid", "cid")
-    val ratings = cv.join(idx, Seq("ctxid"))
-      .select(col("cid"), col("termid"), col("w").cast("float").as("rating"))
+        (e, c, i.toInt)
+      }.toDF("entity", "ctxid", "cid")
+    val ratings = ctxvec.join(users, Seq("entity", "ctxid"))
+      .join(broadcast(offsetDF), Seq("entity"))
+      .select(col("cid"), (col("off") + col("termid")).cast("int").as("item"),
+        col("w").cast("float").as("rating"))
+
     val als = new ALS()
-      .setUserCol("cid").setItemCol("termid").setRatingCol("rating")
-      .setRank(cfg.kSenses)
+      .setUserCol("cid").setItemCol("item").setRatingCol("rating")
+      .setRank(k)
       .setMaxIter(cfg.nmfMaxIter)
       .setRegParam(cfg.nmfRegParam)
       .setNonnegative(true)
@@ -116,39 +120,18 @@ object SenseInduction {
     val model = als.fit(ratings)
     val factors = model.itemFactors.select("id", "features")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-    val m = factors.map(_._1).max + 1
-    val h = Array.ofDim[Double](cfg.kSenses, m)
-    factors.foreach { case (t, fs) =>
+
+    // slice the composite item factors back into per-entity H by offset range
+    val h = entities.map(e => e -> Array.ofDim[Double](k, ms(e))).toMap
+    factors.foreach { case (item, fs) =>
+      var idx = java.util.Arrays.binarySearch(offArr, item)
+      if (idx < 0) idx = -idx - 2
+      val e = entities(idx)
+      val t = item - offArr(idx)
       var s = 0
-      while (s < cfg.kSenses) { h(s)(t) = math.max(0.0, fs(s).toDouble); s += 1 }
+      while (s < k) { h(e)(s)(t) = math.max(0.0, fs(s).toDouble); s += 1 }
     }
     h
-  }
-
-  /** M2: divisive hierarchical clustering (BisectingKMeans) on L2-normalized
-    * sparse context vectors; cluster centers become the sense vectors. */
-  private def hclustH(spark: SparkSession, ctxvec: DataFrame, cfg: WsidConfig): Map[String, ThinNMF.H] = {
-    import spark.implicits._
-    val entities = ctxvec.select("entity").distinct().collect().map(_.getString(0)).sorted
-    entities.flatMap { e =>
-      val cv = ctxvec.filter(col("entity") === e).select("ctxid", "termid", "w")
-      if (cv.isEmpty) None
-      else {
-        val dim = cv.agg(max("termid")).head().getInt(0) + 1
-        val assembled = cv.groupBy("ctxid")
-          .agg(collect_list(struct(col("termid"), col("w"))).as("cells"))
-          .map { r =>
-            val cells = r.getSeq[Row](1).map(c => (c.getInt(0), c.getDouble(1))).sortBy(_._1)
-            (r.getString(0), Vectors.sparse(dim, cells.map(_._1).toArray, cells.map(_._2).toArray))
-          }.toDF("ctxid", "raw")
-        val normalized = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
-          .transform(assembled)
-        val bkm = new BisectingKMeans().setK(cfg.kSenses).setSeed(cfg.seed).setFeaturesCol("features")
-        val model = bkm.fit(normalized)
-        val h = model.clusterCenters.map(_.toArray.map(math.max(0.0, _)))
-        Some(e -> h)
-      }
-    }.toMap
   }
 
   /** M4: human-readable top-terms-per-sense descriptors. */

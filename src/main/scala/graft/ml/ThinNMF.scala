@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   *   - W-step: each context row solves a k-variable NNLS against the
   *     broadcast H — pure map work, no shuffle, whole partition streamed;
   *   - H-step: needs only the k x m Gram aggregates (W^T A and W^T W),
-  *     reduced in one pass and solved on the driver (k*m doubles — tiny).
+  *     reduced in one pass, SOLVED ON THE EXECUTORS post-shuffle, and only
+  *     the solved H collected (k*m doubles per entity).
+  *
+  * Driver-memory bound: the broadcast H map holds E * k * (m + k) doubles
+  * for E tracked entities. At wsid-realistic E (10^2..10^4, k<=16, m<=topK)
+  * that is <= ~100 MB; at E ~ 10^6 shard the entity set across fits (the
+  * passes are entity-keyed, so sharding is a driver-side loop over disjoint
+  * entity subsets with no change to per-pass cost).
   *
   * One data pass per iteration, so cost is data-proportional and scales
   * linearly with executors — unlike a generic factorizer that shuffles
@@ -148,11 +155,13 @@ object ThinNMF {
         var i = 0; while (i < a1.length) { a1(i) += a2(i); i += 1 }
         i = 0; while (i < b1.length) { b1(i) += b2(i); i += 1 }
         (a1, b1)
-      }.collect()
-
-      // driver-side H update: per term column, NNLS over the k x k Gram
-      h = partials.map { case (e, (wtaF, wtwF)) =>
-        val m = ms(e)
+      }.map { case (e, (wtaF, wtwF)) =>
+        // H update solved on the EXECUTORS (post-shuffle, one task per
+        // entity group): per term column, NNLS over the k x k Gram. The
+        // driver only collects the solved H (k x m doubles per entity) for
+        // the next iteration's broadcast — the same bytes it would have
+        // pulled anyway, with none of the per-column solve work.
+        val m = wtaF.length / k
         val wtw = Array.tabulate(k, k)((i, j) => wtwF(i * k + j) + (if (i == j) 1e-9 else 0.0))
         val hNew = Array.ofDim[Double](k, m)
         var t = 0
@@ -164,7 +173,9 @@ object ThinNMF {
           t += 1
         }
         e -> hNew
-      }.toMap
+      }.collect()
+
+      h = partials.toMap
       bc.destroy()
       it += 1
     }

@@ -47,7 +47,10 @@ object Cooc {
   def contingency(spark: SparkSession, tokens: Dataset[Token], cov: Dataset[CovTok],
                   cfg: WsidConfig): DataFrame = {
     // exactly two full-data traversals: cov -> cooc and tokens -> marginals;
-    // everything after operates on the small cached aggregates
+    // everything after operates on the small cached aggregates. These caches
+    // are VOCAB-bounded (one row per term / per entity-term pair), never
+    // data-proportional, and the E2 chain is built once per (session, input)
+    // via Memo — so the footprint of not unpersisting here stays bounded.
     val cooc = coocCounts(cov, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val marg = marginals(tokens, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one driver action for both N and the broadcast decision (vocab size

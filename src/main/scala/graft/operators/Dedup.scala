@@ -130,21 +130,31 @@ object Dedup {
       }
     }.toDF("band", "bucket", "docid")
 
-    // hot-bucket guard: a degenerate bucket of m docs emits m^2 pairs
-    val okBuckets = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucket))
-      .select("band", "bucket")
-    val pruned = buckets.join(okBuckets, Seq("band", "bucket"), "left_semi")
-    val candidates = pruned.as("x").join(pruned.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.docid") < col("y.docid"))
-      .select(col("x.docid").as("a"), col("y.docid").as("b"))
-      .distinct()
+    // candidate pairs in ONE pass over the signatures: bucket members are
+    // collected per (band, bucket) and pairs exploded bucket-locally — the
+    // signature sub-DAG evaluates once (a bucket self-JOIN re-evaluates it
+    // per join side), and the size filter is the hot-bucket guard (a
+    // degenerate bucket of m docs would emit m^2 pairs)
+    val candidates = pairsInBuckets(buckets.groupBy("band", "bucket")
+      .agg(collect_list(col("docid")).as("ids")), 2, maxBucket)
 
     // exact verification of candidates only
     val sh = shingles(td, n)
     val sizes = sh.groupBy("docid").agg(count(lit(1)).as("sz"))
     minhashVerify(spark, candidates, sh, sizes, threshold)
+  }
+
+  /** Distinct canonical (a, b) pairs from per-bucket member lists, exploded
+    * bucket-locally (no self-join, upstream evaluated once). `ids` column:
+    * array of member ids; buckets outside [minSize, maxBucket] are skipped. */
+  private[operators] def pairsInBuckets(bucketed: DataFrame, minSize: Int, maxBucket: Int): DataFrame = {
+    bucketed
+      .filter(size(col("ids")).between(minSize, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   private def minhashVerify(spark: org.apache.spark.sql.SparkSession, candidates: DataFrame,
@@ -200,16 +210,22 @@ object Dedup {
         (b, (sig >>> lo) & mask, docid, sig)
       }
     }.toDF("band", "bucket", "docid", "sig")
-    val pairs = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.docid") < col("y.docid"))
-      .select(col("x.docid").as("a"), col("y.docid").as("b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
-      .distinct()
-    pairs
-      .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+    // pairs exploded bucket-locally from the collected member list (ONE
+    // evaluation of the signature sub-DAG; a self-join costs two). NO bucket
+    // cap here: the pigeonhole guarantee (any pair within maxHamming shares
+    // >= 1 exact band) must stay exact — capped buckets would drop pairs.
+    buckets.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("docid"), col("sig"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(
+            least(x.getField("docid"), y.getField("docid")).as("a"),
+            greatest(x.getField("docid"), y.getField("docid")).as("b"),
+            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .distinct()
   }
 
   // -------------------------------------------- embedding near-duplicates
@@ -224,40 +240,42 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
                            bands: Int = 16, width: Int = 8, seed: Long = 42L,
                            maxBucket: Int = 1000): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sigs = Similarity.hyperplaneBuckets(emb, "vec_id", bands, width, seed)
-    // hot-bucket guard: a degenerate bucket of m vectors emits m^2 pairs
-    val okBuckets = sigs.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucket))
-      .select("band", "bucket")
-    val pruned = sigs.join(okBuckets, Seq("band", "bucket"), "left_semi")
-    val candidates = pruned.as("x").join(pruned.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
-    // exact cosine verification of candidates only (codegen'd, no UDF)
+    // candidate pairs exploded bucket-locally (ONE evaluation of the
+    // signature sub-DAG); the size filter is the hot-bucket guard (a
+    // degenerate bucket of m vectors would emit m^2 pairs)
+    val candidates = pairsInBuckets(sigs.groupBy("band", "bucket")
+      .agg(collect_list(col("vec_id")).as("ids")), 2, maxBucket)
+    // exact cosine verification of candidates only: rows normalized once
+    // pre-join, a single dot per candidate pair
+    val na = emb.select(col("vec_id").as("a"),
+      Similarity.l2normalized(Similarity.asDouble("embedding")).as("ea"))
+    val nb = emb.select(col("vec_id").as("b"),
+      Similarity.l2normalized(Similarity.asDouble("embedding")).as("eb"))
     candidates
-      .join(emb.select(col("vec_id").as("a"), Similarity.asDouble("embedding").as("ea")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), Similarity.asDouble("embedding").as("eb")), Seq("b"))
-      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .join(na, Seq("a"))
+      .join(nb, Seq("b"))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }
 
-  /** Exact cosine near-dup pairs above `threshold` (relational form:
-    * posexplode + join + sum). Quadratic; bounded inputs or LSH first. */
+  /** Exact cosine near-dup pairs above `threshold`. Quadratic BY DESIGN
+    * (every pair scored) — the verifier behind embeddingNearDupsLsh, for
+    * bounded inputs and recall gates, never the 100 TB path. The pair loop
+    * is a broadcast nested-loop join with the cosine as a codegen'd
+    * zip_with/aggregate expression — one whole-stage-codegen span, no
+    * shuffle of exploded coordinates (the round-1 posexplode form moved
+    * |V|^2 * dim rows through a shuffle to compute the same dots). */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "v")))
-      .withColumn("v", col("v").cast("double"))
-    val norms = e.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    val dots = e.toDF("a", "i", "va").join(e.toDF("b", "i", "vb"), Seq("i"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(sum(col("va") * col("vb")).as("dot"))
-    dots
-      .join(norms.toDF("a", "na"), Seq("a"))
-      .join(norms.toDF("b", "nb"), Seq("b"))
-      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+    graft.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val a = emb.select(col("vec_id").as("a"),
+      Similarity.l2normalized(Similarity.asDouble("embedding")).as("ea"))
+    val b = emb.select(col("vec_id").as("b"),
+      Similarity.l2normalized(Similarity.asDouble("embedding")).as("eb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }

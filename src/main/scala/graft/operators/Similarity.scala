@@ -19,18 +19,34 @@ object Similarity {
   private[operators] def asDouble(c: String): org.apache.spark.sql.Column =
     transform(col(c), x => x.cast("double"))
 
+  /** L2-normalize an array<double> column (zero vectors pass through).
+    * Per-ROW cost, evaluated before pair joins. */
+  private[operators] def l2normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nrm = sqrt(dot(c, c))
+    when(nrm > 0, transform(c, x => x / nrm)).otherwise(c)
+  }
+
+  /** Dot product of two array<double> columns via the native codegen'd
+    * ArrayDot expression (falls back to a registered UDF on sessions built
+    * without GraftExtensions — see GraftFunctions.ensureRegistered, which
+    * every entry-point operator calls). The per-PAIR hot path: on
+    * pre-normalized vectors this IS the cosine at one call per pair. */
+  private[operators] def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function(graft.GraftFunctions.ArrayDotName, a, b)
+
   /** Exact cosine similarity column between two array<double> columns. */
   private[operators] def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
   }
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` and `corpus`: (vec_id, embedding). Queries are broadcast;
     * the corpus is scanned once (whole-stage codegen, no UDF). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("b"), asDouble("embedding").as("eb"))
     val q = queries.select(col("vec_id").as("a"), asDouble("embedding").as("ea"))
     val scored = c.crossJoin(broadcast(q))
@@ -86,6 +102,7 @@ object Similarity {
     * re-rank of candidates only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 8, width: Int = 8, seed: Long = 42L): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cs = hyperplaneBuckets(corpus, "b", bands, width, seed)
     val qs = hyperplaneBuckets(queries, "a", bands, width, seed)
     val candidates = qs.join(cs, Seq("band", "bucket"))
@@ -109,30 +126,36 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
+    graft.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val toVec = udf((e: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(e.toArray))
     val train = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
       .withColumn("features", toVec(col("e")))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      // index BUILD cost: 10 iterations place 16 coarse centroids well
+      // enough; probe quality is governed by nprobe, not centroid polish
+      .setMaxIter(10)
     val model = km.fit(train)
     val centers = model.clusterCenters.map(_.toArray)
-    val bcCenters = spark.sparkContext.broadcast(centers)
 
-    def nearestCells(n: Int) = udf((e: Seq[Double]) => {
-      val cs = bcCenters.value
-      cs.indices.map { ci =>
-        var d = 0.0
-        var i = 0
-        while (i < e.length) { val x = e(i) - cs(ci)(i); d += x * x; i += 1 }
-        (ci, d)
-      }.sortBy(_._2).take(n).map(_._1)
-    })
+    // nearest-cell assignment as pure column expressions (whole-stage
+    // codegen on the hot path — the per-row UDF of round 1 broke it): the
+    // centroid table is a plan literal (nlist x dim doubles, tiny), distances
+    // via zip_with/aggregate, argmin-n via array_sort on (dist, cell) structs
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    def cellsOf(e: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      val scored = transform(centersLit, (c, ci) => struct(
+        aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        ci.as("ci")))
+      transform(slice(array_sort(scored), 1, n), s => s.getField("ci"))
+    }
 
-    val cCells = train.withColumn("cell", explode(nearestCells(1)(col("e"))))
+    val cCells = train.withColumn("cell", element_at(cellsOf(col("e"), 1), 1))
       .select(col("vec_id").as("b"), col("cell"), col("e").as("eb"))
     val qCells = queries.select(col("vec_id").as("a"), asDouble("embedding").as("ea"))
-      .withColumn("cell", explode(nearestCells(nprobe)(col("ea"))))
+      .withColumn("cell", explode(cellsOf(col("ea"), nprobe)))
 
     val rerank = qCells.join(cCells, Seq("cell"))
       .filter(col("a") =!= col("b"))
