@@ -64,6 +64,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("embedding pair scoring is the native ArrayDot expression, no UDF") {
+    import spark.implicits._
+    val emb = spark.createDataset((0L until 50L).map(i =>
+      (i, Seq.fill(8)(((i * 31 + 7) % 11).toFloat / 11f)))).toDF("vec_id", "embedding")
+    val brute = operators.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 3)
+    brute.collect()
+    val plan = brute.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_array_dot("), s"native dot missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"interpreted UDF on the ANN hot path:\n$plan")
+
+    // IVF probe path: the KMeans featurization UDF must be pruned out of the
+    // final query plan (it belongs to the driver-side index build only)
+    val ivf = operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 2), 3, nlist = 4)
+    ivf.collect()
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("ScalaUDF"), s"UDF survived into the IVF probe plan:\n$ivfPlan")
+  }
+
   test("context rows (ML input) plan contains NO exchange at all") {
     import spark.implicits._
     val docs = CorpusSynth.fromDocuments(spark, sfDir)
