@@ -29,6 +29,16 @@ object ExtraQueries {
   private def emb(spark: SparkSession, sfDir: String, maxId: Int) =
     spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < maxId)
 
+  private def tokdocsWhere(spark: SparkSession, sfDir: String,
+                           cond: org.apache.spark.sql.Column): Dataset[TokDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(cond)
+      .select(col("doc_id").cast("string").as("docid"), col("text"))
+      .as[(String, String)]
+      .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+  }
+
   /** The corpus embeddings carry no natural near-duplicates (max pairwise
     * cosine ≈ 0.51), so the dedup queries plant them: every vec_id < nPlant
     * gains a copy at id+100000 with a ±4% per-coordinate multiplicative
@@ -204,6 +214,24 @@ object ExtraQueries {
           round(sum(element_at(col("features"), 1)) * 10000).cast("long").as("f0_sum_e4"))
         .orderBy("modality")),
 
+    // deterministic stratified sampling: content-hash threshold per stratum —
+    // reproducible across runs and cluster sizes, no shuffle, no count pass
+    "q_sample_stratified" -> ((s, d) => {
+      val fr = Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.125, "fr" -> 1.0, "zh" -> 0.0625)
+      TextStats.stratifiedSample(docs(s, d), "lang", fr)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("content"))).as("chars"))
+        .orderBy("lang")
+    }),
+
+    // benchmark-contamination check: per held-out doc, the fraction of its
+    // 3-gram shingles that appear anywhere in the training split
+    "q_contamination" -> ((s, d) => {
+      val corpus = tokdocsWhere(s, d, col("doc_id") >= 20 && col("doc_id") < 220)
+      val bench = tokdocsWhere(s, d, col("doc_id") < 20)
+      TextStats.contamination(corpus, bench, 3).orderBy("docid")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       import s.implicits._
       val td = s.read.parquet(s"$d/documents.parquet")
@@ -319,6 +347,52 @@ object ExtraQueries {
         |       CASE WHEN len(toks) > 0 THEN CAST(round(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS distinct_ratio_e4,
         |       CASE WHEN len(toks) > 0 THEN CAST(round(length(content) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS chars_per_token_e4
         |FROM sub ORDER BY length(doc), doc""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH docs AS (
+        |  SELECT source AS repo,
+        |         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        |         substr(sha256(text), 1, 12) AS "commit",
+        |         lang, text AS content
+        |  FROM documents
+        |),
+        |keyed AS (
+        |  SELECT lang, content,
+        |         substr(sha256(repo || '|' || path || '|' || "commit"), 1, 4) AS hkey,
+        |         CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+        |                   WHEN 'es' THEN '2000' WHEN 'fr' THEN 'g'
+        |                   WHEN 'zh' THEN '1000' ELSE '0000' END AS thr
+        |  FROM docs
+        |)
+        |SELECT lang, count(*) AS n, CAST(sum(length(content)) AS BIGINT) AS chars
+        |FROM keyed WHERE hkey < thr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid, doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |corp AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(arr) - 2),
+        |         i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS shingle
+        |  FROM toks WHERE doc_id >= 20 AND doc_id < 220
+        |),
+        |bs AS (
+        |  SELECT DISTINCT docid,
+        |         unnest(list_transform(generate_series(1, len(arr) - 2),
+        |         i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS shingle
+        |  FROM toks WHERE doc_id < 20
+        |),
+        |sizes AS (SELECT docid, count(*) AS n_shingles FROM bs GROUP BY docid),
+        |hits AS (
+        |  SELECT docid, count(*) AS n_hits FROM bs
+        |  WHERE shingle IN (SELECT shingle FROM corp) GROUP BY docid
+        |)
+        |SELECT s.docid, s.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+        |       CAST(round(COALESCE(h.n_hits, 0) * 10000.0 / s.n_shingles) AS BIGINT) AS containment_e4
+        |FROM sizes s LEFT JOIN hits h ON s.docid = h.docid
+        |ORDER BY s.docid""".stripMargin,
 
     "q_text_tokencount" ->
       """WITH docs AS (SELECT source AS repo, text AS content FROM documents)

@@ -75,6 +75,49 @@ object TextStats {
     }.toDF("docid", "lang_pred", "marker_hits")
   }
 
+  /** Deterministic stratified sampling by content-hash threshold: a document
+    * is kept iff the hex prefix of sha256(key) falls below the per-stratum
+    * threshold — exact, engine-portable (the oracle compares the same hex
+    * strings), reproducible across runs AND cluster sizes, and requires no
+    * shuffle or count pass (contrast reservoir/`sample()`: nondeterministic
+    * under re-partitioning). `fractions`: stratum -> fraction in [0,1],
+    * encoded as a 4-hex-digit threshold (resolution 1/65536). */
+  def stratifiedSample(docs: Dataset[CodeDoc], strataCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val thresholds = fractions.map { case (s, f) =>
+      val v = math.round(f * 65536)
+      // 'g' sorts after every hex digit -> keeps ALL rows at fraction 1.0;
+      // otherwise a 4-hex-digit threshold compared at equal length
+      s -> (if (v >= 65536) "g" else f"$v%04x")
+    }
+    val thrCol = thresholds.foldLeft(lit("0000")) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    docs.toDF()
+      .withColumn("hkey", substring(sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256), 1, 4))
+      .filter(col("hkey") < thrCol)
+      .drop("hkey")
+  }
+
+  /** Benchmark-contamination detection: for each document in `benchmark`,
+    * the fraction of its n-gram shingles that appear ANYWHERE in `corpus`
+    * (n-gram containment, the standard train/test-leakage check). Shingle
+    * sets are doc-local; the corpus side is reduced to DISTINCT shingles
+    * before the join, so the exchange carries the n-gram vocabulary, not the
+    * corpus. */
+  def contamination(corpus: Dataset[TokDoc], benchmark: Dataset[TokDoc], n: Int): DataFrame = {
+    val corpusShingles = Dedup.shingles(corpus, n).select("shingle").distinct()
+    val benchShingles = Dedup.shingles(benchmark, n)
+    val sizes = benchShingles.groupBy("docid").agg(count(lit(1)).as("n_shingles"))
+    val hits = benchShingles.join(corpusShingles, Seq("shingle"), "left_semi")
+      .groupBy("docid").agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("docid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("containment_e4",
+        round(col("n_hits") * 10000.0 / col("n_shingles")).cast("long"))
+      .select("docid", "n_shingles", "n_hits", "containment_e4")
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

@@ -5,6 +5,38 @@ import graft.operators.{TextStats, Tokenize}
 class TextStatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("stratifiedSample: deterministic, fraction-accurate, exact at 0 and 1") {
+    val docs = (0 until 2000).map(i =>
+      CodeDoc("r", s"p$i", s"c$i", if (i % 2 == 0) "en" else "de", s"content $i")).toDS()
+    val fr = Map("en" -> 0.25, "de" -> 1.0)
+    val s1 = TextStats.stratifiedSample(docs, "lang", fr)
+    val byLang = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 1000, s"fraction 1.0 must keep every row: $byLang")
+    assert(math.abs(byLang("en") - 250) < 60, s"en sample far from 25%: $byLang") // hash-uniformity
+    // deterministic: same rows every run
+    val s2 = TextStats.stratifiedSample(docs, "lang", fr)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // fraction 0 keeps nothing; unknown strata default to nothing
+    assert(TextStats.stratifiedSample(docs, "lang", Map("en" -> 0.0)).count() == 0)
+  }
+
+  test("contamination: containment of benchmark n-grams in the corpus") {
+    val corpus = Seq(
+      TokDoc("c1", "the quick brown fox jumps over the lazy dog".split(" ")),
+      TokDoc("c2", "pack my box with five dozen liquor jugs".split(" "))).toDS()
+    val bench = Seq(
+      TokDoc("b_dup", "quick brown fox jumps over".split(" ")), // fully inside c1
+      TokDoc("b_new", "completely novel words appear here today".split(" ")),
+      TokDoc("b_half", "brown fox jumps nowhere near anything".split(" "))).toDS()
+    val r = TextStats.contamination(corpus, bench, 3).collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("n_hits"), x.getAs[Long]("containment_e4"))).toMap
+    assert(r("b_dup") == ((3L, 10000L)), s"full-substring doc must be 100% contained: $r")
+    assert(r("b_new") == ((0L, 0L)))
+    // b_half: shingles = {brown fox jumps, fox jumps nowhere, jumps nowhere near, nowhere near anything}
+    // only the first appears in c1 -> 1/4
+    assert(r("b_half") == ((1L, 2500L)), s"$r")
+  }
+
   test("quality: exact metrics on a hand-checked doc") {
     val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox jumps")).toDS()
     val row = TextStats.quality(docs).head()
