@@ -17,8 +17,9 @@ cd "$(dirname "$0")/.."
 
 run() { # cores
   local cores=$1
-  local cpus="0-$((cores - 1))"
-  [ "$cores" = 1 ] && cpus="0"
+  # pin away from CPU 0-1 (kernel housekeeping/IRQ bias on low CPUs)
+  local cpus="2-$((cores + 1))"
+  [ "$cores" = 1 ] && cpus="2"
   taskset -c "$cpus" env \
     SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     GRAFT_BENCH_ONLY="$cores" GRAFT_BENCH_REPS="$REPS" SPARK_DRIVER_MEM=20g \
