@@ -101,15 +101,21 @@ object TextStats {
 
   /** Benchmark-contamination detection: for each document in `benchmark`,
     * the fraction of its n-gram shingles that appear ANYWHERE in `corpus`
-    * (n-gram containment, the standard train/test-leakage check). Shingle
-    * sets are doc-local; the corpus side is reduced to DISTINCT shingles
-    * before the join, so the exchange carries the n-gram vocabulary, not the
-    * corpus. */
+    * (n-gram containment, the standard train/test-leakage check).
+    *
+    * Scale shape: the corpus is the 100 TB side, the benchmark is small, so
+    * the corpus scan is FILTERED by the broadcast benchmark vocabulary
+    * before anything shuffles — every exchange carries corpus∩benchmark
+    * shingles, bounded by the benchmark size, never the corpus. */
   def contamination(corpus: Dataset[TokDoc], benchmark: Dataset[TokDoc], n: Int): DataFrame = {
-    val corpusShingles = Dedup.shingles(corpus, n).select("shingle").distinct()
     val benchShingles = Dedup.shingles(benchmark, n)
+    val benchVocab = benchShingles.select("shingle").distinct()
+    // corpus∩benchmark shingles (benchmark-bounded by construction)
+    val present = Dedup.shingles(corpus, n)
+      .join(broadcast(benchVocab), Seq("shingle"), "left_semi")
+      .select("shingle").distinct()
     val sizes = benchShingles.groupBy("docid").agg(count(lit(1)).as("n_shingles"))
-    val hits = benchShingles.join(corpusShingles, Seq("shingle"), "left_semi")
+    val hits = benchShingles.join(broadcast(present), Seq("shingle"), "left_semi")
       .groupBy("docid").agg(count(lit(1)).as("n_hits"))
     sizes.join(hits, Seq("docid"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
