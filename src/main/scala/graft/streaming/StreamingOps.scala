@@ -40,6 +40,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("entity"), col("senseid"), col("n"))
 
+  /** Streaming exact dedup: drop any document whose content sha256 was
+    * already seen within the watermark horizon. State is BOUNDED — sha keys
+    * are evicted once older than the watermark (the streaming analogue of
+    * the batch exact-dedup groupBy; Spark's dropDuplicatesWithinWatermark
+    * keeps one state row per distinct key per horizon). Input needs an
+    * event-time column. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sha", sha2(col("content"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sha")
+
+  /** Timestamped document row for the streaming-dedup path. */
+  final case class TimedDoc(ts: Timestamp, repo: String, path: String, content: String)
+
   /** Timestamped assignment row for the windowed aggregation tests. */
   final case class TimedAssignment(ts: Timestamp, entity: String, senseid: Int)
 }

@@ -82,6 +82,18 @@ class PlanSpec extends SparkTestBase {
     assert(!ivfPlan.contains("ScalaUDF"), s"UDF survived into the IVF probe plan:\n$ivfPlan")
   }
 
+  test("contamination: corpus side joins via broadcast, never a shuffle join") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => TokDoc(s"c$i", Array.fill(30)(s"w${(i * 7 + 1) % 50}"))).toDS()
+    val bench = (0 until 5).map(i => TokDoc(s"b$i", Array.fill(10)(s"w${i % 50}"))).toDS()
+    val df = operators.TextStats.contamination(corpus, bench, 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join — exchanges must stay benchmark-bounded:\n$plan")
+  }
+
   test("context rows (ML input) plan contains NO exchange at all") {
     import spark.implicits._
     val docs = CorpusSynth.fromDocuments(spark, sfDir)

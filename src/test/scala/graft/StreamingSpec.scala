@@ -45,6 +45,25 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming exact dedup: duplicate content dropped within the watermark") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedDoc]
+    val out = StreamingOps.dedupStream(stream.toDS().toDF(), "ts", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData(
+        StreamingOps.TimedDoc(t(0), "r", "a", "same content"),
+        StreamingOps.TimedDoc(t(1), "r", "b", "same content"), // dup within horizon
+        StreamingOps.TimedDoc(t(2), "r", "c", "other content"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("path").as[String].collect().toSet
+      assert(kept.contains("c") && kept.size == 2, s"kept=$kept")
+      assert(!(kept.contains("a") && kept.contains("b")), s"both dups survived: $kept")
+    } finally query.stop()
+  }
+
   test("windowed sense counts: watermark + tumbling window aggregation") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedAssignment]
