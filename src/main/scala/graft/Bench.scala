@@ -30,8 +30,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
 
+    // test hook for the loud-failure contract: GRAFT_BENCH_INJECT_FAIL adds a
+    // query that throws, and the run must exit nonzero with it in `errors`
+    val registry = SparkEntry.queries ++ (
+      if (sys.env.contains("GRAFT_BENCH_INJECT_FAIL"))
+        Map("q_injected_failure" -> ((_: SparkSession, _: String) =>
+          throw new RuntimeException("injected failure (GRAFT_BENCH_INJECT_FAIL)")))
+      else Map.empty)
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = registry.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }

@@ -70,6 +70,14 @@ object Memo {
       (dict.persist(StorageLevel.MEMORY_AND_DISK), senseVec.persist(StorageLevel.MEMORY_AND_DISK))
     })
 
+  private val ivfMemo = new ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+
+  /** IVF coarse index for a named corpus — built once per (session, key);
+    * probes are the per-query work (the operational split of any IVF
+    * system: index build is amortized, never per-lookup). */
+  def ivfIndexOf(spark: SparkSession, key: String)(build: => Array[Array[Double]]): Array[Array[Double]] =
+    ivfMemo.computeIfAbsent((spark, key), _ => build)
+
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -86,5 +94,6 @@ object Memo {
     drop(costatsMemo) { cs => cs.coverage.unpersist(false); cs.scored.unpersist(false) }
     drop(tokdocsMemo)(_.unpersist(false))
     drop(modelMemo) { case (d, s) => d.unpersist(false); s.unpersist(false) }
+    drop(ivfMemo)(_ => ())
   }
 }

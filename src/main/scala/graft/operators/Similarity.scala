@@ -120,24 +120,36 @@ object Similarity {
       .select("a", "b", "rnk", "sim_e4")
   }
 
-  /** IVF-style coarse quantization: KMeans centroids as the inverted index;
-    * probe the `nprobe` nearest centroids per query, exact re-rank inside
-    * probed cells only. The scale path when buckets must be balanced. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** IVF index BUILD: KMeans coarse centroids over the corpus. Split from
+    * the probe so callers (and the query registry) can build once and probe
+    * many times — the operational shape of every IVF system. */
+  def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    graft.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val toVec = udf((e: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(e.toArray))
-    val train = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
+    val train = corpus.select(asDouble("embedding").as("e"))
       .withColumn("features", toVec(col("e")))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
       // index BUILD cost: 10 iterations place 16 coarse centroids well
       // enough; probe quality is governed by nprobe, not centroid polish
       .setMaxIter(10)
-    val model = km.fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+    km.fit(train).clusterCenters.map(_.toArray)
+  }
+
+  /** IVF-style coarse quantization: KMeans centroids as the inverted index;
+    * probe the `nprobe` nearest centroids per query, exact re-rank inside
+    * probed cells only. The scale path when buckets must be balanced. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfProbe(corpus, queries, k, ivfIndex(corpus, nlist, seed), nprobe)
+
+  /** IVF probe against a prebuilt index (centers). */
+  def ivfProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+               centers: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.GraftFunctions.ensureRegistered(spark)
+    val train = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
 
     // nearest-cell assignment as pure column expressions (whole-stage
     // codegen on the hot path — the per-row UDF of round 1 broke it): the
