@@ -197,13 +197,20 @@ object ExtraQueries {
 
     // E3 on the driver contract: disambiguate the corpus against an EXISTING
     // sense model (induced once per process into a version-keyed checkpoint,
-    // then loaded via Pipeline.loadModel — wsid's one-call E3 shape). Only
-    // the stateless assignment pass is the query; model building is E1's job
-    // and is benchmarked there. Rows-only: the model is ML-derived.
+    // then loaded via Pipeline.loadModel — wsid's one-call E3 shape). The
+    // query runs the PRODUCTION fused assignment (broadcast model, doc-local
+    // context rows, argmax in the same map — zero shuffles before the final
+    // aggregation; the relational Linking.assign form is exercised by
+    // SenseSpec). Rows-only: the model is ML-derived.
     "q_e3_disambiguate" -> ((s, d) => {
       val cfg = WsidConfig(entities = Seq("join", "spark"), window = 5, topK = 30)
       val (dict, senseVec) = Memo.modelOf(s, d, cfg)
-      Pipeline.disambiguateFrom(s, Memo.tokDocsOf(s, d, cfg), dict, senseVec, cfg)
+      val dictMap = dict.collect()
+        .groupBy(_.getString(0))
+        .map { case (e, rows) => e -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap }
+      val h = ml.SenseInduction.collectH(senseVec)
+      val ctx = Tokenize.contextRowsFrom(Memo.tokDocsOf(s, d, cfg), cfg, dictMap)
+      ml.ThinNMF.assignDS(ctx, h, cfg.minSenseScore)
         .groupBy("entity", "senseid")
         .agg(count(lit(1)).as("n"), e4(avg(col("score"))).as("avg_score_e4"))
         .orderBy("entity", "senseid")
