@@ -129,10 +129,12 @@ object TextStats {
     * window of size w — a deterministic, position-robust signature set. */
   def fingerprints(td: Dataset[TokDoc], k: Int = 5, w: Int = 4): DataFrame = {
     import td.sparkSession.implicits._
+    // (docid, fp) rows are distinct BY CONSTRUCTION (winnow returns a per-doc
+    // Set), so no corpus-wide distinct shuffle — the operator stays narrow
     td.mapPartitions(_.flatMap { d =>
       val grams = kgramHashes(d.terms, k)
       winnow(grams, w).iterator.map(fp => (d.docid, fp))
-    }).toDF("docid", "fingerprint").distinct()
+    }).toDF("docid", "fingerprint")
   }
 
   private[graft] def kgramHashes(terms: Array[String], k: Int): Array[Long] = {
