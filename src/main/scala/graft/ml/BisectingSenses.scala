@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   * row's leaf is found by walking from the root to the nearer child center —
   * row-local against the broadcast center map, zero shuffles beyond the
   * per-pass (entity, side) reduceByKey on k x m-sized partials.
+  *
+  * Driver-memory bound (same family as ThinNMF's): the broadcast tree holds
+  * E x (2k-1) x m doubles for E entities — shard the entity set across fits
+  * past E ~ 10^5, exactly as documented in DESIGN.md for ThinNMF.
   */
 object BisectingSenses {
 
