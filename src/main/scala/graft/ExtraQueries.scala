@@ -17,14 +17,8 @@ object ExtraQueries {
   private def docs(spark: SparkSession, sfDir: String) =
     sources.CorpusSynth.fromDocuments(spark, sfDir)
 
-  private def tokdocsUnder(spark: SparkSession, sfDir: String, maxDocId: Int): Dataset[TokDoc] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id").cast("string").as("docid"), col("text"))
-      .as[(String, String)]
-      .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
-  }
+  private def tokdocsUnder(spark: SparkSession, sfDir: String, maxDocId: Int): Dataset[TokDoc] =
+    tokdocsWhere(spark, sfDir, col("doc_id") < maxDocId)
 
   private def emb(spark: SparkSession, sfDir: String, maxId: Int) =
     spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < maxId)

@@ -34,7 +34,8 @@ object Memo {
     * Tokenization is cfg-independent here (no stopwords on the contract
     * corpus); the guard bound is part of the key via cfg.maxDocChars. */
   def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] =
-    tokdocsMemo.computeIfAbsent((spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords}"), _ => {
+    tokdocsMemo.computeIfAbsent(
+      (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}"), _ => {
       val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
       Tokenize.tokDocs(Pipeline.guard(docs, cfg), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
