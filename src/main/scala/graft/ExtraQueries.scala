@@ -220,6 +220,27 @@ object ExtraQueries {
           round(sum(element_at(col("features"), 1)) * 10000).cast("long").as("f0_sum_e4"))
         .orderBy("modality")),
 
+    // Gopher-style repetition/boilerplate signals per doc (doc-local)
+    "q_text_repetition" -> ((s, d) =>
+      TextStats.repetition(tokdocsWhere(s, d, col("doc_id") < 50)).orderBy("docid")),
+
+    // PII redaction over deterministically planted emails/phones (the corpus
+    // carries none naturally); the oracle applies the identical RE2 patterns
+    "q_redact_pii" -> ((s, d) => {
+      val planted = docs(s, d).toDF()
+        .withColumn("content",
+          concat(col("content"), lit(" contact "), col("path"),
+            lit("@example.com or +49301234567")))
+      import s.implicits._
+      val red = TextStats.redactPii(planted.as[CodeDoc])
+      red.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("content"))).as("chars_after"),
+          sum(when(col("content").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email_redacted"),
+          sum(when(col("content").contains("<PHONE>"), 1L).otherwise(0L)).as("n_phone_redacted"))
+        .orderBy("lang")
+    }),
+
     // deterministic stratified sampling: content-hash threshold per stratum —
     // reproducible across runs and cluster sizes, no shuffle, no count pass
     "q_sample_stratified" -> ((s, d) => {
@@ -353,6 +374,52 @@ object ExtraQueries {
         |       CASE WHEN len(toks) > 0 THEN CAST(round(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS distinct_ratio_e4,
         |       CASE WHEN len(toks) > 0 THEN CAST(round(length(content) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS chars_per_token_e4
         |FROM sub ORDER BY length(doc), doc""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 50
+        |),
+        |g AS (
+        |  SELECT docid, arr,
+        |         list_transform(generate_series(1, len(arr) - 1),
+        |                        i -> arr[i] || ' ' || arr[i + 1]) AS g2,
+        |         list_transform(generate_series(1, len(arr) - 2),
+        |                        i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]) AS g3
+        |  FROM t
+        |)
+        |SELECT docid, CAST(len(arr) AS BIGINT) AS n_terms,
+        |       CASE WHEN len(g2) > 0
+        |            THEN CAST(round((1 - len(list_distinct(g2)) / len(g2)) * 10000) AS BIGINT)
+        |            ELSE 0 END AS dup2_e4,
+        |       CASE WHEN len(g3) > 0
+        |            THEN CAST(round((1 - len(list_distinct(g3)) / len(g3)) * 10000) AS BIGINT)
+        |            ELSE 0 END AS dup3_e4,
+        |       CASE WHEN len(arr) > 0
+        |            THEN CAST(round(list_max(list_transform(list_distinct(arr),
+        |                 w -> len(list_filter(arr, x -> x = w)))) * 10000.0 / len(arr)) AS BIGINT)
+        |            ELSE 0 END AS top_term_ratio_e4
+        |FROM g ORDER BY docid""".stripMargin,
+
+    "q_redact_pii" ->
+      """WITH docs AS (
+        |  SELECT lang,
+        |         text || ' contact doc/' || CAST(doc_id AS VARCHAR) || '.txt@example.com or +49301234567' AS content
+        |  FROM documents
+        |),
+        |red AS (
+        |  SELECT lang,
+        |         regexp_replace(
+        |           regexp_replace(content, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           '\+[0-9]{7,15}', '<PHONE>', 'g') AS content
+        |  FROM docs
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(content)) AS BIGINT) AS chars_after,
+        |       CAST(sum(CASE WHEN contains(content, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_redacted,
+        |       CAST(sum(CASE WHEN contains(content, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_redacted
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH docs AS (

@@ -75,6 +75,44 @@ object TextStats {
     }.toDF("docid", "lang_pred", "marker_hits")
   }
 
+  /** Gopher-style repetition signals, doc-local (zero shuffle): duplicate
+    * n-gram fraction (1 - distinct/total) for n = 2 and 3, plus the top-term
+    * frequency ratio — the standard filters for boilerplate/looped text in
+    * large-scale corpus curation. */
+  def repetition(td: Dataset[TokDoc]): DataFrame = {
+    import td.sparkSession.implicits._
+    def e4r(x: Double): Long = math.round(x * 10000)
+    td.mapPartitions(_.map { d =>
+      val t = d.terms
+      def dupFrac(n: Int): Double =
+        if (t.length < n) 0.0
+        else {
+          val total = t.length - n + 1
+          1.0 - Dedup.shingleSet(t, n).size.toDouble / total
+        }
+      // association mirrors the oracle exactly: round(max * 10000.0 / len)
+      val topE4 =
+        if (t.isEmpty) 0L
+        else {
+          val counts = scala.collection.mutable.Map.empty[String, Int]
+          t.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+          math.round(counts.valuesIterator.max * 10000.0 / t.length)
+        }
+      (d.docid, t.length.toLong, e4r(dupFrac(2)), e4r(dupFrac(3)), topE4)
+    }).toDF("docid", "n_terms", "dup2_e4", "dup3_e4", "top_term_ratio_e4")
+  }
+
+  /** PII redaction: RE2-compatible patterns (emails, international phone
+    * numbers) replaced globally — pure column expressions, codegen'd,
+    * scan-parallel, identical semantics in the DuckDB oracle. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "\\+[0-9]{7,15}"
+
+  def redactPii(docs: Dataset[CodeDoc]): DataFrame =
+    docs.toDF().withColumn("content",
+      regexp_replace(regexp_replace(col("content"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"))
+
   /** Deterministic stratified sampling by content-hash threshold: a document
     * is kept iff the hex prefix of sha256(key) falls below the per-stratum
     * threshold — exact, engine-portable (the oracle compares the same hex

@@ -37,6 +37,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(r("b_half") == ((1L, 2500L)), s"$r")
   }
 
+  test("repetition: duplicate n-gram fraction and top-term ratio, hand-checked") {
+    val td = Seq(
+      TokDoc("loop", "spam spam spam spam".split(" ")),        // 3 bigrams, 1 distinct
+      TokDoc("clean", "one two three four".split(" ")),        // all distinct
+      TokDoc("tiny", Array("solo"))).toDS()                    // no bigrams
+    val r = TextStats.repetition(td).collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("dup2_e4"), x.getAs[Long]("top_term_ratio_e4"))).toMap
+    assert(r("loop") == ((6667L, 10000L)), s"$r")  // 1 - 1/3 = .6667; spam = 4/4
+    assert(r("clean") == ((0L, 2500L)))
+    assert(r("tiny") == ((0L, 10000L)))
+  }
+
+  test("redactPii: emails and phone numbers replaced globally") {
+    val docs = Seq(CodeDoc("r", "p", "c", "en",
+      "mail a.b+c@x-mail.example.org then call +4912345678 or b@c.de end")).toDS()
+    val out = TextStats.redactPii(docs).select("content").as[String].head()
+    assert(out == "mail <EMAIL> then call <PHONE> or <EMAIL> end", out)
+  }
+
   test("quality: exact metrics on a hand-checked doc") {
     val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox jumps")).toDS()
     val row = TextStats.quality(docs).head()
