@@ -11,6 +11,20 @@ class SimilaritySpec extends SparkTestBase {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
     .cache()
 
+  test("ArrayDot (native codegen) is bit-identical to the zip_with/aggregate form") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(_ => (Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("x", "y")
+    GraftFunctions.ensureRegistered(spark)
+    val hof = aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    val native = call_function(GraftFunctions.ArrayDotName, col("x"), col("y"))
+    // EXACT equality, not tolerance: both sum in index order
+    val diffs = rows.select(hof.as("h"), native.as("n"))
+      .filter(col("h") =!= col("n")).count()
+    assert(diffs == 0, s"$diffs rows diverge between native and HOF dot")
+  }
+
   test("brute-force top-k: matches a driver-side exact computation") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toMap
