@@ -26,6 +26,17 @@ object Memo {
   private val costatsMemo = new ConcurrentHashMap[(SparkSession, String), Pipeline.CoStats]()
   private val modelMemo = new ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Drop entries of STOPPED sessions so a session-churning long-lived
+    * process doesn't pin dead SparkSessions (and their persisted plans) for
+    * process lifetime. Called on every memo access — the maps are tiny. */
+  private def purgeStopped(): Unit = {
+    def purge[V](m: ConcurrentHashMap[(SparkSession, String), V]): Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
+    }
+    purge(tokdocsMemo); purge(costatsMemo); purge(modelMemo); purge(ivfMemo)
+  }
+
   /** Bump when induction/model semantics change: it keys the on-disk model
     * cache, so stale checkpoints from older code can never be resumed. */
   val ModelVersion = "graft-model-v2"
@@ -33,43 +44,64 @@ object Memo {
   /** The shared tokenized projection (P2 guard applied, persisted columnar).
     * Tokenization is cfg-independent here (no stopwords on the contract
     * corpus); the guard bound is part of the key via cfg.maxDocChars. */
-  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] =
+  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] = {
+    purgeStopped()
     tokdocsMemo.computeIfAbsent(
       (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}"), _ => {
       val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
       Tokenize.tokDocs(Pipeline.guard(docs, cfg), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** The E2 chain over the shared projection, with its two reused frames
     * (coverage feeds A3/A4/L3, scored feeds C1/C2/C3/L3) persisted once. */
-  def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats =
+  def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats = {
+    purgeStopped()
     costatsMemo.computeIfAbsent((spark, s"$sfDir|$cfg"), _ => {
       val cs = Pipeline.coStatsFrom(tokDocsOf(spark, sfDir, cfg), cfg)
       cs.coverage.persist(StorageLevel.MEMORY_AND_DISK)
       cs.scored.persist(StorageLevel.MEMORY_AND_DISK)
       cs
     })
+  }
 
   /** E3's sense model for (sfDir, cfg): induced ONCE into a version-keyed
     * checkpoint under java.io.tmpdir and loaded back via the one-call API —
     * later processes (and later queries in this one) resume instead of
     * re-running the ML. E3's contract is "disambiguate against an EXISTING
     * model"; building the model is E1's job and is benchmarked there. */
-  def modelOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) =
+  def modelOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) = {
+    purgeStopped()
     modelMemo.computeIfAbsent((spark, s"$sfDir|$cfg"), _ => {
       val key = sha256Hex(s"$sfDir|$cfg|$ModelVersion").take(16)
       val root = s"${sys.props("java.io.tmpdir")}/graft-models/$key"
       if (!Pipeline.modelExists(spark, root)) {
+        // cross-PROCESS safety: build into a process-private staging dir and
+        // publish with an atomic directory move — two JVMs racing on the same
+        // key can never interleave Overwrite writes inside the shared root;
+        // the loser just adopts the winner's (identical, deterministic) model
+        val staging = s"$root.build.${ProcessHandle.current().pid()}"
         val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
-        val r = Pipeline.induceAndEmit(spark, docs, cfg, Some(root), s"$sfDir|$ModelVersion",
+        val r = Pipeline.induceAndEmit(spark, docs, cfg, Some(staging), s"$sfDir|$ModelVersion",
           sharedTokDocs = Some(tokDocsOf(spark, sfDir, cfg)))
         r.triples.count() // materialize the terminal stage (completes the checkpoint)
         r.cleanup()
+        val src = java.nio.file.Paths.get(staging)
+        try java.nio.file.Files.move(src, java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // lost the publish race — the winner's model is byte-equivalent
+            org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
+        }
       }
       val (dict, senseVec) = Pipeline.loadModel(spark, root)
       (dict.persist(StorageLevel.MEMORY_AND_DISK), senseVec.persist(StorageLevel.MEMORY_AND_DISK))
     })
+  }
 
   private val ivfMemo = new ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
 

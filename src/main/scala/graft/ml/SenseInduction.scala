@@ -88,9 +88,12 @@ object SenseInduction {
       .as[(String, Int)].collect().map { case (e, mMax) => e -> (mMax + 1) }.toMap
     if (ms.isEmpty) return Map.empty
     val entities = ms.keys.toSeq.sorted
-    val offArr = entities.scanLeft(0)((acc, e) => acc + ms(e)).dropRight(1).toArray
-    require(offArr.last.toLong + ms(entities.last) <= Int.MaxValue,
+    // accumulate in Long FIRST: an Int scanLeft would wrap silently and the
+    // overflow check below would pass on the wrapped value
+    val offLong = entities.scanLeft(0L)((acc, e) => acc + ms(e)).dropRight(1)
+    require(offLong.last + ms(entities.last) <= Int.MaxValue,
       "composite item id space exceeds Int — shard entities")
+    val offArr = offLong.map(_.toInt).toArray
     val offsetDF = entities.zip(offArr).toDF("entity", "off")
 
     // dense Int user ids over (entity, ctxid); zipWithUniqueId needs no

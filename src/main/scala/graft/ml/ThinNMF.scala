@@ -89,15 +89,22 @@ object ThinNMF {
     g
   }
 
-  /** Solve one context's loadings against (H, G=HH'). */
+  /** Solve one context's loadings against (H, G=HH'). Termids beyond H's
+    * stored dimension contribute zero weight and are skipped — H rebuilt
+    * from a checkpointed senseVec (loadModel -> collectH) is sized by the
+    * max NONZERO termid, which can be smaller than the dictionary. */
   private def solveW(h: H, g: Array[Array[Double]], c: Ctx): Array[Double] = {
     val k = h.length
+    val m = h(0).length
     val b = new Array[Double](k)
     var s = 0
     while (s < k) {
       var acc = 0.0
       var i = 0
-      while (i < c.termids.length) { acc += h(s)(c.termids(i)) * c.ws(i); i += 1 }
+      while (i < c.termids.length) {
+        if (c.termids(i) < m) acc += h(s)(c.termids(i)) * c.ws(i)
+        i += 1
+      }
       b(s) = acc
       s += 1
     }

@@ -130,13 +130,9 @@ object Dedup {
       }
     }.toDF("band", "bucket", "docid")
 
-    // candidate pairs in ONE pass over the signatures: bucket members are
-    // collected per (band, bucket) and pairs exploded bucket-locally — the
-    // signature sub-DAG evaluates once (a bucket self-JOIN re-evaluates it
-    // per join side), and the size filter is the hot-bucket guard (a
-    // degenerate bucket of m docs would emit m^2 pairs)
-    val candidates = pairsInBuckets(buckets.groupBy("band", "bucket")
-      .agg(collect_list(col("docid")).as("ids")), 2, maxBucket)
+    // hot-bucket-guarded, self-join-free candidate generation (a degenerate
+    // bucket of m docs would emit m^2 pairs AND an m-sized agg buffer)
+    val candidates = pairsInBuckets(buckets, "docid", 2, maxBucket)
 
     // exact verification of candidates only
     val sh = shingles(td, n)
@@ -144,12 +140,23 @@ object Dedup {
     minhashVerify(spark, candidates, sh, sizes, threshold)
   }
 
-  /** Distinct canonical (a, b) pairs from per-bucket member lists, exploded
-    * bucket-locally (no self-join, upstream evaluated once). `ids` column:
-    * array of member ids; buckets outside [minSize, maxBucket] are skipped. */
-  private[operators] def pairsInBuckets(bucketed: DataFrame, minSize: Int, maxBucket: Int): DataFrame = {
-    bucketed
-      .filter(size(col("ids")).between(minSize, maxBucket))
+  /** Distinct canonical (a, b) candidate pairs from (band, bucket, id) rows,
+    * with BOTH guards a degenerate bucket needs:
+    *  1. oversized buckets are pruned by a count-only aggregation (O(1)
+    *     buffer) BEFORE any member list materializes — no collect_list
+    *     buffer ever exceeds maxBucket entries on an executor;
+    *  2. surviving buckets collect their members once and explode pairs
+    *     bucket-locally — no bucket self-join, so the (possibly expensive)
+    *     upstream signature sub-DAG evaluates twice total, never per side.
+    */
+  private[operators] def pairsInBuckets(buckets: DataFrame, idCol: String,
+                                        minSize: Int, maxBucket: Int): DataFrame = {
+    val ok = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(minSize, maxBucket))
+      .select("band", "bucket")
+    buckets.join(ok, Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
@@ -196,7 +203,14 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via the
     * pigeonhole band trick: split 64 bits into maxHamming+1 bands; any pair
     * within distance d agrees exactly on >= 1 band → band-equality buckets
-    * generate all candidates; verify with popcount. */
+    * generate all candidates; verify with popcount.
+    *
+    * Deliberately NO hot-bucket cap: the pigeonhole cover is exact and a cap
+    * would silently drop true pairs (q_dedup_simhash asserts n_missed = 0).
+    * Consequence: a group of m near-identical documents inherently produces
+    * an m-sized bucket buffer and m^2 output pairs — run EXACT dedup first
+    * (the standard pipeline order) so identical-content mass never reaches
+    * the near-dup stage. */
   def simhashNearDups(td: Dataset[TokDoc], maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     import td.sparkSession.implicits._
     val nBands = maxHamming + 1
@@ -242,11 +256,9 @@ object Dedup {
                            maxBucket: Int = 1000): DataFrame = {
     graft.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sigs = Similarity.hyperplaneBuckets(emb, "vec_id", bands, width, seed)
-    // candidate pairs exploded bucket-locally (ONE evaluation of the
-    // signature sub-DAG); the size filter is the hot-bucket guard (a
-    // degenerate bucket of m vectors would emit m^2 pairs)
-    val candidates = pairsInBuckets(sigs.groupBy("band", "bucket")
-      .agg(collect_list(col("vec_id")).as("ids")), 2, maxBucket)
+    // hot-bucket-guarded, self-join-free candidate generation (a degenerate
+    // bucket of m vectors would emit m^2 pairs AND an m-sized agg buffer)
+    val candidates = pairsInBuckets(sigs, "vec_id", 2, maxBucket)
     // exact cosine verification of candidates only: rows normalized once
     // pre-join, a single dot per candidate pair
     val na = emb.select(col("vec_id").as("a"),

@@ -68,10 +68,11 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Row-local hyperplane LSH band buckets for a (vec_id, embedding) frame:
-    * one (idCol, band, bucket) row per band. Shared by ANN search (lshTopK)
-    * and embedding near-dup dedup (Dedup.embeddingNearDupsLsh). */
-  private[operators] def hyperplaneBuckets(df: DataFrame, idCol: String,
+  /** Row-local hyperplane LSH band buckets for a (vec_id, embedding) frame
+    * — that input shape is the contract; `outIdCol` only RENAMES vec_id in
+    * the output (one (outIdCol, band, bucket) row per band). Shared by ANN
+    * search (lshTopK) and embedding near-dup dedup (embeddingNearDupsLsh). */
+  private[operators] def hyperplaneBuckets(df: DataFrame, outIdCol: String,
                                            bands: Int, width: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -94,7 +95,7 @@ object Similarity {
         while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
         (id, b, key)
       }
-    }.toDF(idCol, "band", "bucket")
+    }.toDF(outIdCol, "band", "bucket")
   }
 
   /** Random-hyperplane LSH top-k: `bands` signature bands of `width` bits;

@@ -119,17 +119,22 @@ object TextStats {
     * strings), reproducible across runs AND cluster sizes, and requires no
     * shuffle or count pass (contrast reservoir/`sample()`: nondeterministic
     * under re-partitioning). `fractions`: stratum -> fraction in [0,1],
-    * encoded as a 4-hex-digit threshold (resolution 1/65536). */
+    * encoded as a 4-hex-digit threshold (resolution 1/65536; positive
+    * fractions below ~1/131072 round to zero). Strata ABSENT from the map
+    * get `unlisted` (default 0.0 = dropped) — pass 1.0 for pass-through;
+    * the choice is explicit because silently zeroing a new stratum is the
+    * classic curation footgun. */
   def stratifiedSample(docs: Dataset[CodeDoc], strataCol: String,
-                       fractions: Map[String, Double]): DataFrame = {
-    val thresholds = fractions.map { case (s, f) =>
+                       fractions: Map[String, Double],
+                       unlisted: Double = 0.0): DataFrame = {
+    // 'g' sorts after every hex digit -> keeps ALL rows at fraction 1.0;
+    // otherwise a 4-hex-digit threshold compared at equal length
+    def enc(f: Double): String = {
       val v = math.round(f * 65536)
-      // 'g' sorts after every hex digit -> keeps ALL rows at fraction 1.0;
-      // otherwise a 4-hex-digit threshold compared at equal length
-      s -> (if (v >= 65536) "g" else f"$v%04x")
+      if (v >= 65536) "g" else f"$v%04x"
     }
-    val thrCol = thresholds.foldLeft(lit("0000")) { case (acc, (s, t)) =>
-      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    val thrCol = fractions.foldLeft(lit(enc(unlisted))) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(enc(f))).otherwise(acc)
     }
     docs.toDF()
       .withColumn("hkey", substring(sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256), 1, 4))

@@ -22,14 +22,19 @@ object Tokenize {
     *
     * The token-character class is pinned to the oracle's contract — DuckDB
     * splits lower(content) on '[^a-z0-9_]+' — on EVERY corpus, not just
-    * ASCII ones: non-ASCII letters are separators by definition, so token
-    * streams, marginals and all downstream compares agree engine-to-engine
-    * regardless of input language (TokenizeSpec pins this with accented
-    * text). Hand-rolled char scanner instead of java.util.regex:
-    * tokenization runs over the full corpus, so Matcher allocation + the
-    * full-string toLowerCase copy were measurable memory-bandwidth costs. */
-  @inline private def isTokenChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || c == '_'
+    * ASCII ones. The oracle LOWERCASES FIRST, so the class test runs on the
+    * per-char lowercase: characters whose single-char case folding IS an
+    * ASCII token char (U+212A KELVIN -> 'k', U+0130 dotted-I -> 'i') are
+    * token chars, everything else non-[a-z0-9_] after folding is a
+    * separator — verified against DuckDB's utf8proc lower() for these
+    * foldings and the accented/CJK cases in TokenizeSpec. Hand-rolled char
+    * scanner instead of java.util.regex: tokenization runs over the full
+    * corpus, so Matcher allocation + the full-string toLowerCase copy were
+    * measurable memory-bandwidth costs. */
+  @inline private def isTokenChar(c: Char): Boolean = {
+    val lc = if (c < 128) c | 0x20 else Character.toLowerCase(c) // ASCII fast path
+    (lc >= 'a' && lc <= 'z') || (c >= '0' && c <= '9') || c == '_'
+  }
 
   def tokensOf(content: String, stopwords: Set[String]): Array[String] = {
     val buf = new scala.collection.mutable.ArrayBuffer[String](64)

@@ -29,6 +29,12 @@ class TokenizeSpec extends SparkTestBase {
       Seq("na", "ve", "caf", "d", "j", "vu"))
     // CJK and emoji: no ASCII token chars at all
     assert(Tokenize.tokensOf("日本語 🦜 текст", Set.empty).isEmpty)
+    // single-char case foldings that LAND on ASCII are token chars, because
+    // the oracle lowercases BEFORE splitting: U+212A KELVIN -> 'k',
+    // U+0130 dotted capital I -> 'i' (DuckDB lower() verified: '3k', 'iy');
+    // U+2164 Roman numeral folds to non-ASCII U+2174 -> separator
+    assert(Tokenize.tokensOf("3\u212A x \u0130y \u2164z", Set.empty).toSeq ==
+      Seq("3k", "x", "iy", "z"))
   }
 
   test("T1+T2: positions are assigned after stopword removal") {
