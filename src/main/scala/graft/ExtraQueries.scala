@@ -69,6 +69,13 @@ object ExtraQueries {
     // ----------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exactStats(docs(s, d))),
 
+    // survivor selection: the deduped corpus itself, summarized per repo
+    "q_dedup_keep_first" -> ((s, d) =>
+      Dedup.dedupKeepFirst(docs(s, d))
+        .groupBy("repo")
+        .agg(count(lit(1)).as("n_kept"), sum(length(col("content"))).as("chars"))
+        .orderBy("repo")),
+
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tokdocsUnder(s, d, 40), 2, 0.0)
         .select(col("a"), col("b"), e4(col("jac")).as("jac_e4"))
@@ -374,6 +381,23 @@ object ExtraQueries {
         |       CASE WHEN len(toks) > 0 THEN CAST(round(len(list_distinct(toks)) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS distinct_ratio_e4,
         |       CASE WHEN len(toks) > 0 THEN CAST(round(length(content) * 10000.0 / len(toks)) AS BIGINT) ELSE 0 END AS chars_per_token_e4
         |FROM sub ORDER BY length(doc), doc""".stripMargin,
+
+    "q_dedup_keep_first" ->
+      """WITH docs AS (
+        |  SELECT source AS repo,
+        |         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        |         substr(sha256(text), 1, 12) AS "commit",
+        |         text AS content
+        |  FROM documents
+        |),
+        |k AS (
+        |  SELECT repo, content,
+        |         row_number() OVER (PARTITION BY sha256(content)
+        |                            ORDER BY repo, path, "commit") AS rn
+        |  FROM docs
+        |)
+        |SELECT repo, count(*) AS n_kept, CAST(sum(length(content)) AS BIGINT) AS chars
+        |FROM k WHERE rn = 1 GROUP BY repo ORDER BY repo""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (

@@ -32,6 +32,20 @@ object Dedup {
       sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"))
   }
 
+  /** Exact dedup, survivor selection: keep ONE document per content hash —
+    * the lexicographically first (repo, path, commit) — drop the rest. The
+    * canonical emit step after exactStats' detection; the window partitions
+    * by sha256, which is uniform by construction, so the shuffle cannot
+    * skew no matter how duplicated the corpus is. */
+  def dedupKeepFirst(docs: Dataset[CodeDoc]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sha").orderBy("repo", "path", "commit")
+    docs.toDF().withColumn("sha", sha2(col("content"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("sha", "rn")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct n-gram (token) shingles per doc, doc-locally. */

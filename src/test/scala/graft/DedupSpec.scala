@@ -36,6 +36,17 @@ class DedupSpec extends SparkTestBase {
     assert(row.getAs[Long]("dup_groups") == 10)
   }
 
+  test("exact dedup survivor selection: one doc kept per content, first key wins") {
+    val kept = Dedup.dedupKeepFirst(docs).select("path").as[String].collect().toSet
+    assert(kept.size == 70) // 80 docs, 10 exact copies dropped
+    // 'base/i' < 'copy/i' lexicographically, so every base survives
+    (0 until 10).foreach { i =>
+      assert(kept.contains(s"base/$i.txt") && !kept.contains(s"copy/$i.txt"))
+    }
+    // near-dups differ in content -> both kept (exact dedup only)
+    (10 until 20).foreach(i => assert(kept.contains(s"near/$i.txt")))
+  }
+
   test("n-gram Jaccard: exact pairs at threshold 0.7 = planted dup structure") {
     val pairs = Dedup.ngramJaccardPairs(td, 2, 0.7)
       .select("a", "b").as[(String, String)].collect().toSet
