@@ -111,7 +111,11 @@ object ExtraQueries {
     // n_missed vs the all-pairs verifier must be 0 — not just small
     "q_dedup_simhash" -> ((s, d) => {
       val td = tokdocsUnder(s, d, 200)
-      val bucketed = Dedup.simhashNearDups(td, maxHamming = 16)
+      // verification role on a BOUNDED 200-doc input: the wide Hamming radius
+      // exercises the pigeonhole exactness check, so the narrow-band
+      // near-quadratic cost is accepted explicitly (the operator refuses
+      // maxHamming > 7 without this opt-in)
+      val bucketed = Dedup.simhashNearDups(td, maxHamming = 16, allowNarrowBands = true)
       val sigs = Dedup.simhash(td)
       val exact = sigs.toDF("a", "siga")
         .join(sigs.toDF("b", "sigb"), col("a") < col("b"))

@@ -45,12 +45,16 @@ object GraftFunctions {
     }
     if (!spark.catalog.functionExists(GraftFunctions.ArrayDotName)) {
       spark.udf.register(GraftFunctions.ArrayDotName,
+        // boxed return: dimension mismatch -> null, same as the native
+        // expression (and as aggregate(zip_with(...)) on padded nulls)
         (a: Seq[Double], b: Seq[Double]) => {
-          val n = math.min(a.length, b.length)
-          var s = 0.0
-          var i = 0
-          while (i < n) { s += a(i) * b(i); i += 1 }
-          s
+          if (a.length != b.length) null.asInstanceOf[java.lang.Double]
+          else {
+            var s = 0.0
+            var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            java.lang.Double.valueOf(s)
+          }
         })
     }
   }

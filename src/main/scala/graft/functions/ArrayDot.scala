@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * pair loop inside whole-stage codegen: one generated call into a static
   * tight loop over the unsafe array data, no boxing. Assumes non-null array
   * elements (the operators build them by casting parquet floats).
+  *
+  * Mismatched dimensions yield NULL, exactly like the HOF form (zip_with
+  * pads the shorter array with nulls, which nulls the aggregate) — a
+  * truncated partial dot would silently SCORE a dimension bug upstream
+  * instead of surfacing it.
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -26,23 +31,36 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable regardless of child nullability: dimension mismatch -> NULL
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_array_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    ArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null else ArrayDot.dot(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.ArrayDot.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object ArrayDot {
-  /** Sequential-order sum, bit-identical to aggregate(zip_with(a,b,*),0,+). */
+  /** Sequential-order sum, bit-identical to aggregate(zip_with(a,b,*),0,+)
+    * on equal-length arrays (the expression returns NULL before calling this
+    * when lengths differ). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -34,17 +34,26 @@ object Dedup {
 
   /** Exact dedup, survivor selection: keep ONE document per content hash —
     * the lexicographically first (repo, path, commit) — drop the rest. The
-    * canonical emit step after exactStats' detection; the window partitions
-    * by sha256, which is uniform by construction, so the shuffle cannot
-    * skew no matter how duplicated the corpus is. */
-  def dedupKeepFirst(docs: Dataset[CodeDoc]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("sha").orderBy("repo", "path", "commit")
+    * canonical emit step after exactStats' detection.
+    *
+    * Implemented as a map-side-combinable min(struct) aggregate, NOT a
+    * row_number window: hash uniformity spreads DISTINCT contents across
+    * reducers, but all replicas of one content share one key, so a
+    * heavily-duplicated document (the motivating case for this operator)
+    * would land every replica in a single window task. The partial
+    * aggregation collapses replicas to one candidate per map partition
+    * BEFORE the shuffle, so a million-copy document costs the exchange at
+    * most one row per upstream partition. Struct ordering compares fields
+    * left-to-right, so min picks the same (repo, path, commit)-first
+    * survivor the window form did (lang/content are trailing tiebreakers;
+    * content is constant within a sha group by construction). */
+  def dedupKeepFirst(docs: Dataset[CodeDoc]): DataFrame =
     docs.toDF().withColumn("sha", sha2(col("content"), 256))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("sha", "rn")
-  }
+      .groupBy("sha")
+      .agg(min(struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")))
+        .as("doc"))
+      .select(col("doc.repo"), col("doc.path"), col("doc.commit"),
+        col("doc.lang"), col("doc.content"))
 
   // ------------------------------------------------------------- shingles
 
@@ -224,11 +233,28 @@ object Dedup {
     * Consequence: a group of m near-identical documents inherently produces
     * an m-sized bucket buffer and m^2 output pairs — run EXACT dedup first
     * (the standard pipeline order) so identical-content mass never reaches
-    * the near-dup stage. */
-  def simhashNearDups(td: Dataset[TokDoc], maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    * the near-dup stage.
+    *
+    * Bucket-width ceiling: 64 bits over maxHamming+1 bands gives
+    * 64/(maxHamming+1)-bit buckets, i.e. only 2^width distinct buckets per
+    * band — at maxHamming=16 that is 8 buckets, so EVERY band gathers ~n/8
+    * of the corpus per bucket and the pairwise explode degrades toward
+    * quadratic in rows AND buffer even with zero true near-dups. The
+    * operator therefore REQUIRES width >= 8 bits (maxHamming <= 7, the
+    * regime SimHash dedup is designed for); callers probing larger radii on
+    * BOUNDED inputs (verification roles, like q_dedup_simhash's 200-doc
+    * self-check) must opt in with allowNarrowBands = true, accepting the
+    * near-quadratic cost explicitly. */
+  def simhashNearDups(td: Dataset[TokDoc], maxHamming: Int = 3, seed: Long = 42L,
+                      allowNarrowBands: Boolean = false): DataFrame = {
     import td.sparkSession.implicits._
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    require(width >= 8 || allowNarrowBands,
+      s"simhashNearDups(maxHamming=$maxHamming) yields $width-bit band buckets " +
+        s"(2^$width buckets/band): each bucket gathers ~corpus/2^$width docs and the " +
+        "pair explode is near-quadratic. Keep maxHamming <= 7, or pass " +
+        "allowNarrowBands=true for bounded inputs where that cost is accepted")
     val sigs = simhash(td, seed).as[(String, Long)]
     val buckets = sigs.flatMap { case (docid, sig) =>
       (0 until nBands).iterator.map { b =>

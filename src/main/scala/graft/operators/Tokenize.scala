@@ -30,8 +30,19 @@ object Tokenize {
     * foldings and the accented/CJK cases in TokenizeSpec. Hand-rolled char
     * scanner instead of java.util.regex: tokenization runs over the full
     * corpus, so Matcher allocation + the full-string toLowerCase copy were
-    * measurable memory-bandwidth costs. */
-  @inline private def isTokenChar(c: Char): Boolean = {
+    * measurable memory-bandwidth costs.
+    *
+    * UNICODE-VERSION COUPLING (part of the contract): the non-ASCII branch
+    * delegates to java.lang.Character.toLowerCase, while the DuckDB oracle
+    * folds with utf8proc — two libraries tracking different Unicode
+    * versions. The chars where the two single-codepoint foldings land in
+    * [a-z0-9_] were enumerated over the FULL BMP against both JDK 17 and
+    * DuckDB 1.0.0 utf8proc and agree exactly: {U+0130 -> i, U+212A -> k}.
+    * TokenizeSpec pins that enumeration as a recorded table and re-sweeps
+    * the BMP on every test run, so a JDK upgrade that adds or shifts a case
+    * mapping fails loudly instead of silently diverging Spark-vs-oracle
+    * tokenization on non-ASCII corpora. */
+  @inline private[graft] def isTokenChar(c: Char): Boolean = {
     val lc = if (c < 128) c | 0x20 else Character.toLowerCase(c) // ASCII fast path
     (lc >= 'a' && lc <= 'z') || (c >= '0' && c <= '9') || c == '_'
   }

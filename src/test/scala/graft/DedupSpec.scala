@@ -98,9 +98,19 @@ class DedupSpec extends SparkTestBase {
     val hFar = java.lang.Long.bitCount(sigs("r/base/20.txt@c") ^ sigs("r/base/21.txt@c"))
     info(s"hamming near=$hNear far=$hFar")
     assert(hNear < hFar)
-    val pairs = Dedup.simhashNearDups(td, maxHamming = hNear)
+    val pairs = Dedup.simhashNearDups(td, maxHamming = hNear, allowNarrowBands = true)
       .select("a", "b").as[(String, String)].collect().map((canon _).tupled).toSet
     assert(pairs.contains(canon("r/base/10.txt@c", "r/near/10.txt@c")))
+  }
+
+  test("SimHash: narrow bands (maxHamming > 7) fail fast without the explicit opt-in") {
+    // 64/(16+1) = 3-bit buckets -> ~8 buckets/band -> near-quadratic explode;
+    // the operator must refuse unless the caller accepts that cost (ADVICE r2)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(td, maxHamming = 16)
+    }
+    // the designed regime (width >= 8 bits) needs no opt-in
+    Dedup.simhashNearDups(td, maxHamming = 7) // must not throw at plan time
   }
 
   test("embedding near-dup: exact cosine on a hand-checkable case") {

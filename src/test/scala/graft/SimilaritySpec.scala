@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(diffs == 0, s"$diffs rows diverge between native and HOF dot")
   }
 
+  test("ArrayDot: mismatched dimensions yield NULL, matching the HOF form") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)), // dim bug -> NULL, never a partial dot
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))
+    ).toDF("x", "y")
+    val hof = aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    val native = call_function(GraftFunctions.ArrayDotName, col("x"), col("y"))
+    val got = rows.select(hof.as("h"), native.as("n"))
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq((None, None), (Some(11.0), Some(11.0))), s"got $got")
+  }
+
   test("brute-force top-k: matches a driver-side exact computation") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toMap

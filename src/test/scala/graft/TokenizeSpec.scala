@@ -37,6 +37,30 @@ class TokenizeSpec extends SparkTestBase {
       Seq("3k", "x", "iy", "z"))
   }
 
+  test("T1: full-BMP sweep \u2014 token-char class matches the recorded utf8proc table") {
+    // Recorded table (2026-08-16): the complete set of BMP chars OUTSIDE
+    // ASCII [a-zA-Z0-9_] whose single-codepoint lowercase lands in
+    // [a-z0-9_], enumerated against BOTH JDK 17 Character.toLowerCase and
+    // DuckDB 1.0.0 utf8proc lower() \u2014 the two enumerations agree exactly.
+    // Java and utf8proc track different Unicode versions, so a JDK or
+    // DuckDB upgrade that adds/shifts a case mapping would silently diverge
+    // Spark-vs-oracle tokenization on non-ASCII corpora; this sweep turns
+    // that into a loud failure naming the drifted codepoints (ADVICE r2).
+    val recorded = Map(0x0130 -> 'i', 0x212A -> 'k')
+    val isAsciiTokenChar = (c: Int) =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+    val drifted = (0 to 0xFFFF).filterNot(isAsciiTokenChar).filter { c =>
+      val inClass = Tokenize.isTokenChar(c.toChar)
+      val expected = recorded.contains(c)
+      inClass != expected ||
+        (inClass && Character.toLowerCase(c.toChar) != recorded(c))
+    }
+    assert(drifted.isEmpty,
+      s"token-char class drifted from the recorded utf8proc folding table at " +
+        s"codepoints ${drifted.take(20).map(c => f"U+$c%04X")} \u2014 re-enumerate " +
+        "against the oracle's DuckDB lower() before trusting non-ASCII corpora")
+  }
+
   test("T1+T2: positions are assigned after stopword removal") {
     val docs = Seq(CodeDoc("r", "p", "c", "en", "the quick the fox")).toDS()
     val toks = Tokenize.tokens(docs, cfg.copy(stopwords = Set("the"))).collect().sortBy(_.pos)
