@@ -20,6 +20,14 @@ package graft
   *                      clears the Bonferroni cut fall back to rank-only
   *                      top-k descriptors (marked `fallback = true` in the
   *                      output); when false such entities emit no descriptors.
+  * @param modelBytesBudget  ceiling on the broadcast sense-model footprint of
+  *                      one induction fit (ThinNMF: E*k*(m+k) doubles;
+  *                      hclust: E*(2k-1)*m). Entity sets whose model exceeds
+  *                      it are fit in disjoint shards — bit-identical H, one
+  *                      filtered scan per shard (ThinNMF.fitSharded). The
+  *                      512 MB default keeps E ~ 10^5 entities at topK=200
+  *                      in ONE fit and turns 10^6-entity runs into a slower
+  *                      correct loop instead of a driver/executor OOM.
   */
 final case class WsidConfig(
     entities: Seq[String],
@@ -36,5 +44,6 @@ final case class WsidConfig(
     nmfMaxIter: Int = 5,
     nmfRegParam: Double = 0.01,
     broadcastDictMaxRows: Long = 2000000L,
-    descriptorFallback: Boolean = true
+    descriptorFallback: Boolean = true,
+    modelBytesBudget: Long = 512L * 1024 * 1024
 )

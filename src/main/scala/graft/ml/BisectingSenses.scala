@@ -19,24 +19,47 @@ import org.apache.spark.sql.SparkSession
   * per-pass (entity, side) reduceByKey on k x m-sized partials.
   *
   * Driver-memory bound (same family as ThinNMF's): the broadcast tree holds
-  * E x (2k-1) x m doubles for E entities — shard the entity set across fits
-  * past E ~ 10^5, exactly as documented in DESIGN.md for ThinNMF.
+  * E x (2k-1) x m doubles for E entities — past a configurable byte budget,
+  * `fitSharded` (the default entry point via SenseInduction /
+  * cfg.modelBytesBudget) loops over disjoint entity subsets; splits, child
+  * seeding and Lloyd passes are all entity-keyed, so the sharded fit equals
+  * the joint one (up to the float merge-order jitter any two runs share).
   */
 object BisectingSenses {
 
   private type Center = Array[Double]
 
+  /** Broadcast-tree footprint of one entity: up to 2k-1 centers of dim m. */
+  @inline private[graft] def modelBytesOf(k: Int, m: Int): Long = (2L * k - 1) * m * 8L
+
+  /** Driver loop over disjoint entity shards when the broadcast center tree
+    * would exceed `maxModelBytes` (see ThinNMF.fitSharded — same contract:
+    * per-entity-equal H, one filtered scan per shard). */
+  def fitSharded(grouped: RDD[ThinNMF.Ctx], spark: SparkSession, k: Int,
+                 lloydIters: Int, seed: Long, maxModelBytes: Long): Map[String, ThinNMF.H] = {
+    val ms = ThinNMF.entityDims(grouped).filter(_._2 > 0)
+    if (ms.isEmpty) return Map.empty
+    val shards = ThinNMF.packShards(
+      ms.map { case (e, m) => e -> modelBytesOf(k, m) }, maxModelBytes)
+    if (shards.size <= 1) fit(grouped, spark, k, lloydIters, seed, Some(ms))
+    else shards.iterator.map { es =>
+      val set = es.toSet
+      fit(grouped.filter(c => set(c.entity)), spark, k, lloydIters, seed,
+        Some(ms.view.filterKeys(set).toMap))
+    }.reduce(_ ++ _)
+  }
+
   /** Fit per-entity sense matrices: H rows = leaf centers (clipped at 0,
     * which is a no-op for centers of nonnegative data), ordered by node id
     * so labels are deterministic. */
   def fit(grouped: RDD[ThinNMF.Ctx], spark: SparkSession, k: Int,
-          lloydIters: Int, seed: Long): Map[String, ThinNMF.H] = {
+          lloydIters: Int, seed: Long,
+          msOpt: Option[Map[String, Int]] = None): Map[String, ThinNMF.H] = {
     val sc = spark.sparkContext
 
     // per-entity term dimension (one cheap pass, as in ThinNMF.fit)
-    val ms: Map[String, Int] = grouped
-      .map(c => (c.entity, if (c.termids.isEmpty) 0 else c.termids.max + 1))
-      .reduceByKey(math.max).collect().toMap.filter(_._2 > 0)
+    val ms: Map[String, Int] =
+      msOpt.getOrElse(ThinNMF.entityDims(grouped).filter(_._2 > 0))
     if (ms.isEmpty) return Map.empty
     val bcMs = sc.broadcast(ms)
 

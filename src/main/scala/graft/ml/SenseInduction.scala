@@ -46,8 +46,12 @@ object SenseInduction {
                   cfg: WsidConfig): DataFrame = {
     val h: Map[String, ThinNMF.H] = cfg.method match {
       case "als" => alsH(spark, longForm(spark, grouped), cfg)
-      case "hclust" => BisectingSenses.fit(grouped, spark, cfg.kSenses, 10, cfg.seed)
-      case _ => ThinNMF.fit(grouped, spark, cfg.kSenses, cfg.nmfMaxIter, cfg.seed)
+      case "hclust" =>
+        BisectingSenses.fitSharded(grouped, spark, cfg.kSenses, 10, cfg.seed,
+          cfg.modelBytesBudget)
+      case _ =>
+        ThinNMF.fitSharded(grouped, spark, cfg.kSenses, cfg.nmfMaxIter, cfg.seed,
+          cfg.modelBytesBudget)
     }
     ThinNMF.senseVecDF(spark, h)
   }

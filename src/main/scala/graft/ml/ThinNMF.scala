@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Driver-memory bound: the broadcast H map holds E * k * (m + k) doubles
   * for E tracked entities. At wsid-realistic E (10^2..10^4, k<=16, m<=topK)
-  * that is <= ~100 MB; at E ~ 10^6 shard the entity set across fits (the
-  * passes are entity-keyed, so sharding is a driver-side loop over disjoint
-  * entity subsets with no change to per-pass cost).
+  * that is <= ~100 MB; past a configurable byte budget `fitSharded` (the
+  * default entry point via SenseInduction / cfg.modelBytesBudget) loops over
+  * disjoint entity subsets — the passes are entity-keyed and per-entity
+  * seeded, so the sharded fit equals the joint one (up to the float
+  * merge-order jitter any two runs share), just with one filtered scan per
+  * shard instead of a single scan.
   *
   * One data pass per iteration, so cost is data-proportional and scales
   * linearly with executors — unlike a generic factorizer that shuffles
@@ -111,12 +114,64 @@ object ThinNMF {
     nnlsCD(g, b)
   }
 
-  /** Fit all entities' sense matrices in `iters` alternating passes. */
-  def fit(grouped: RDD[Ctx], spark: SparkSession, k: Int, iters: Int, seed: Long): Map[String, H] = {
+  /** Per-entity term dimension (max termid + 1): one cheap pass. */
+  private[graft] def entityDims(grouped: RDD[Ctx]): Map[String, Int] = grouped
+    .map(c => (c.entity, if (c.termids.isEmpty) 0 else c.termids.max + 1))
+    .reduceByKey(math.max).collect().toMap
+
+  /** Greedy deterministic packing of entities into shards whose summed model
+    * footprint stays under `maxBytes` (a single over-budget entity still gets
+    * its own shard — entity granularity is the floor). Sorted order keeps the
+    * shard layout, and therefore the job sequence, reproducible. */
+  private[graft] def packShards(bytes: Map[String, Long], maxBytes: Long): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var cur = Seq.newBuilder[String]
+    var curBytes = 0L
+    var curN = 0
+    bytes.keys.toSeq.sorted.foreach { e =>
+      val b = bytes(e)
+      if (curN > 0 && curBytes + b > maxBytes) {
+        out += cur.result(); cur = Seq.newBuilder[String]; curBytes = 0L; curN = 0
+      }
+      cur += e; curBytes += b; curN += 1
+    }
+    if (curN > 0) out += cur.result()
+    out.result()
+  }
+
+  /** Broadcast-model footprint of one entity's fit state: H (k x m) plus its
+    * Gram (k x k), in doubles. */
+  @inline private[graft] def modelBytesOf(k: Int, m: Int): Long = k.toLong * (m + k) * 8L
+
+  /** Driver loop over disjoint entity shards when the broadcast model map
+    * would exceed `maxModelBytes` — the documented ceiling of the all-entities
+    * fit (the broadcast holds E * k * (m + k) doubles; past E ~ 10^5 that is
+    * driver/executor-heap-scale). Every pass of `fit` is entity-keyed and
+    * seeded per entity, so fitting disjoint subsets sequentially produces
+    * the same H maps as one joint fit, modulo only the floating-point
+    * merge-order jitter that two identical unsharded runs already have
+    * (EntityShardSpec asserts elementwise equality at 1e-9) — a user
+    * pointing 10^6 tracked entities at the inducer now gets a slower
+    * correct run (one filtered scan per shard) instead of an OOM. */
+  def fitSharded(grouped: RDD[Ctx], spark: SparkSession, k: Int, iters: Int, seed: Long,
+                 maxModelBytes: Long): Map[String, H] = {
+    val ms = entityDims(grouped)
+    if (ms.isEmpty) return Map.empty
+    val shards = packShards(ms.map { case (e, m) => e -> modelBytesOf(k, m) }, maxModelBytes)
+    if (shards.size <= 1) fit(grouped, spark, k, iters, seed, Some(ms))
+    else shards.iterator.map { es =>
+      val set = es.toSet
+      fit(grouped.filter(c => set(c.entity)), spark, k, iters, seed,
+        Some(ms.view.filterKeys(set).toMap))
+    }.reduce(_ ++ _)
+  }
+
+  /** Fit all entities' sense matrices in `iters` alternating passes.
+    * `msOpt` lets callers (fitSharded) reuse a precomputed dimension map. */
+  def fit(grouped: RDD[Ctx], spark: SparkSession, k: Int, iters: Int, seed: Long,
+          msOpt: Option[Map[String, Int]] = None): Map[String, H] = {
     // per-entity term-dimension (max termid + 1): one cheap pass
-    val ms: Map[String, Int] = grouped
-      .map(c => (c.entity, if (c.termids.isEmpty) 0 else c.termids.max + 1))
-      .reduceByKey(math.max).collect().toMap
+    val ms: Map[String, Int] = msOpt.getOrElse(entityDims(grouped))
 
     var h: Map[String, H] = ms.collect { case (e, m) if m > 0 =>
       val rnd = new scala.util.Random(seed ^ e.hashCode.toLong)

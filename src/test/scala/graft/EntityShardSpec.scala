@@ -1,0 +1,89 @@
+package graft
+
+import graft.ml.{BisectingSenses, ThinNMF}
+
+/** VERDICT r2 #2: the broadcast-model ceiling must be a driver loop, not a
+  * documented OOM. Under an artificially tiny byte budget the sharded fits
+  * must produce the same per-entity H as one joint fit — the passes are
+  * entity-keyed and per-entity seeded, so the only tolerated difference is
+  * the floating-point merge-order jitter two identical unsharded runs
+  * already have.
+  */
+class EntityShardSpec extends SparkTestBase {
+
+  /** Synthetic grouped context rows (same planted-sense shape as
+    * EntityScaleSpec's): sense s draws from the s-th vocab slice. */
+  private def syntheticCtx(entities: Int, rowsPer: Int, m: Int = 12, k: Int = 2) = {
+    val rnd = new scala.util.Random(42)
+    val data = for {
+      e <- 0 until entities
+      r <- 0 until rowsPer
+    } yield {
+      val sense = r % k
+      val ids = Array.fill(3)(sense * (m / k) + rnd.nextInt(m / k)).distinct.sorted
+      ThinNMF.Ctx(f"e$e%04d", s"d$r", ids, ids.map(_ => 1.0 + rnd.nextInt(3)))
+    }
+    spark.sparkContext.parallelize(data, 8)
+  }
+
+  private def assertSameH(joint: Map[String, ThinNMF.H], sharded: Map[String, ThinNMF.H],
+                          tol: Double = 1e-9): Unit = {
+    assert(joint.keySet == sharded.keySet,
+      s"entity sets differ: only-joint=${(joint.keySet -- sharded.keySet).take(5)} " +
+        s"only-sharded=${(sharded.keySet -- joint.keySet).take(5)}")
+    joint.foreach { case (e, hj) =>
+      val hs = sharded(e)
+      assert(hj.length == hs.length && hj.head.length == hs.head.length, s"H shape differs at $e")
+      for (s <- hj.indices; t <- hj(s).indices) {
+        val (a, b) = (hj(s)(t), hs(s)(t))
+        assert(math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b))),
+          s"H($e)($s)($t): joint=$a sharded=$b")
+      }
+    }
+  }
+
+  test("packShards: deterministic greedy packing, singleton overflow, budget respected") {
+    val bytes = Map("a" -> 40L, "b" -> 40L, "c" -> 200L, "d" -> 10L, "e" -> 30L)
+    val shards = ThinNMF.packShards(bytes, maxBytes = 80L)
+    // sorted order: a(40) b(40) | c(200: alone, over budget) | d(10) e(30)
+    assert(shards == Seq(Seq("a", "b"), Seq("c"), Seq("d", "e")), s"got $shards")
+    assert(ThinNMF.packShards(bytes, Long.MaxValue).size == 1)
+    // every shard except over-budget singletons stays under the cap
+    shards.filter(_.size > 1).foreach(s => assert(s.map(bytes).sum <= 80L))
+  }
+
+  test("ThinNMF.fitSharded under a tiny budget == joint fit (5k entities, 6+ shards)") {
+    val ctx = syntheticCtx(5000, 6).cache()
+    try {
+      val k = 2
+      val dims = ThinNMF.entityDims(ctx)
+      val budget = ThinNMF.modelBytesOf(k, 12) * 800 // ~800 entities/shard
+      val nShards = ThinNMF.packShards(
+        dims.map { case (e, m) => e -> ThinNMF.modelBytesOf(k, m) }, budget).size
+      assert(nShards >= 6, s"budget did not force sharding: $nShards shards")
+      val joint = ThinNMF.fit(ctx, spark, k, iters = 2, seed = 42L)
+      val sharded = ThinNMF.fitSharded(ctx, spark, k, iters = 2, seed = 42L, budget)
+      assert(joint.size == 5000)
+      assertSameH(joint, sharded)
+    } finally ctx.unpersist(false)
+  }
+
+  test("BisectingSenses.fitSharded under a tiny budget == joint fit") {
+    val ctx = syntheticCtx(600, 8).cache()
+    try {
+      val k = 2
+      val budget = BisectingSenses.modelBytesOf(k, 12) * 100 // ~100 entities/shard
+      val joint = BisectingSenses.fit(ctx, spark, k, lloydIters = 4, seed = 42L)
+      val sharded = BisectingSenses.fitSharded(ctx, spark, k, lloydIters = 4, seed = 42L, budget)
+      assert(joint.size == 600)
+      assertSameH(joint, sharded)
+    } finally ctx.unpersist(false)
+  }
+
+  test("senseMatrix honors cfg.modelBytesBudget (sharded run, entities intact)") {
+    val cfg = WsidConfig(entities = Seq.empty, kSenses = 2, nmfMaxIter = 2,
+      modelBytesBudget = ThinNMF.modelBytesOf(2, 12) * 10)
+    val sv = ml.SenseInduction.senseMatrix(spark, syntheticCtx(60, 8), cfg)
+    assert(sv.select("entity").distinct().count() == 60)
+  }
+}
