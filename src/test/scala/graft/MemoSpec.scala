@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+/** VERDICT r2 #3/#7 + ADVICE r2: the E3 model store must work against a
+  * configurable (shared-FS) root, refuse foreign models in the implicit
+  * tmpdir store, and the session memos must stay bounded under config
+  * sweeps. */
+class MemoSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withProp[T](k: String, v: String)(body: => T): T = {
+    val old = sys.props.get(k)
+    sys.props(k) = v
+    try body finally old match {
+      case Some(o) => sys.props(k) = o
+      case None => sys.props.remove(k)
+    }
+  }
+
+  test("ModelVersion: derived from code, stable, hex-keyed") {
+    val v = Memo.ModelVersion
+    assert(v.length == 16 && v.forall(c => "0123456789abcdef".contains(c)), s"got '$v'")
+    assert(v == Memo.ModelVersion) // lazy val: stable within a build by construction
+  }
+
+  test("model store honors graft.model.root (shared-FS URI root, round-trip)") {
+    val root = Files.createTempDirectory("graft_modelstore").toString
+    withProp("graft.model.root", root) {
+      assert(Memo.modelStoreRoot == root)
+      val cfg = WsidConfig(entities = Seq("data", "query"), window = 5, topK = 30)
+      val (dict, senseVec) = Memo.modelOf(spark, sfDir, cfg)
+      assert(dict.count() > 0 && senseVec.count() > 0)
+      // the checkpointed model landed under the CONFIGURED root, complete
+      val kids = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(kids.length == 1 && !kids.head.contains(".build."), s"store contents: ${kids.toSeq}")
+      assert(Pipeline.modelExists(spark, s"$root/${kids.head}"))
+
+      // a fresh lookup (memo dropped, same store) RESUMES instead of
+      // re-inducing: loadModel path only, identical senseVec
+      val sv1 = senseVec.collect().map(_.toString).sorted.toSeq
+      Memo.invalidate(spark)
+      val (_, senseVec2) = Memo.modelOf(spark, sfDir, cfg)
+      val sv2 = senseVec2.collect().map(_.toString).sorted.toSeq
+      assert(sv1 == sv2, "model changed across a store round-trip")
+      Memo.invalidate(spark)
+    }
+  }
+
+  test("implicit tmpdir store refuses a model owned by another user") {
+    val lookup = java.nio.file.FileSystems.getDefault.getUserPrincipalLookupService
+    val foreign = try lookup.lookupPrincipalByName("nobody")
+    catch { case _: Throwable => cancel("no 'nobody' principal on this host") }
+    assume(sys.props("user.name") != "nobody")
+
+    val cfg = WsidConfig(entities = Seq("scan", "sort"), window = 5, topK = 30)
+    Memo.modelOf(spark, sfDir, cfg) // builds into the per-user default store
+    Memo.invalidate(spark)
+    // another principal now owns the cached model dir -> load must refuse
+    val key = new java.io.File(Memo.modelStoreRoot).listFiles()
+      .filter(_.isDirectory).maxBy(_.lastModified())
+    java.nio.file.Files.setOwner(key.toPath, foreign)
+    try {
+      val e = intercept[SecurityException] { Memo.modelOf(spark, sfDir, cfg) }
+      assert(e.getMessage.contains("owned by"))
+    } finally {
+      java.nio.file.Files.setOwner(key.toPath,
+        lookup.lookupPrincipalByName(sys.props("user.name")))
+      Memo.invalidate(spark)
+    }
+  }
+
+  test("memos are LRU-bounded: sweeping 10 configs holds <= graft.memo.max entries") {
+    withProp("graft.memo.max", "3") {
+      val before = Memo.totalEntries
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+      (1 to 10).foreach { i =>
+        // distinct guard bound -> distinct memo key per sweep step
+        val cfg = Queries.cfg.copy(maxDocChars = 1024 * 1024 + i)
+        Memo.tokDocsOf(spark, sfDir, cfg).count()
+      }
+      assert(Memo.totalEntries <= before + 3,
+        s"memo grew unbounded: ${Memo.totalEntries} entries (was $before)")
+      val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+      assert(persistedAfter <= persistedBefore + 3,
+        s"persisted frames grew unbounded: $persistedBefore -> $persistedAfter")
+      Memo.invalidate(spark)
+    }
+  }
+}
