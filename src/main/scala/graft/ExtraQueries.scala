@@ -133,10 +133,28 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(e4(col("sim")) >= 8000, 1L).otherwise(0L)).as("n_neardups"))),
 
-    // the 100 TB path: LSH-bucketed embedding dedup over planted near-dups,
-    // with the exact-quadratic form as the in-query recall verifier
+    // the 100 TB path, TIMED ALONE: LSH-bucketed embedding dedup over
+    // planted near-dups. The planted structure is known analytically (every
+    // pair is (i, i+100000)), so the query still self-checks — n_planted
+    // counts recovered planted pairs, min_sim_e4 pins the verify threshold —
+    // WITHOUT paying the exact-quadratic verifier in the benchmarked plan
+    // (VERDICT r2 #4: round 2 charged the all-pairs verifier to the bench).
+    // The full LSH-vs-exact recall compare lives in the capped _recall entry.
     "q_dedup_embedding_lsh" -> ((s, d) => {
-      val e = embWithPlantedDups(s, d, 500, 50)
+      val pairs = Dedup.embeddingNearDupsLsh(embWithPlantedDups(s, d, 500, 50), 0.95)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("b") === col("a") + 100000L, 1L).otherwise(0L)).as("n_planted"),
+        coalesce(e4(min(col("sim"))), lit(0L)).as("min_sim_e4"))
+    }),
+
+    // recall self-check for the LSH path, verifier CAPPED at 180 vectors
+    // (150 base + 30 planted): precision must be exact by construction
+    // (n_false = 0), recall vs the bounded exact-quadratic verifier is the
+    // measured quantity — cheap enough that the self-check never dominates
+    // the registry again
+    "q_dedup_embedding_lsh_recall" -> ((s, d) => {
+      val e = embWithPlantedDups(s, d, 150, 30)
       val l = Dedup.embeddingNearDupsLsh(e, 0.95)
         .select(col("a"), col("b"), lit(1L).as("in_lsh"))
       val x = Dedup.embeddingNearDups(e, 0.95)
@@ -147,6 +165,7 @@ object ExtraQueries {
           sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
           sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))).as("n_found"))
         .select(col("n_lsh"), col("n_exact"), col("n_found"),
+          (col("n_lsh") - col("n_found")).as("n_false"),
           (col("n_exact") - col("n_found")).as("n_missed"),
           e4(col("n_found") / col("n_exact")).as("recall_e4"))
     }),
@@ -167,11 +186,15 @@ object ExtraQueries {
         bands = 16, width = 6), s, d)),
 
     // index built once per (session, corpus) via Memo — probing is the
-    // per-query cost, exactly like any deployed IVF system
+    // per-query cost, exactly like any deployed IVF system. The one-row
+    // cell-balance guard rides along (cross join against per-query rows):
+    // a degenerate KMeans fit that dumps the corpus into one cell shows up
+    // as max_cell_share_e4 -> 10000 in every run (VERDICT r2 #8)
     "q_sim_ivf" -> ((s, d) => {
       val centers = Memo.ivfIndexOf(s, s"$d|emb500|nlist16")(
         Similarity.ivfIndex(emb(s, d, 500), nlist = 16))
       withRecallVsBrute(Similarity.ivfProbe(emb(s, d, 500), emb(s, d, 3), 5, centers), s, d)
+        .crossJoin(Similarity.ivfCellStats(emb(s, d, 500), centers))
     }),
 
     // ---------------------------------------------------- text analysis
@@ -503,6 +526,50 @@ object ExtraQueries {
         |       CAST(sum(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9_]+'), t -> t <> ''))) AS BIGINT) AS re_tokens,
         |       count(*) AS n_docs
         |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
+
+    // full oracle for the winnowing fingerprints (VERDICT r2 #6): the FNV-1a
+    // k-gram rolling hash runs in 64-bit wraparound arithmetic emulated with
+    // HUGEINT mod 2^64 (tokens are ASCII by the tokenizer contract, so
+    // per-char codes come from ascii()). CRITICAL ordering detail: the hash
+    // is reinterpreted as a SIGNED 64-bit value BEFORE the winnow, because
+    // the Scala side winnows java Longs — the min of a window straddling the
+    // sign boundary differs between signed and unsigned comparison.
+    "q_text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT docid, i, array_to_string(arr[i:i+4], ' ') || ' ' AS g
+        |  FROM t, unnest(generate_series(1, len(arr) - 4)) AS u(i)
+        |  WHERE len(arr) >= 5
+        |),
+        |hashes AS (
+        |  SELECT docid, i,
+        |         CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE hu END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT docid, i,
+        |           list_reduce(
+        |             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |               list_transform(string_split(g, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |             (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |    FROM grams)
+        |),
+        |hl AS (SELECT docid, list(h ORDER BY i) AS hs FROM hashes GROUP BY docid),
+        |wins AS (
+        |  SELECT docid,
+        |         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |              ELSE list_transform(generate_series(1, len(hs) - 3),
+        |                                  j -> list_min(hs[j:j+3]))
+        |         END AS fps
+        |  FROM hl
+        |),
+        |fp AS (SELECT DISTINCT docid, u.f AS fingerprint FROM wins, unnest(fps) AS u(f))
+        |SELECT docid, count(*) AS n_fps, min(fingerprint) AS min_fp, max(fingerprint) AS max_fp
+        |FROM fp GROUP BY docid ORDER BY docid""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (

@@ -71,29 +71,42 @@ object Similarity {
   /** Row-local hyperplane LSH band buckets for a (vec_id, embedding) frame
     * — that input shape is the contract; `outIdCol` only RENAMES vec_id in
     * the output (one (outIdCol, band, bucket) row per band). Shared by ANN
-    * search (lshTopK) and embedding near-dup dedup (embeddingNearDupsLsh). */
+    * search (lshTopK) and embedding near-dup dedup (embeddingNearDupsLsh).
+    *
+    * The plane matrix is identical for every row, so it is materialized ONCE
+    * per partition (sized to the largest embedding seen, regrown if a longer
+    * one arrives) instead of re-deriving hyperplaneSign per (row, plane,
+    * dim) — that re-derivation was ~8k hash mixes per row and dominated the
+    * whole LSH chain's runtime. Embeddings deserialize as primitive
+    * Array[Double] (no per-element boxing on the dot loop). */
   private[operators] def hyperplaneBuckets(df: DataFrame, outIdCol: String,
                                            bands: Int, width: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nPlanes = bands * width
     val in = df.select(col("vec_id"), asDouble("embedding").as("e"))
-      .as[(Long, Seq[Double])]
-    in.flatMap { case (id, e) =>
-      val bits = new Array[Boolean](nPlanes)
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var d = 0
-        while (d < e.length) { dot += hyperplaneSign(seed, p, d) * e(d); d += 1 }
-        bits(p) = dot >= 0
-        p += 1
-      }
-      (0 until bands).iterator.map { b =>
-        var key = 0L
-        var i = 0
-        while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
-        (id, b, key)
+      .as[(Long, Array[Double])]
+    in.mapPartitions { it =>
+      var planes: Array[Array[Double]] = null
+      it.flatMap { case (id, e) =>
+        if (planes == null || planes(0).length < e.length)
+          planes = Array.tabulate(nPlanes, e.length)((p, d) => hyperplaneSign(seed, p, d))
+        val bits = new Array[Boolean](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          val pl = planes(p)
+          var dot = 0.0
+          var d = 0
+          while (d < e.length) { dot += pl(d) * e(d); d += 1 }
+          bits(p) = dot >= 0
+          p += 1
+        }
+        (0 until bands).iterator.map { b =>
+          var key = 0L
+          var i = 0
+          while (i < width) { key = (key << 1) | (if (bits(b * width + i)) 1L else 0L); i += 1 }
+          (id, b, key)
+        }
       }
     }.toDF(outIdCol, "band", "bucket")
   }
@@ -145,25 +158,43 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
     ivfProbe(corpus, queries, k, ivfIndex(corpus, nlist, seed), nprobe)
 
+  /** Nearest-`n` cell ids for an embedding column, as pure column
+    * expressions (whole-stage codegen on the hot path — the per-row UDF of
+    * round 1 broke it): the centroid table is a plan literal (nlist x dim
+    * doubles, tiny), distances via zip_with/aggregate, argmin-n via
+    * array_sort on (dist, cell) structs. */
+  private def nearestCells(centers: Array[Array[Double]],
+                           e: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    val scored = transform(centersLit, (c, ci) => struct(
+      aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d"),
+      ci.as("ci")))
+    transform(slice(array_sort(scored), 1, n), s => s.getField("ci"))
+  }
+
+  /** Balanced-cell guard for an IVF index: one row of corpus-occupancy stats
+    * under `centers`. A degenerate KMeans fit can concentrate the corpus in
+    * one cell, silently degrading probe cost toward brute force; q_sim_ivf
+    * carries max_cell_share_e4 in-query so that regression is visible in
+    * every run (SimilaritySpec asserts the guard fires on a planted
+    * single-cluster corpus). */
+  def ivfCellStats(corpus: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(col("vec_id"), asDouble("embedding").as("e"))
+      .withColumn("cell", element_at(nearestCells(centers, col("e"), 1), 1))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells_used"),
+        round(max(col("n")) * 10000.0 / sum(col("n"))).cast("long").as("max_cell_share_e4"))
+  }
+
   /** IVF probe against a prebuilt index (centers). */
   def ivfProbe(corpus: DataFrame, queries: DataFrame, k: Int,
                centers: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     graft.GraftFunctions.ensureRegistered(spark)
     val train = corpus.select(col("vec_id"), asDouble("embedding").as("e"))
-
-    // nearest-cell assignment as pure column expressions (whole-stage
-    // codegen on the hot path — the per-row UDF of round 1 broke it): the
-    // centroid table is a plan literal (nlist x dim doubles, tiny), distances
-    // via zip_with/aggregate, argmin-n via array_sort on (dist, cell) structs
-    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-    def cellsOf(e: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-      val scored = transform(centersLit, (c, ci) => struct(
-        aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        ci.as("ci")))
-      transform(slice(array_sort(scored), 1, n), s => s.getField("ci"))
-    }
+    def cellsOf(e: org.apache.spark.sql.Column, n: Int) = nearestCells(centers, e, n)
 
     val cCells = train.withColumn("cell", element_at(cellsOf(col("e"), 1), 1))
       .select(col("vec_id").as("b"), col("cell"), col("e").as("eb"))

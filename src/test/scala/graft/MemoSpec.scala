@@ -57,9 +57,13 @@ class MemoSpec extends SparkTestBase {
     val cfg = WsidConfig(entities = Seq("scan", "sort"), window = 5, topK = 30)
     Memo.modelOf(spark, sfDir, cfg) // builds into the per-user default store
     Memo.invalidate(spark)
-    // another principal now owns the cached model dir -> load must refuse
-    val key = new java.io.File(Memo.modelStoreRoot).listFiles()
-      .filter(_.isDirectory).maxBy(_.lastModified())
+    // another principal now owns THIS cfg's cached model dir (same key
+    // derivation as Memo.modelOf) -> load must refuse
+    val keyHex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$sfDir|$cfg|${Memo.ModelVersion}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val key = new java.io.File(Memo.modelStoreRoot, keyHex)
+    assert(key.isDirectory, s"model dir missing at $key")
     java.nio.file.Files.setOwner(key.toPath, foreign)
     try {
       val e = intercept[SecurityException] { Memo.modelOf(spark, sfDir, cfg) }

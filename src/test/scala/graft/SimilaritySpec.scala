@@ -92,6 +92,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.6, f"IVF recall $mean%.3f < 0.6")
   }
 
+  test("IVF balanced-cell guard: fires on a planted single-cluster corpus") {
+    // healthy corpus: the sf0.001 embeddings are ~uniform, so 16 cells share
+    // the mass and no cell dominates
+    val centers = Similarity.ivfIndex(emb, nlist = 16)
+    val healthy = Similarity.ivfCellStats(emb, centers).head()
+    assert(healthy.getAs[Long]("n_cells_used") >= 8, s"healthy corpus: $healthy")
+    assert(healthy.getAs[Long]("max_cell_share_e4") <= 5000, s"healthy corpus: $healthy")
+
+    // degenerate corpus: every vector identical -> the fit concentrates all
+    // mass in ONE cell and probing degrades to brute force; the guard must
+    // say so (max share = 100%)
+    val flat = (0 until 200).map(i => (i.toLong, Seq.fill(16)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val flatCenters = Similarity.ivfIndex(flat, nlist = 4)
+    val degenerate = Similarity.ivfCellStats(flat, flatCenters).head()
+    assert(degenerate.getAs[Long]("max_cell_share_e4") == 10000L, s"guard silent: $degenerate")
+  }
+
   // note: the embeddings table's labels are NOT cosine-separable (same-label
   // fraction of true top-5 ≈ 0.11 ≈ chance, verified against numpy) — so
   // recall tests compare against exact brute force, never against labels.
