@@ -114,11 +114,18 @@ object Dedup {
         val sig = new Array[Long](numHashes)
         java.util.Arrays.fill(sig, Long.MaxValue)
         sh.foreach { s =>
+          // ONE string pass per shingle; the i-th hash function is a full
+          // murmur-style finalizer over (base, i) — the standard one-hash-
+          // many-mixes minhash recipe. The round-2 version re-hashed the
+          // shingle STRING per function (64 passes per shingle), which at
+          // corpus scale multiplies tokenizer-output bandwidth by numHashes.
           val base = h64(s, seed)
           var i = 0
           while (i < numHashes) {
-            // cheap per-function derivation: one strong base hash remixed
-            val v = base * (2 * i + 1) + h64(s, seed + i)
+            var v = base ^ (i.toLong * 0x9e3779b97f4a7c15L)
+            v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+            v ^= v >>> 29; v *= 0xc4ceb9fe1a85ec53L
+            v ^= v >>> 32
             if (v < sig(i)) sig(i) = v
             i += 1
           }
