@@ -293,6 +293,27 @@ object ExtraQueries {
       TextStats.contamination(corpus, bench, 3).orderBy("docid")
     }),
 
+    // LLM sequence packing (concat-and-chunk, 1024-token sequences): per-doc
+    // stream interval + first/last chunk, from the two-phase distributed scan
+    "q_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val td = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      TextStats.packSequences(td, 1024).orderBy("docid")
+    }),
+
+    // unigram-LM quality score (perplexity proxy) over the corpus' own model
+    "q_text_unigram_logprob" -> ((s, d) => {
+      import s.implicits._
+      val td = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      TextStats.unigramLogProb(td).orderBy("docid")
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       import s.implicits._
       val td = s.read.parquet(s"$d/documents.parquet")
@@ -526,6 +547,48 @@ object ExtraQueries {
         |       CAST(sum(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9_]+'), t -> t <> ''))) AS BIGINT) AS re_tokens,
         |       count(*) AS n_docs
         |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
+
+    // sequence packing: the oracle uses the naive single global window —
+    // semantically identical to the engine's two-phase distributed scan
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS ntok
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT docid, CAST(ntok AS BIGINT) AS ntok,
+        |         CAST(SUM(ntok) OVER (ORDER BY docid
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM t WHERE ntok > 0
+        |)
+        |SELECT docid, ntok, tok_end - ntok AS tok_start,
+        |       CAST(floor((tok_end - ntok) / 1024.0) AS BIGINT) AS first_seq,
+        |       CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
+        |FROM c ORDER BY docid""".stripMargin,
+
+    // unigram log-prob: per-TERM ln(n) rounded to 1e-6 once, then exact
+    // integer arithmetic until the final 1e-4 rounding (mirrors the engine
+    // exactly, so float summation order can never flip the hash)
+    "q_text_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT docid, unnest(arr) AS term FROM t),
+        |marg AS (
+        |  SELECT term, CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS lne6
+        |  FROM tok GROUP BY term
+        |),
+        |tot AS (SELECT CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS lnne6 FROM tok),
+        |agg AS (
+        |  SELECT docid, CAST(sum(lne6) AS BIGINT) AS s, count(*) AS ntok
+        |  FROM tok JOIN marg USING (term) GROUP BY docid
+        |)
+        |SELECT docid, ntok,
+        |       CAST(round((CAST(s AS DOUBLE) / ntok - CAST(lnne6 AS DOUBLE)) / 100.0) AS BIGINT) AS logprob_e4
+        |FROM agg CROSS JOIN tot ORDER BY docid""".stripMargin,
 
     // full oracle for the winnowing fingerprints (VERDICT r2 #6): the FNV-1a
     // k-gram rolling hash runs in 64-bit wraparound arithmetic emulated with

@@ -167,6 +167,80 @@ object TextStats {
       .select("docid", "n_shingles", "n_hits", "containment_e4")
   }
 
+  /** Sequence packing for LLM training (concat-and-chunk): documents are
+    * concatenated in docid order into one global token stream and cut into
+    * fixed `seqLen` chunks; each doc reports its token interval
+    * [tok_start, tok_end) and the first/last chunk it lands in (chunks CUT
+    * ACROSS documents — the standard pretraining packing).
+    *
+    * Scale shape: the global running sum is a TWO-PHASE distributed scan —
+    * per-range-partition local prefix sums (parallel window PARTITIONED by
+    * partition id) plus one tiny driver collect of per-partition totals
+    * turned into broadcast offsets. A naive `sum() over (order by docid)`
+    * with no partition key collapses the whole corpus into ONE window task;
+    * at 10^12 docs that is the difference between a scan and a stall. The
+    * scanned rows are the (docid, ntok) projection, never content.
+    * Zero-token docs occupy no stream positions and are excluded.
+    * TextStatsSpec asserts the two-phase result equals the naive global
+    * window on the same input. */
+  def packSequences(td: Dataset[TokDoc], seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = td.sparkSession
+    import spark.implicits._
+    val lens = td.map(d => (d.docid, d.terms.length.toLong)).toDF("docid", "ntok")
+      .filter(col("ntok") > 0)
+      .repartitionByRange(col("docid"))
+      .sortWithinPartitions("docid")
+      .withColumn("pid", spark_partition_id())
+    lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // phase 1: per-partition totals (tiny: one row per partition) ->
+      // exclusive prefix offsets in pid order
+      val totals = lens.groupBy("pid").agg(sum(col("ntok")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offMap = {
+        var acc = 0L
+        totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+      }
+      val offDF = spark.createDataFrame(offMap.toSeq).toDF("pid", "off")
+      // phase 2: parallel local cumsum + broadcast offset add
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy("docid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      lens.withColumn("local_end", sum(col("ntok")).over(w))
+        .join(broadcast(offDF), Seq("pid"))
+        .withColumn("tok_end", col("local_end") + col("off"))
+        .withColumn("tok_start", col("tok_end") - col("ntok"))
+        .withColumn("first_seq", floor(col("tok_start") / seqLen).cast("long"))
+        .withColumn("last_seq", floor((col("tok_end") - 1) / seqLen).cast("long"))
+        .select("docid", "ntok", "tok_start", "first_seq", "last_seq")
+    } finally lens.unpersist(false)
+  }
+
+  /** Unigram-LM quality score (perplexity proxy): per doc, the mean token
+    * log-probability under the corpus' own unigram model,
+    * avg_t ln(n(t)/N) — the cheap first-pass filter before an external LM.
+    * Engine-portable by construction: per-TERM ln(n) is rounded to 1e-6
+    * once (vocab-sized float exposure, like C1's lgamma contract), then the
+    * per-doc arithmetic is exact integers until the final 1e-4 rounding —
+    * a float-summation-order difference between engines can never flip the
+    * hash. Marginals join is corpus-side; AQE broadcasts the vocab when
+    * small. */
+  def unigramLogProb(td: Dataset[TokDoc]): DataFrame = {
+    import td.sparkSession.implicits._
+    val toks = td.flatMap(d => d.terms.iterator.map(t => (d.docid, t))).toDF("docid", "term")
+    val marg = toks.groupBy("term")
+      .agg(round(log(count(lit(1)).cast("double")) * 1e6).cast("long").as("lne6"))
+    val tot = toks.agg(round(log(count(lit(1)).cast("double")) * 1e6).cast("long").as("lnne6"))
+    toks.join(marg, Seq("term"))
+      .groupBy("docid")
+      .agg(sum(col("lne6")).as("s"), count(lit(1)).as("ntok"))
+      .crossJoin(tot)
+      .select(col("docid"), col("ntok"),
+        round((col("s").cast("double") / col("ntok") - col("lnne6").cast("double")) / 100.0)
+          .cast("long").as("logprob_e4"))
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

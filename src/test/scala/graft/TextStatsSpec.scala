@@ -88,6 +88,58 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.langId(td("der the")).head().getString(1) == "de")
   }
 
+  test("packSequences: hand-checked chunk straddling; two-phase scan == naive window") {
+    // docs of 3, 5, 4, 2 tokens; seqLen 4: stream positions
+    //   d0: [0,3)  seqs 0..0      d1: [3,8)  seqs 0..1 (straddles)
+    //   d2: [8,12) seqs 2..2      d3: [12,14) seqs 3..3; empty doc excluded
+    val td = Seq(
+      TokDoc("d0", Array("a", "b", "c")),
+      TokDoc("d1", Array("a", "b", "c", "d", "e")),
+      TokDoc("d2", Array("a", "b", "c", "d")),
+      TokDoc("d3", Array("a", "b")),
+      TokDoc("d4", Array.empty[String])).toDS().repartition(3)
+    val got = TextStats.packSequences(td, 4)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("d0", 3L, 0L, 0L, 0L),
+      ("d1", 5L, 3L, 0L, 1L),
+      ("d2", 4L, 8L, 2L, 2L),
+      ("d3", 2L, 12L, 3L, 3L)), s"got $got")
+
+    // scalable two-phase scan == naive single-partition global window on a
+    // bigger corpus with many partitions
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 500).map(i =>
+      TokDoc(f"x$i%04d", Array.fill(1 + rnd.nextInt(40))("t"))).toDS().repartition(16)
+    val twoPhase = TextStats.packSequences(big, 128)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("docid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = big.map(d => (d.docid, d.terms.length.toLong)).toDF("docid", "ntok")
+      .filter(org.apache.spark.sql.functions.col("ntok") > 0)
+      .withColumn("tok_end", org.apache.spark.sql.functions.sum("ntok").over(w))
+      .select(org.apache.spark.sql.functions.col("docid"), org.apache.spark.sql.functions.col("ntok"),
+        (org.apache.spark.sql.functions.col("tok_end") - org.apache.spark.sql.functions.col("ntok")).as("tok_start"),
+        org.apache.spark.sql.functions.floor((org.apache.spark.sql.functions.col("tok_end") - org.apache.spark.sql.functions.col("ntok")) / 128).cast("long").as("first_seq"),
+        org.apache.spark.sql.functions.floor((org.apache.spark.sql.functions.col("tok_end") - 1) / 128).cast("long").as("last_seq"))
+    assert(twoPhase.exceptAll(naive).isEmpty && naive.exceptAll(twoPhase).isEmpty)
+  }
+
+  test("unigramLogProb: hand-checked against a driver-side computation") {
+    val td = Seq(
+      TokDoc("d0", Array("a", "a", "b")),
+      TokDoc("d1", Array("b", "c"))).toDS()
+    // corpus: n(a)=2, n(b)=2, n(c)=1, N=5
+    def lne6(n: Long): Long = math.round(math.log(n.toDouble) * 1e6)
+    def e4(s: Long, ntok: Long): Long =
+      math.round((s.toDouble / ntok - lne6(5)) / 100.0)
+    val expected = Map(
+      "d0" -> e4(lne6(2) + lne6(2) + lne6(2), 3),
+      "d1" -> e4(lne6(2) + lne6(1), 2))
+    val got = TextStats.unigramLogProb(td)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("fingerprints: winnowing is deterministic and overlap tracks similarity") {
     val a = Tokenize.tokensOf("one two three four five six seven eight nine ten", Set.empty)
     val b = Tokenize.tokensOf("one two three four five six seven eight nine zzz", Set.empty)
