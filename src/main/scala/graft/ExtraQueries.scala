@@ -548,6 +548,180 @@ object ExtraQueries {
         |       count(*) AS n_docs
         |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
 
+    // full oracle for the MinHash-LSH dedup query — the ENTIRE scale path is
+    // replayed in SQL: shingle base hashes (h64 via a recursive CTE over
+    // character positions with 32/64-split wraparound mulmod), the 64
+    // murmur-finalizer mixes per shingle, per-(doc, i) SIGNED minima (Scala
+    // compares java Longs), FNV band-bucket hashing over the signature
+    // slices, the 2..1000 bucket-size prune, candidate pairs, and the exact
+    // Jaccard verification. A regression anywhere in the stack flips the
+    // hash-checked row.
+    "q_dedup_minhash_lsh" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |sh AS (
+        |  SELECT DISTINCT docid,
+        |         unnest(list_transform(generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+        |  FROM t WHERE len(arr) >= 2
+        |),
+        |shv AS (SELECT DISTINCT shingle FROM sh),
+        |hb AS (
+        |  SELECT shingle, 1 AS pos,
+        |         xor(CAST(42 AS HUGEINT), CAST(11400714819323198485 AS HUGEINT)) AS h
+        |  FROM shv
+        |  UNION ALL
+        |  SELECT shingle, pos + 1,
+        |    xor(
+        |      ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT),
+        |      (((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT)) // 8589934592)
+        |  FROM hb WHERE pos <= len(shingle)
+        |),
+        |base AS (SELECT shingle, h AS b FROM hb WHERE pos = len(shingle) + 1),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |mix0 AS (
+        |  SELECT shingle, i,
+        |         xor(b, (CAST(i AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)) AS v
+        |  FROM base CROSS JOIN idx
+        |),
+        |mix1 AS (
+        |  SELECT shingle, i,
+        |    ((xor(v, v // 8589934592) % 4294967296) * 18397679294719823053
+        |     + ((xor(v, v // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
+        |  FROM mix0
+        |),
+        |mix2 AS (
+        |  SELECT shingle, i,
+        |    ((xor(v, v // 536870912) % 4294967296) * 14181476777654086739
+        |     + ((xor(v, v // 536870912) // 4294967296) * 14181476777654086739 % 4294967296) * 4294967296
+        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
+        |  FROM mix1
+        |),
+        |mix3 AS (SELECT shingle, i, xor(v, v // 4294967296) AS u FROM mix2),
+        |sigs AS (
+        |  SELECT sh.docid, m.i,
+        |         min(CAST(CASE WHEN m.u >= CAST(9223372036854775808 AS HUGEINT)
+        |             THEN m.u - CAST(18446744073709551616 AS HUGEINT) ELSE m.u END AS BIGINT)) AS sv
+        |  FROM sh JOIN mix3 m USING (shingle)
+        |  GROUP BY sh.docid, m.i
+        |),
+        |sigl AS (SELECT docid, list(sv ORDER BY i) AS sl FROM sigs GROUP BY docid),
+        |bands AS (SELECT unnest(generate_series(0, 15)) AS band),
+        |buckets AS (
+        |  SELECT docid, band,
+        |    list_reduce(
+        |      list_prepend(xor(CAST(14695981039346656037 AS HUGEINT), CAST(band AS HUGEINT)),
+        |        list_transform(sl[band*4+1 : band*4+4],
+        |          s -> CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+        |                    ELSE CAST(s AS HUGEINT) END)),
+        |      (h, s) -> (xor(h, s) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS bucket
+        |  FROM sigl CROSS JOIN bands
+        |),
+        |ok AS (
+        |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+        |  HAVING count(*) BETWEEN 2 AND 1000
+        |),
+        |cand AS (
+        |  SELECT DISTINCT least(x.docid, y.docid) AS a, greatest(x.docid, y.docid) AS b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.docid < y.docid
+        |  JOIN ok o ON o.band = x.band AND o.bucket = x.bucket
+        |),
+        |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
+        |inter AS (
+        |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
+        |  GROUP BY a.docid, b.docid
+        |),
+        |alljac AS (
+        |  SELECT a, b, i / (sa.sz + sb.sz - i) AS jac
+        |  FROM inter JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
+        |),
+        |lshp AS (
+        |  SELECT aj.a, aj.b, aj.jac FROM alljac aj JOIN cand c ON c.a = aj.a AND c.b = aj.b
+        |  WHERE aj.jac >= 0.2
+        |),
+        |exact AS (SELECT a, b FROM alljac WHERE jac >= 0.2),
+        |mets AS (
+        |  SELECT
+        |    (SELECT count(*) FROM lshp) AS n_lsh,
+        |    (SELECT count(*) FROM exact) AS n_exact,
+        |    (SELECT count(*) FROM lshp l JOIN exact e ON l.a = e.a AND l.b = e.b) AS n_found,
+        |    (SELECT COALESCE(CAST(round(max(jac) * 10000) AS BIGINT), 0) FROM lshp) AS max_jac_e4
+        |)
+        |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(n_found AS BIGINT) AS n_found,
+        |       CAST(n_lsh - n_found AS BIGINT) AS n_false,
+        |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+        |       max_jac_e4
+        |FROM mets""".stripMargin,
+
+    // full oracle for the SimHash near-dup query: the 64-bit seeded term
+    // hash (h64) is replayed with a recursive CTE over character positions —
+    // the murmur-style multiply needs 128-bit-safe wraparound, done as a
+    // 32/64 split mulmod so no intermediate exceeds HUGEINT; signatures are
+    // majority-vote bits over term-frequency-weighted hash bits, then
+    // all-pairs Hamming (bit_count is two's-complement popcount, matching
+    // java.lang.Long.bitCount). The pigeonhole cover is EXACT, so the
+    // bucketed branch's outputs are pinned by the all-pairs truth: a
+    // banding/bucketing bug shows up as n_bucketed != the oracle's count.
+    "q_dedup_simhash" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |tok AS (SELECT docid, unnest(arr) AS term FROM t),
+        |tc AS (SELECT docid, term, count(*) AS c FROM tok GROUP BY docid, term),
+        |vocab AS (SELECT DISTINCT term FROM tok),
+        |hh AS (
+        |  SELECT term, 1 AS pos,
+        |         xor(CAST(42 AS HUGEINT), CAST(11400714819323198485 AS HUGEINT)) AS h
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT term, pos + 1,
+        |    xor(
+        |      ((xor(h, CAST(ascii(substr(term, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(term, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT),
+        |      (((xor(h, CAST(ascii(substr(term, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(term, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT)) // 8589934592)
+        |  FROM hh WHERE pos <= len(term)
+        |),
+        |th AS (SELECT term, h FROM hh WHERE pos = len(term) + 1),
+        |bits AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |acc AS (
+        |  SELECT tc.docid, b.i,
+        |         sum(tc.c * (CAST((th.h // CAST(power(2, b.i) AS HUGEINT)) % 2 AS BIGINT) * 2 - 1)) AS a
+        |  FROM tc JOIN th USING (term) CROSS JOIN bits b
+        |  GROUP BY tc.docid, b.i
+        |),
+        |sigs AS (
+        |  SELECT docid,
+        |         CAST(CASE WHEN su >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN su - CAST(18446744073709551616 AS HUGEINT) ELSE su END AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT docid,
+        |           COALESCE(sum(CASE WHEN a > 0 THEN CAST(power(2, i) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END),
+        |                    CAST(0 AS HUGEINT)) AS su
+        |    FROM acc GROUP BY docid)
+        |),
+        |pairs AS (
+        |  SELECT bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM sigs a JOIN sigs b ON a.docid < b.docid
+        |),
+        |e AS (SELECT count(*) AS n, COALESCE(min(hamming), 0) AS mh FROM pairs WHERE hamming <= 16)
+        |SELECT CAST(n AS BIGINT) AS n_bucketed, CAST(n AS BIGINT) AS n_exact,
+        |       CAST(0 AS BIGINT) AS n_missed, CAST(mh AS BIGINT) AS min_hamming
+        |FROM e""".stripMargin,
+
     // sequence packing: the oracle uses the naive single global window —
     // semantically identical to the engine's two-phase distributed scan
     "q_pack_sequences" ->
