@@ -333,6 +333,95 @@ object ExtraQueries {
 
   // -------------------------------------------------------------- oracles
 
+  /** Shared SQL prefix replaying the embedding-LSH dedup chain in DuckDB:
+    * planted near-dup construction (REAL-rounded exactly like Spark's float
+    * cast), hyperplane signs (seeded mixer in HUGEINT mod-2^64 arithmetic
+    * with 32/64-split mulmod), per-(vec, plane) sequential-order dots (IEEE
+    * add and multiply are correctly rounded, and the summation ORDER matches
+    * the Scala loop, so sign bits are bit-identical), 8-bit band keys, 2..1000
+    * bucket prune, candidate pairs, and the exact-cosine verification on
+    * L2-normalized vectors. `finalSelect` aggregates the verified pairs. */
+  private def embLshOracle(maxId: Int, nPlant: Int, finalSelect: String): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
+       |),
+       |dups AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(embedding, (x, i) ->
+       |           CAST(CAST(x AS DOUBLE) *
+       |                (CAST(1.0 AS DOUBLE) + CAST((i - 1) % 5 - 2 AS DOUBLE) * CAST(0.02 AS DOUBLE))
+       |                AS REAL)) AS embedding
+       |  FROM base WHERE vec_id < $nPlant
+       |),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)
+       |),
+       |pd AS (
+       |  SELECT p.p, d.d,
+       |         xor(xor(CAST(42 AS HUGEINT),
+       |                 (CAST(p.p AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)),
+       |             (CAST(d.d AS HUGEINT) * 14029467366897019727) % CAST(18446744073709551616 AS HUGEINT)) AS h0
+       |  FROM (SELECT unnest(generate_series(0, 127)) AS p) p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+       |),
+       |pm AS (
+       |  SELECT p, d,
+       |    ((xor(h0, h0 // 8589934592) % 4294967296) * 18397679294719823053
+       |     + ((xor(h0, h0 // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+       |    ) % CAST(18446744073709551616 AS HUGEINT) AS h1
+       |  FROM pd
+       |),
+       |psign AS (
+       |  SELECT p, d,
+       |         CASE WHEN xor(h1, h1 // 536870912) % 2 = 0
+       |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+       |  FROM pm
+       |),
+       |planes AS (SELECT p, list(s ORDER BY d) AS pv FROM psign GROUP BY p),
+       |bitsv AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                list_transform(generate_series(1, len(e.ed)), j -> pl.pv[j] * e.ed[j])),
+       |                (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes pl
+       |),
+       |buckets AS (
+       |  SELECT vec_id, CAST(p // 8 AS BIGINT) AS band,
+       |         CAST(sum(bit * CAST(power(2, 7 - (p % 8)) AS BIGINT)) AS BIGINT) AS bucket
+       |  FROM bitsv GROUP BY vec_id, p // 8
+       |),
+       |ok AS (
+       |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND 1000
+       |),
+       |cand AS (
+       |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS a, greatest(x.vec_id, y.vec_id) AS b
+       |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  JOIN ok o ON o.band = x.band AND o.bucket = x.bucket
+       |),
+       |norms AS (
+       |  SELECT vec_id,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(ed)), j -> ed[j] * ed[j])), (a, b) -> a + b)) AS nrm,
+       |         ed
+       |  FROM e
+       |),
+       |ne AS (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm > 0 THEN list_transform(ed, x -> x / nrm) ELSE ed END AS en
+       |  FROM norms
+       |),
+       |verified AS (
+       |  SELECT c.a, c.b,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(na.en)), j -> na.en[j] * nb.en[j])),
+       |           (a2, b2) -> a2 + b2) AS sim
+       |  FROM cand c JOIN ne na ON na.vec_id = c.a JOIN ne nb ON nb.vec_id = c.b
+       |),
+       |fin AS (SELECT a, b, sim FROM verified WHERE sim >= 0.95)
+       |$finalSelect""".stripMargin
+
   private val d40Cte =
     """d40 AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS docid,
@@ -547,6 +636,134 @@ object ExtraQueries {
         |       CAST(sum(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9_]+'), t -> t <> ''))) AS BIGINT) AS re_tokens,
         |       count(*) AS n_docs
         |FROM docs GROUP BY repo ORDER BY repo""".stripMargin,
+
+    // hyperplane-LSH ANN, fully hash-checked: signature sign bits replayed
+    // with the same correctly-rounded, same-order IEEE arithmetic as the
+    // Scala loop; quantized (sim_e4, b) ranking makes the top-5 ties
+    // engine-stable; recall compares against the brute-force top-5 CTE
+    "q_sim_lsh" ->
+      """
+        |WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |pd AS (
+        |  SELECT p.p, d.d,
+        |         xor(xor(CAST(42 AS HUGEINT),
+        |                 (CAST(p.p AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)),
+        |             (CAST(d.d AS HUGEINT) * 14029467366897019727) % CAST(18446744073709551616 AS HUGEINT)) AS h0
+        |  FROM (SELECT unnest(generate_series(0, 95)) AS p) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+        |),
+        |pm AS (
+        |  SELECT p, d,
+        |    ((xor(h0, h0 // 8589934592) % 4294967296) * 18397679294719823053
+        |     + ((xor(h0, h0 // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |    ) % CAST(18446744073709551616 AS HUGEINT) AS h1
+        |  FROM pd
+        |),
+        |psign AS (
+        |  SELECT p, d,
+        |         CASE WHEN xor(h1, h1 // 536870912) % 2 = 0
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        |  FROM pm
+        |),
+        |planes AS (SELECT p, list(s ORDER BY d) AS pv FROM psign GROUP BY p),
+        |bitsv AS (
+        |  SELECT e.vec_id, pl.p,
+        |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                list_transform(generate_series(1, len(e.ed)), j -> pl.pv[j] * e.ed[j])),
+        |                (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes pl
+        |),
+        |buckets AS (
+        |  SELECT vec_id, CAST(p // 6 AS BIGINT) AS band,
+        |         CAST(sum(bit * CAST(power(2, 5 - (p % 6)) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM bitsv GROUP BY vec_id, p // 6
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+        |  FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |),
+        |sims AS (
+        |  SELECT c.a, c.b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * eb.ed[j])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * ea.ed[j])), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(eb.ed)), j -> eb.ed[j] * eb.ed[j])), (x, y) -> x + y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |),
+        |topk AS (
+        |  SELECT a, b, sim_e4 FROM (
+        |    SELECT a, b, CAST(round(sim * 10000) AS BIGINT) AS sim_e4,
+        |           row_number() OVER (PARTITION BY a ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, b) AS rnk
+        |    FROM sims)
+        |  WHERE rnk <= 5
+        |),
+        |-- brute-force exact top-5 (same as the q_sim_bruteforce oracle)
+        |ex AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+        |q AS (SELECT * FROM ex WHERE vec_id < 3),
+        |dots AS (
+        |  SELECT q.vec_id AS a, ex.vec_id AS b, sum(q.v * ex.v) AS dot
+        |  FROM q JOIN ex ON q.i = ex.i AND ex.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, ex.vec_id
+        |),
+        |bsims AS (
+        |  SELECT a, b, CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS sim_e4
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |),
+        |brute AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim_e4 DESC, b) AS rnk FROM bsims)
+        |  WHERE rnk <= 5
+        |)
+        |SELECT t.a, count(*) AS n, max(t.sim_e4) AS best_e4,
+        |       CAST(round(sum(CASE WHEN br.b IS NOT NULL THEN 1 ELSE 0 END) / 5.0 * 10000) AS BIGINT) AS recall_e4
+        |FROM topk t LEFT JOIN brute br ON br.a = t.a AND br.b = t.b
+        |GROUP BY t.a ORDER BY t.a
+        """.stripMargin,
+
+    // the 100 TB embedding-dedup path, fully hash-checked: signatures, band
+    // buckets, prune, candidates and exact-cosine verify all replayed in SQL
+    // (see embLshOracle — float sign bits are safe to compare because both
+    // engines evaluate the same correctly-rounded IEEE ops in the same order)
+    "q_dedup_embedding_lsh" -> embLshOracle(500, 50,
+      """SELECT count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN b = a + 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |       COALESCE(CAST(round(min(sim) * 10000) AS BIGINT), 0) AS min_sim_e4
+        |FROM fin""".stripMargin),
+
+    // recall variant: the same chain on the capped input, compared against
+    // the exact-quadratic all-pairs side (alljac) inside the oracle too
+    "q_dedup_embedding_lsh_recall" -> embLshOracle(150, 30,
+      """, alljac AS (
+        |  SELECT na.vec_id AS a, nb.vec_id AS b,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, len(na.en)), j -> na.en[j] * nb.en[j])),
+        |           (a2, b2) -> a2 + b2) AS sim
+        |  FROM ne na JOIN ne nb ON na.vec_id < nb.vec_id
+        |),
+        |exact AS (SELECT a, b FROM alljac WHERE sim >= 0.95),
+        |mets AS (
+        |  SELECT
+        |    (SELECT count(*) FROM fin) AS n_lsh,
+        |    (SELECT count(*) FROM exact) AS n_exact,
+        |    (SELECT count(*) FROM fin f JOIN exact e2 ON f.a = e2.a AND f.b = e2.b) AS n_found
+        |)
+        |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
+        |       CAST(n_found AS BIGINT) AS n_found,
+        |       CAST(n_lsh - n_found AS BIGINT) AS n_false,
+        |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+        |       CAST(round(CAST(n_found AS DOUBLE) / n_exact * 10000) AS BIGINT) AS recall_e4
+        |FROM mets""".stripMargin),
 
     // full oracle for the MinHash-LSH dedup query — the ENTIRE scale path is
     // replayed in SQL: shingle base hashes (h64 via a recursive CTE over
