@@ -97,9 +97,12 @@ object ExtraQueries {
         .select(col("a"), col("b"), lit(1L).as("in_exact"))
       l.join(x, Seq("a", "b"), "full_outer")
         .agg(
-          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
-          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
-          sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))).as("n_found"),
+          // coalesce AFTER the sum too: over an EMPTY joined frame (a corpus
+          // slice with no near-dup pairs at all) sum() is NULL, not 0
+          coalesce(sum(coalesce(col("in_lsh"), lit(0L))), lit(0L)).as("n_lsh"),
+          coalesce(sum(coalesce(col("in_exact"), lit(0L))), lit(0L)).as("n_exact"),
+          coalesce(sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))),
+            lit(0L)).as("n_found"),
           coalesce(e4(max(col("jac"))), lit(0L)).as("max_jac_e4"))
         .select(col("n_lsh"), col("n_exact"), col("n_found"),
           (col("n_lsh") - col("n_found")).as("n_false"),
@@ -144,7 +147,8 @@ object ExtraQueries {
       val pairs = Dedup.embeddingNearDupsLsh(embWithPlantedDups(s, d, 500, 50), 0.95)
       pairs.agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(col("b") === col("a") + 100000L, 1L).otherwise(0L)).as("n_planted"),
+        coalesce(sum(when(col("b") === col("a") + 100000L, 1L).otherwise(0L)), lit(0L))
+          .as("n_planted"),
         coalesce(e4(min(col("sim"))), lit(0L)).as("min_sim_e4"))
     }),
 
@@ -161,13 +165,16 @@ object ExtraQueries {
         .select(col("a"), col("b"), lit(1L).as("in_exact"))
       l.join(x, Seq("a", "b"), "full_outer")
         .agg(
-          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
-          sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
-          sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))).as("n_found"))
+          coalesce(sum(coalesce(col("in_lsh"), lit(0L))), lit(0L)).as("n_lsh"),
+          coalesce(sum(coalesce(col("in_exact"), lit(0L))), lit(0L)).as("n_exact"),
+          coalesce(sum(coalesce(col("in_lsh"), lit(0L)) * coalesce(col("in_exact"), lit(0L))),
+            lit(0L)).as("n_found"))
         .select(col("n_lsh"), col("n_exact"), col("n_found"),
           (col("n_lsh") - col("n_found")).as("n_false"),
           (col("n_exact") - col("n_found")).as("n_missed"),
-          e4(col("n_found") / col("n_exact")).as("recall_e4"))
+          // guarded like the oracle: zero true pairs -> recall 0, not NULL
+          when(col("n_exact") === 0, 0L)
+            .otherwise(e4(col("n_found") / col("n_exact"))).as("recall_e4"))
     }),
 
     // ------------------------------------------------------ similarity
@@ -762,7 +769,8 @@ object ExtraQueries {
         |       CAST(n_found AS BIGINT) AS n_found,
         |       CAST(n_lsh - n_found AS BIGINT) AS n_false,
         |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
-        |       CAST(round(CAST(n_found AS DOUBLE) / n_exact * 10000) AS BIGINT) AS recall_e4
+        |       CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(round(CAST(n_found AS DOUBLE) / n_exact * 10000) AS BIGINT) END AS recall_e4
         |FROM mets""".stripMargin),
 
     // full oracle for the MinHash-LSH dedup query — the ENTIRE scale path is
