@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextStats, Tokenize}
+import graft.operators.{Dedup, Mixing, Similarity, TextStats, Tokenize}
 
 /** Training-data-pipeline operators registered on the driver contract:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -50,6 +50,21 @@ object ExtraQueries {
   }
 
   private def e4(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
+
+  /** Near-dup cluster fixture: docs 0..29 plus, for docs 0..9, two prefix
+    * truncations (_v1 keeps the first 90% of tokens, _v2 the first 80%) —
+    * at Jaccard threshold 0.85 the typical pair set is {orig–v1, v1–v2} but
+    * NOT orig–v2, so clusters only resolve through TRANSITIVE closure, the
+    * point of the connected-components operator. The identical construction
+    * is replayed in the oracle's SQL. */
+  private def tdWithPlantedNearDups(s: SparkSession, d: String): Dataset[TokDoc] = {
+    import s.implicits._
+    def trunc(t: TokDoc, tenths: Int, suffix: String) =
+      TokDoc(t.docid + suffix, t.terms.take(math.max(t.terms.length * tenths / 10, 1)))
+    val base = tokdocsUnder(s, d, 30)
+    val ten = tokdocsUnder(s, d, 10)
+    base.union(ten.map(trunc(_, 9, "_v1"))).union(ten.map(trunc(_, 8, "_v2")))
+  }
 
   /** Per-query ANN quality summary: result count, best similarity, and
     * recall@5 against the exact brute-force top-k on the identical input. */
@@ -176,6 +191,56 @@ object ExtraQueries {
           when(col("n_exact") === 0, 0L)
             .otherwise(e4(col("n_found") / col("n_exact"))).as("recall_e4"))
     }),
+
+    // cluster resolution: near-dup pairs are NOT transitive, so the emit
+    // step needs connected components over the pair graph before survivor
+    // election. Pairs from exact n-gram Jaccard on the planted chain fixture
+    // (orig—v1—v2 chains that only merge transitively); components via
+    // alternating large-star/small-star; one row per clustered doc with its
+    // cluster id (= minimum member = the survivor), size, and keep decision.
+    "q_dedup_cc" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(tdWithPlantedNearDups(s, d), 2, 0.85)
+      Dedup.nearDupClusters(pairs).orderBy("docid")
+    }),
+
+    // ------------------------------------------------- corpus composition
+    // deterministic global shuffle + equal-size sharding for training
+    // output: sha256 sort key, two-phase global positions, ntile shards —
+    // reproducible across runs AND cluster sizes, summarized per shard
+    "q_shuffle_shards" -> ((s, d) =>
+      Mixing.deterministicShuffle(docs(s, d), 8, "epoch0")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min(substring(col("skey"), 1, 8)).as("first_key"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          sum(length(col("content"))).as("chars"))
+        .orderBy("shard")),
+
+    // CCNet-style quality bucketing: ntile(10) over the unigram-LM score
+    // (computed by the distributed two-phase scan, ANSI-ntile semantics),
+    // per-bucket volume summary — the standard "keep the best k deciles" cut
+    "q_quality_buckets" -> ((s, d) => {
+      import s.implicits._
+      val td = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      Mixing.ntileBuckets(TextStats.unigramLogProb(td), 10,
+          Seq(col("logprob_e4"), col("docid")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("logprob_e4")).as("min_lp_e4"),
+          max(col("logprob_e4")).as("max_lp_e4"),
+          sum(col("ntok")).as("tokens"))
+        .orderBy("bucket")
+    }),
+
+    // domain-mixture reweighting: observed per-language token shares vs a
+    // target training mixture -> per-domain sampling weights
+    "q_mix_weights" -> ((s, d) =>
+      Mixing.mixtureWeights(docs(s, d), "lang",
+          Map("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05))
+        .orderBy("domain")),
 
     // ------------------------------------------------------ similarity
     "q_sim_bruteforce" -> ((s, d) =>
@@ -1057,6 +1122,141 @@ object ExtraQueries {
         |  FROM scores
         |)
         |SELECT lang_pred, count(*) AS n, CAST(sum(hits) AS BIGINT) AS hits
-        |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+        |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // connected components over the planted near-dup pair graph: the pair
+    // set is the exact n-gram Jaccard (same CTE shape as q_dedup_ngram's
+    // oracle) over the orig/_v1/_v2 fixture; components via a recursive
+    // reachability CTE (min reachable id = cluster = survivor) — the
+    // all-pairs transitive closure the engine's large-star/small-star
+    // rounds must agree with exactly.
+    "q_dedup_cc" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 30
+        |),
+        |pl AS (
+        |  SELECT docid, arr FROM d
+        |  UNION ALL
+        |  SELECT docid || '_v1', arr[1:greatest(len(arr) * 9 // 10, 1)]
+        |  FROM d WHERE CAST(docid AS INTEGER) < 10
+        |  UNION ALL
+        |  SELECT docid || '_v2', arr[1:greatest(len(arr) * 8 // 10, 1)]
+        |  FROM d WHERE CAST(docid AS INTEGER) < 10
+        |),
+        |sh AS (
+        |  SELECT DISTINCT docid,
+        |         unnest(list_transform(generate_series(1, len(arr) - 1),
+        |                i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+        |  FROM pl
+        |),
+        |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
+        |inter AS (
+        |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
+        |  GROUP BY a.docid, b.docid
+        |),
+        |p AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
+        |  WHERE i / (sa.sz + sb.sz - i) >= 0.85
+        |),
+        |sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t0
+        |  UNION
+        |  SELECT s.u, r.r FROM sym s JOIN reach r ON r.u = s.v
+        |),
+        |comp AS (SELECT u AS docid, min(r) AS cluster FROM reach GROUP BY u),
+        |csz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+        |SELECT c.docid, c.cluster, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(CASE WHEN c.docid = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM comp c JOIN csz s USING (cluster)
+        |ORDER BY c.docid""".stripMargin,
+
+    // deterministic shuffle + sharding: the oracle's single global window
+    // (row_number + ntile over the sha256 key) is the semantic spec the
+    // engine's two-phase scan must reproduce bit-identically
+    "q_shuffle_shards" ->
+      """WITH docs AS (
+        |  SELECT source AS repo,
+        |         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+        |         substr(sha256(text), 1, 12) AS "commit",
+        |         text AS content
+        |  FROM documents
+        |),
+        |k AS (
+        |  SELECT sha256('epoch0' || '|' || repo || '|' || path || '|' || "commit") AS skey,
+        |         content
+        |  FROM docs
+        |),
+        |t AS (
+        |  SELECT skey, content,
+        |         row_number() OVER (ORDER BY skey) AS pos,
+        |         ntile(8) OVER (ORDER BY skey) AS shard
+        |  FROM k
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |       min(substr(skey, 1, 8)) AS first_key,
+        |       CAST(min(pos) AS BIGINT) AS min_pos, CAST(max(pos) AS BIGINT) AS max_pos,
+        |       CAST(sum(length(content)) AS BIGINT) AS chars
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // quality deciles: ntile(10) over the unigram-LM score (the
+    // q_text_unigram_logprob oracle as a CTE), per-bucket volume
+    "q_quality_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT docid, unnest(arr) AS term FROM t),
+        |marg AS (
+        |  SELECT term, CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS lne6
+        |  FROM tok GROUP BY term
+        |),
+        |tot AS (SELECT CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS lnne6 FROM tok),
+        |agg AS (
+        |  SELECT docid, CAST(sum(lne6) AS BIGINT) AS s, count(*) AS ntok
+        |  FROM tok JOIN marg USING (term) GROUP BY docid
+        |),
+        |scored AS (
+        |  SELECT docid, ntok,
+        |         CAST(round((CAST(s AS DOUBLE) / ntok - CAST(lnne6 AS DOUBLE)) / 100.0) AS BIGINT) AS logprob_e4
+        |  FROM agg CROSS JOIN tot
+        |),
+        |b AS (
+        |  SELECT ntok, logprob_e4,
+        |         ntile(10) OVER (ORDER BY logprob_e4, docid) AS bucket
+        |  FROM scored
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       min(logprob_e4) AS min_lp_e4, max(logprob_e4) AS max_lp_e4,
+        |       CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // domain-mixture reweighting: identical double arithmetic (BIGINT token
+    // counts, one division chain, e4 rounding) in both engines
+    "q_mix_weights" ->
+      """WITH docs AS (
+        |  SELECT lang,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS ntok
+        |  FROM documents
+        |),
+        |per AS (
+        |  SELECT lang AS domain, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens,
+        |         CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.3 WHEN 'es' THEN 0.2
+        |                   WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.05 ELSE 0.0 END AS target
+        |  FROM docs GROUP BY lang
+        |),
+        |tot AS (SELECT sum(tokens) AS total FROM per)
+        |SELECT domain, n_docs, tokens,
+        |       CAST(round(tokens / total * 10000) AS BIGINT) AS obs_share_e4,
+        |       CAST(round(target * 10000) AS BIGINT) AS target_share_e4,
+        |       CASE WHEN tokens > 0
+        |            THEN CAST(round(target / (tokens / total) * 10000) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS weight_e4
+        |FROM per CROSS JOIN tot ORDER BY domain""".stripMargin
   )
 }

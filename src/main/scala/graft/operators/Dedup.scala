@@ -289,6 +289,88 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------- cluster resolution (CC)
+
+  /** Connected components over an undirected near-duplicate pair graph —
+    * the cluster-resolution step every production dedup pipeline needs
+    * between pair detection (MinHash/SimHash/embedding LSH above) and
+    * survivor election: near-dup similarity is not transitive, so pairs
+    * (a,b), (b,c) must merge into one cluster {a,b,c} before exactly one
+    * representative is kept.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    * literature), re-expressed as DataFrame aggregations. Each round is two
+    * key-grouped min-aggregations plus a semi-join-free emit — no driver-side
+    * graph state, no vertex collect — and the round count is O(log n), so
+    * components over billions of pairs cost a bounded handful of shuffles.
+    * Per-round state is localCheckpoint'd: an iterative DataFrame loop
+    * otherwise grows its lineage (and analysis time) without bound.
+    *
+    * Returns (docid, cluster) for every node appearing in `pairs` (columns
+    * `a`, `b`), cluster = MINIMUM reachable id in string order — so the
+    * cluster id is itself the canonical survivor. Throws if `maxIter`
+    * rounds don't converge (silently-partial components would be a wrong
+    * answer, not a slow one). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(least(col("a"), col("b")).cast("string").as("lo"),
+        greatest(col("a"), col("b")).cast("string").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor v > u of center u links to
+      // m = min(N(u) ∪ {u}). Emitted edges always have m < v.
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // small-star: every neighbor v < u (and u itself) links to
+      // m = min of u's smaller neighborhood. Edges stay (min, other).
+      val down = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smins = down.groupBy("u").agg(min(col("v")).as("m"))
+      val small = down.join(smins, Seq("u"))
+        .select(col("m"), col("v"))
+        .unionAll(smins.select(col("m"), col("u").as("v")))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint test: the edge set is a star forest (stable under both
+      // phases) exactly when no node is both a center and a leaf
+      converged = small.select(col("lo").as("n")).distinct()
+        .join(small.select(col("hi").as("n")), Seq("n"), "left_semi")
+        .isEmpty
+      edges = small
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "partial components would be silently wrong; raise maxIter")
+    edges.select(col("hi").as("docid"), col("lo").as("cluster"))
+      .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))
+      .distinct()
+  }
+
+  /** Cluster-resolved dedup emit: pair graph → components → per-doc cluster
+    * id, cluster size, and the keep/drop decision (the minimum id in each
+    * cluster survives — consistent with dedupKeepFirst's first-key-wins). */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("docid"), col("cluster"), col("cluster_size"),
+        when(col("docid") === col("cluster"), 1L).otherwise(0L).as("is_kept"))
+  }
+
   // -------------------------------------------- embedding near-duplicates
 
   /** Scale path for embedding-space dedup: random-hyperplane LSH buckets

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.CodeDoc
+
+/** Corpus-composition operators for training-data output: deterministic
+  * global shuffle + equal-size sharding, SQL-ntile bucketing over a
+  * distributed two-phase scan (no single global window task), and
+  * domain-mixture reweighting. These are the steps between a curated corpus
+  * and the bytes a trainer reads: shuffle once reproducibly, cut into equal
+  * shards, and weight domains to the target mixture.
+  */
+object Mixing {
+
+  /** Global 1-based positions of `df`'s rows under the total order `order`,
+    * added as column `pos`; also returns the exact row count. Two-phase
+    * distributed scan (same shape as TextStats.packSequences): range-partition
+    * by the order key, per-partition row_number (parallel window PARTITIONED
+    * by physical partition id), and one tiny driver collect of per-partition
+    * counts turned into broadcast offsets. A bare
+    * `row_number() over (order by k)` serializes the corpus through ONE
+    * window task — at 10^12 rows that is a stall, not a scan. `order` must
+    * be a total order or positions are nondeterministic. */
+  private[graft] def withGlobalPositions(df: DataFrame, order: Seq[Column]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val part = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("pid", spark_partition_id())
+    part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // phase 1: per-partition row counts (one row per partition) ->
+      // exclusive prefix offsets in pid order
+      val totals = part.groupBy("pid").agg(count(lit(1)).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = totals.map(_._2).sum
+      val offsets = {
+        var acc = 0L
+        totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+      }
+      val offDF = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
+      // phase 2: parallel local row_number + broadcast offset add
+      val w = Window.partitionBy("pid").orderBy(order: _*)
+      val out = part.join(broadcast(offDF), Seq("pid"))
+        .withColumn("pos", row_number().over(w).cast("long") + col("off"))
+        .drop("pid", "off")
+      (out, n)
+    } finally part.unpersist(false)
+  }
+
+  /** SQL `ntile(n)` over a distributed corpus: rows in `order` split into
+    * `n` buckets, the first (N mod n) buckets one row larger — bit-identical
+    * to the ANSI/DuckDB window function (including n > N: row i alone in
+    * bucket i), but computed with the two-phase scan above instead of a
+    * single global window task. Adds `pos` (1-based global position) and
+    * `bucket` (1-based). */
+  def ntileBuckets(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val (pos, total) = withGlobalPositions(df, order)
+    val big = total % n
+    val szBig = total / n + 1
+    val szSmall = math.max(total / n, 1L) // 0 only when total < n; branch then dead
+    pos.withColumn("bucket",
+      when(col("pos") <= big * szBig,
+        floor((col("pos") - 1) / lit(szBig.toDouble)) + 1)
+        .otherwise(lit(big) + floor((col("pos") - lit(big * szBig) - 1) / lit(szSmall.toDouble)) + 1)
+        .cast("long"))
+  }
+
+  /** Deterministic global training-data shuffle + equal-size sharding: each
+    * document gets a pseudorandom but fully reproducible sort key (sha256
+    * over seed|repo|path|commit), a global position in key order, and an
+    * ntile shard. Re-running with the same seed — on ANY partitioning or
+    * cluster size — yields the identical order and shard assignment
+    * (contrast `orderBy(rand())`); a new seed gives an independent
+    * permutation per epoch. Scale shape: ONE range exchange on the hash key,
+    * which is uniform by construction so the sort can never skew; content
+    * rides that exchange once — exactly the "shuffle the corpus before
+    * writing training shards" job. */
+  def deterministicShuffle(docs: Dataset[CodeDoc], nShards: Int, seed: String): DataFrame = {
+    val keyed = docs.toDF().withColumn("skey",
+      sha2(concat_ws("|", lit(seed), col("repo"), col("path"), col("commit")), 256))
+    ntileBuckets(keyed, nShards, Seq(col("skey")))
+      .withColumnRenamed("bucket", "shard")
+  }
+
+  /** Domain-mixture reweighting: observed per-domain token shares vs a
+    * target mixture → per-domain sampling weight target/observed (>1 =
+    * upsample / extra epochs, <1 = downsample) — the knob that turns a
+    * skewed crawl into the training mixture. Domains absent from `targets`
+    * get target 0 (dropped); shares and weights are e4-scaled BIGINTs for
+    * engine-stable comparison. One aggregation over the (domain, ntok)
+    * projection — content is token-counted in the scan, never shuffled. */
+  def mixtureWeights(docs: Dataset[CodeDoc], domainCol: String,
+                     targets: Map[String, Double]): DataFrame = {
+    val ntok = size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= ""))
+      .cast("long")
+    val targetCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (dom, t)) =>
+      when(col("domain") === dom, lit(t)).otherwise(acc)
+    }
+    val per = docs.toDF()
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(ntok).as("tokens"))
+      .withColumn("target", targetCol)
+    val tot = per.agg(sum(col("tokens")).as("total"))
+    per.crossJoin(tot)
+      .select(col("domain"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total") * 10000).cast("long").as("obs_share_e4"),
+        round(col("target") * 10000).cast("long").as("target_share_e4"),
+        when(col("tokens") > 0,
+          round(col("target") / (col("tokens") / col("total")) * 10000).cast("long"))
+          .otherwise(lit(0L)).as("weight_e4"))
+  }
+}

@@ -156,4 +156,59 @@ class DedupSpec extends SparkTestBase {
       Dedup.minhashLshPairs(td, 2, 0.5, numHashes = 16, bands = 32)
     }
   }
+
+  private def ccOf(pairs: Seq[(String, String)]): Map[String, String] = {
+    val df = spark.createDataset(pairs).toDF("a", "b").repartition(4)
+    Dedup.connectedComponents(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("connected components: 34-node path graph collapses to one cluster") {
+    // a pure chain is the worst case for naive neighbor propagation (O(n)
+    // rounds); large-star/small-star must still converge in O(log n)
+    val ids = (0 until 34).map(i => f"p$i%02d")
+    val chain = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+    val cc = ccOf(chain)
+    assert(cc.keySet == ids.toSet)
+    assert(cc.values.toSet == Set("p00"), s"chain must collapse to p00: ${cc.values.toSet}")
+  }
+
+  test("connected components: random graph matches a union-find reference") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 120).map(i => f"n$i%03d")
+    val pairs = (0 until 150).map { _ =>
+      val a = nodes(rnd.nextInt(nodes.length)); val b = nodes(rnd.nextInt(nodes.length))
+      (a, b)
+    }.filter(p => p._1 != p._2)
+    // reference: driver-side union-find
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = inGraph.map(n => n -> find(n)).toMap
+    // union-find roots are not necessarily component minima — normalize
+    val minOfRoot = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val want = expected.map { case (n, r) => n -> minOfRoot(r) }
+    assert(ccOf(pairs) == want)
+  }
+
+  test("connected components: empty pair set yields empty assignment") {
+    assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  test("nearDupClusters: sizes and survivor election on a known graph") {
+    // two components: {a,b,c} via chain a-b, b-c; {x,y} direct
+    val df = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")
+    val rows = Dedup.nearDupClusters(df).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("is_kept")))).toMap
+    assert(rows("a") == (("a", 3L, 1L)))
+    assert(rows("b") == (("a", 3L, 0L)))
+    assert(rows("c") == (("a", 3L, 0L)))
+    assert(rows("x") == (("x", 2L, 1L)))
+    assert(rows("y") == (("x", 2L, 0L)))
+  }
 }

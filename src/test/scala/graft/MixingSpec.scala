@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixing
+
+class MixingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsN(n: Int) = (0 until n).map(i =>
+    CodeDoc("r", s"p$i", s"c$i", if (i % 3 == 0) "en" else "de",
+      s"some content number $i with words")).toDS()
+
+  test("ntileBuckets matches Spark's own ntile window for awkward (N, k)") {
+    for ((n, k) <- Seq((100, 8), (97, 10), (5, 8), (16, 16), (1, 3), (64, 1))) {
+      val df = (0 until n).map(i => (f"id$i%03d", i.toLong)).toDF("id", "v").repartition(4)
+      val got = Mixing.ntileBuckets(df, k, Seq(col("id")))
+        .select("id", "bucket").as[(String, Long)].collect().toMap
+      val want = df.withColumn("bucket", ntile(k).over(Window.orderBy("id")).cast("long"))
+        .select("id", "bucket").as[(String, Long)].collect().toMap
+      assert(got == want, s"ntile mismatch at N=$n k=$k")
+    }
+  }
+
+  test("deterministicShuffle: partitioning-invariant, seed-sensitive, balanced") {
+    val d = docsN(200)
+    def run(ds: org.apache.spark.sql.Dataset[CodeDoc], seed: String) =
+      Mixing.deterministicShuffle(ds, 8, seed)
+        .select(col("path"), col("shard"), col("pos"))
+        .as[(String, Long, Long)].collect().map { case (p, s, q) => p -> ((s, q)) }.toMap
+    val a = run(d.repartition(1), "epoch0")
+    val b = run(d.repartition(7), "epoch0")
+    assert(a == b, "shuffle must not depend on input partitioning")
+    // every position 1..N exactly once; shard sizes differ by at most 1
+    assert(a.values.map(_._2).toSeq.sorted == (1L to 200L))
+    val sizes = a.values.groupBy(_._1).map(_._2.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // a different seed is a genuinely different permutation
+    val c = run(d, "epoch1")
+    assert(a != c)
+  }
+
+  test("mixtureWeights: hand-checked shares and weights") {
+    // 6 docs: 2 en with 3 tokens each, 4 de with 6 tokens each -> en share
+    // 6/30 = 0.2, de share 24/30 = 0.8; targets en 0.6, de 0.2
+    val docs = (
+      (0 until 2).map(i => CodeDoc("r", s"e$i", "c", "en", "one two three")) ++
+      (0 until 4).map(i => CodeDoc("r", s"d$i", "c", "de", "a b c d e f"))).toDS()
+    val r = Mixing.mixtureWeights(docs, "lang", Map("en" -> 0.6, "de" -> 0.2))
+      .collect().map(x => x.getString(0) -> ((x.getAs[Long]("tokens"),
+        x.getAs[Long]("obs_share_e4"), x.getAs[Long]("weight_e4")))).toMap
+    assert(r("en") == ((6L, 2000L, 30000L)), s"$r")  // 0.6 / 0.2 = 3.0
+    assert(r("de") == ((24L, 8000L, 2500L)), s"$r")  // 0.2 / 0.8 = 0.25
+    // an unlisted domain gets target 0 -> weight 0
+    val r2 = Mixing.mixtureWeights(docs, "lang", Map("en" -> 1.0))
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("weight_e4")).toMap
+    assert(r2("de") == 0L)
+  }
+}
