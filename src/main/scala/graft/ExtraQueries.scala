@@ -203,6 +203,12 @@ object ExtraQueries {
       Dedup.nearDupClusters(pairs).orderBy("docid")
     }),
 
+    // exact-substring-style duplicate-span detection over the same planted
+    // fixture: the _v1/_v2 prefix copies are 100% covered by cross-doc
+    // duplicated 5-gram windows, their originals ~80-90%, unplanted docs 0
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.duplicateSpans(tdWithPlantedNearDups(s, d), 5).orderBy("docid")),
+
     // ------------------------------------------------- corpus composition
     // deterministic global shuffle + equal-size sharding for training
     // output: sha256 sort key, two-phase global positions, ntile shards —
@@ -1174,6 +1180,69 @@ object ExtraQueries {
         |       CAST(CASE WHEN c.docid = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         |FROM comp c JOIN csz s USING (cluster)
         |ORDER BY c.docid""".stripMargin,
+
+    // duplicate spans: the 5-gram FNV-1a hash is replayed exactly as in the
+    // fingerprint oracle (64-bit wraparound via HUGEINT mod 2^64 over the
+    // space-joined gram string); a hash duplicated across DISTINCT docs
+    // marks its positions, and the span math (k + min(k, gap) coverage,
+    // split at gap > k) runs over each doc's sorted position list
+    "q_dedup_substring" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 30
+        |),
+        |pl AS (
+        |  SELECT docid, arr FROM d
+        |  UNION ALL
+        |  SELECT docid || '_v1', arr[1:greatest(len(arr) * 9 // 10, 1)]
+        |  FROM d WHERE CAST(docid AS INTEGER) < 10
+        |  UNION ALL
+        |  SELECT docid || '_v2', arr[1:greatest(len(arr) * 8 // 10, 1)]
+        |  FROM d WHERE CAST(docid AS INTEGER) < 10
+        |),
+        |grams AS (
+        |  SELECT docid, i, array_to_string(arr[i:i+4], ' ') || ' ' AS g
+        |  FROM pl, unnest(generate_series(1, len(arr) - 4)) AS u(i)
+        |  WHERE len(arr) >= 5
+        |),
+        |gv AS (SELECT DISTINCT g FROM grams),
+        |gh AS (
+        |  SELECT g,
+        |         list_reduce(
+        |           list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |             list_transform(string_split(g, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |           (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |  FROM gv
+        |),
+        |hs AS (SELECT gr.docid, gr.i, gh.hu AS h FROM grams gr JOIN gh USING (g)),
+        |dup AS (
+        |  SELECT h FROM (SELECT h, min(docid) AS mn, max(docid) AS mx FROM hs GROUP BY h)
+        |  WHERE mn <> mx
+        |),
+        |dp AS (SELECT docid, i FROM hs WHERE h IN (SELECT h FROM dup)),
+        |pls AS (SELECT docid, list(i ORDER BY i) AS ps FROM dp GROUP BY docid),
+        |mets AS (
+        |  SELECT docid,
+        |         list_transform(generate_series(2, len(ps)), j -> ps[j] - ps[j-1]) AS diffs
+        |  FROM pls
+        |),
+        |m2 AS (
+        |  SELECT docid,
+        |         5 + COALESCE(list_reduce(list_prepend(0,
+        |               list_transform(diffs, x -> least(x, 5))), (a, b) -> a + b), 0) AS dup_tokens,
+        |         1 + len(list_filter(diffs, x -> x > 5)) AS n_spans
+        |  FROM mets
+        |),
+        |lens AS (SELECT docid, len(arr) AS ntok FROM pl)
+        |SELECT l.docid, CAST(l.ntok AS BIGINT) AS ntok,
+        |       CAST(COALESCE(m.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(CASE WHEN l.ntok > 0
+        |            THEN round(COALESCE(m.dup_tokens, 0) * 10000.0 / l.ntok)
+        |            ELSE 0 END AS BIGINT) AS dup_frac_e4,
+        |       CAST(COALESCE(m.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM lens l LEFT JOIN m2 m USING (docid)
+        |ORDER BY l.docid""".stripMargin,
 
     // deterministic shuffle + sharding: the oracle's single global window
     // (row_number + ntile over the sha256 key) is the semantic spec the

@@ -371,6 +371,63 @@ object Dedup {
         when(col("docid") === col("cluster"), 1L).otherwise(0L).as("is_kept"))
   }
 
+  // ---------------------------------------------- duplicate-span (substr)
+
+  /** Cross-document duplicate-SPAN detection at k-gram granularity — the
+    * distributed counterpart of exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+    * public literature; the suffix-array form is single-machine, this is the
+    * k-gram relaxation that shards): a token position is duplicated when its
+    * k-token window (FNV-1a rolling hash, the same family as the winnowing
+    * fingerprints) occurs in >= 2 DISTINCT documents; runs of duplicated
+    * positions merge into maximal spans. Within-doc repetition alone never
+    * counts (that is TextStats.repetition's job).
+    *
+    * Returns one row per doc: ntok, dup_tokens (tokens covered by at least
+    * one duplicated window), dup_frac_e4, n_spans — the signals used either
+    * to drop boilerplate spans or to down-weight heavily-duplicated docs.
+    *
+    * Scale shape: gram hashing is doc-local; the only shuffles are the
+    * gram-frequency aggregation and the semi-join back, both keyed on the
+    * 64-bit hash (uniform by construction, partial-agg combinable — a
+    * million-copy boilerplate gram costs one row per map partition, and its
+    * min/max agg buffer is O(1)); span merging is doc-local again over each
+    * doc's own duplicated positions. */
+  def duplicateSpans(td: Dataset[TokDoc], k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import td.sparkSession.implicits._
+    val lens = td.map(d => (d.docid, d.terms.length.toLong)).toDF("docid", "ntok")
+    val grams = td.mapPartitions(_.flatMap { d =>
+      TextStats.kgramHashes(d.terms, k).iterator.zipWithIndex
+        .map { case (h, i) => (d.docid, i, h) }
+    }).toDF("docid", "pos", "h")
+    val dup = grams.groupBy("h")
+      .agg(min(col("docid")).as("mn"), max(col("docid")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    // per-doc maximal spans from the sorted duplicated positions: windows
+    // [p, p+k) chain while the gap <= k, so coverage = k for the first
+    // window + min(k, gap) per successor, and a new span starts at gap > k
+    val diffs = zip_with(
+      slice(col("ps"), lit(2), size(col("ps")) - 1),
+      slice(col("ps"), lit(1), size(col("ps")) - 1),
+      (a, b) => a - b)
+    val spans = grams.join(dup, Seq("h"), "left_semi")
+      .groupBy("docid")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("docid"),
+        (lit(k) + aggregate(diffs, lit(0), (acc, x) => acc + least(x, lit(k))))
+          .cast("long").as("dup_tokens"),
+        (lit(1) + size(filter(diffs, x => x > k))).cast("long").as("n_spans"))
+    lens.join(spans, Seq("docid"), "left")
+      .select(col("docid"), col("ntok"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("ntok") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)) * 10000.0 / col("ntok")).cast("long"))
+          .otherwise(0L).as("dup_frac_e4"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   // -------------------------------------------- embedding near-duplicates
 
   /** Scale path for embedding-space dedup: random-hyperplane LSH buckets

@@ -199,6 +199,30 @@ class DedupSpec extends SparkTestBase {
     assert(ccOf(Seq.empty).isEmpty)
   }
 
+  test("duplicateSpans: cross-doc spans found, within-doc repeats ignored") {
+    val k = 3
+    val a = TokDoc("a", ((0 until 10).map(i => s"w$i") ++ (0 until 10).map(i => s"ua$i")).toArray)
+    val b = TokDoc("b", ((0 until 10).map(i => s"w$i") ++ (0 until 10).map(i => s"ub$i")).toArray)
+    val c = TokDoc("c", (0 until 10).map(i => s"c$i").toArray)
+    // internal repeat only -> its 3-gram occurs twice but in ONE doc
+    val dd = TokDoc("d", "r1 r2 r3 z1 z2 r1 r2 r3".split(" "))
+    // two disjoint shared phrases -> two spans
+    val e = TokDoc("e", ("a1 a2 a3 " + (0 until 7).map(i => s"e$i").mkString(" ") + " b1 b2 b3").split(" "))
+    val f = TokDoc("f", ("a1 a2 a3 " + (0 until 4).map(i => s"f$i").mkString(" ") + " b1 b2 b3").split(" "))
+    val td2 = spark.createDataset(Seq(a, b, c, dd, e, f)).repartition(3)
+    val r = Dedup.duplicateSpans(td2, k).collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("ntok"), x.getAs[Long]("dup_tokens"),
+        x.getAs[Long]("dup_frac_e4"), x.getAs[Long]("n_spans")))).toMap
+    // a,b share tokens 0..9 -> dup windows at positions 0..7 -> one 10-token span
+    assert(r("a") == ((20L, 10L, 5000L, 1L)), s"$r")
+    assert(r("b") == ((20L, 10L, 5000L, 1L)), s"$r")
+    assert(r("c") == ((10L, 0L, 0L, 0L)), s"$r")
+    assert(r("d") == ((8L, 0L, 0L, 0L)), s"within-doc repeats must not count: $r")
+    // e: shared 3-grams at positions 0 (a1 a2 a3) and 10 (b1 b2 b3), gap > k
+    assert(r("e") == ((13L, 6L, 4615L, 2L)), s"$r")
+    assert(r("f") == ((10L, 6L, 6000L, 2L)), s"$r")
+  }
+
   test("nearDupClusters: sizes and survivor election on a known graph") {
     // two components: {a,b,c} via chain a-b, b-c; {x,y} direct
     val df = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")

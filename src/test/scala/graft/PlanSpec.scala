@@ -102,4 +102,22 @@ class PlanSpec extends SparkTestBase {
     val plan = ctx.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"doc-local path must not shuffle:\n$plan")
   }
+
+  test("ntile sharding never funnels data through one partition") {
+    import spark.implicits._
+    // the point of the two-phase scan: a naive global row_number/ntile plans
+    // an Exchange SinglePartition + one giant Window task; the distributed
+    // form must show neither, and its Window must be pid-partitioned
+    val df = (0 until 500).map(i => (f"id$i%03d", i.toLong)).toDF("id", "v")
+      .repartition(4)
+    val out = operators.Mixing.ntileBuckets(df, 8, Seq(col("id")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window funnel in the ntile plan:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange on the sort key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-partition offsets must join broadcast:\n$plan")
+  }
 }
