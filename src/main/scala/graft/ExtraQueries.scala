@@ -226,13 +226,9 @@ object ExtraQueries {
     // (computed by the distributed two-phase scan, ANSI-ntile semantics),
     // per-bucket volume summary — the standard "keep the best k deciles" cut
     "q_quality_buckets" -> ((s, d) => {
-      import s.implicits._
-      val td = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id").cast("string").as("docid"), col("text"))
-        .as[(String, String)]
-        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val td = tokdocsWhere(s, d, lit(true))
       Mixing.ntileBuckets(TextStats.unigramLogProb(td), 10,
-          Seq(col("logprob_e4"), col("docid")))
+          Seq("logprob_e4", "docid"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           min(col("logprob_e4")).as("min_lp_e4"),
@@ -290,11 +286,7 @@ object ExtraQueries {
         .select("repo", "ws_tokens", "re_tokens", "n_docs").orderBy("repo")),
 
     "q_text_langid" -> ((s, d) => {
-      import s.implicits._
-      val td = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id").cast("string").as("docid"), col("text"))
-        .as[(String, String)]
-        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val td = tokdocsWhere(s, d, lit(true))
       TextStats.langId(td)
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n"), sum(col("marker_hits")).as("hits"))
@@ -374,30 +366,18 @@ object ExtraQueries {
     // LLM sequence packing (concat-and-chunk, 1024-token sequences): per-doc
     // stream interval + first/last chunk, from the two-phase distributed scan
     "q_pack_sequences" -> ((s, d) => {
-      import s.implicits._
-      val td = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id").cast("string").as("docid"), col("text"))
-        .as[(String, String)]
-        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val td = tokdocsWhere(s, d, lit(true))
       TextStats.packSequences(td, 1024).orderBy("docid")
     }),
 
     // unigram-LM quality score (perplexity proxy) over the corpus' own model
     "q_text_unigram_logprob" -> ((s, d) => {
-      import s.implicits._
-      val td = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id").cast("string").as("docid"), col("text"))
-        .as[(String, String)]
-        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val td = tokdocsWhere(s, d, lit(true))
       TextStats.unigramLogProb(td).orderBy("docid")
     }),
 
     "q_text_fingerprint" -> ((s, d) => {
-      import s.implicits._
-      val td = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id").cast("string").as("docid"), col("text"))
-        .as[(String, String)]
-        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val td = tokdocsWhere(s, d, lit(true))
       // per-doc rows (not one aggregate): a regression in the rolling hash
       // or winnowing changes values AND the row count the driver records
       TextStats.fingerprints(td)

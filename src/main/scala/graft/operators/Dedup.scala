@@ -255,6 +255,11 @@ object Dedup {
   def simhashNearDups(td: Dataset[TokDoc], maxHamming: Int = 3, seed: Long = 42L,
                       allowNarrowBands: Boolean = false): DataFrame = {
     import td.sparkSession.implicits._
+    // the pigeonhole construction only exists for 0 <= maxHamming <= 63:
+    // negative values divide by zero below, 64+ gives width-0 bands (every
+    // doc in ONE bucket per band — silently quadratic with no cover gain)
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"simhashNearDups needs 0 <= maxHamming <= 63 over a 64-bit signature, got $maxHamming")
     val nBands = maxHamming + 1
     val width = 64 / nBands
     require(width >= 8 || allowNarrowBands,
@@ -343,11 +348,17 @@ object Dedup {
         .select(col("m").as("lo"), col("v").as("hi"))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint test: the edge set is a star forest (stable under both
-      // phases) exactly when no node is both a center and a leaf
+      // fixpoint test: the edge set is a TRUE star forest (stable under both
+      // phases) only when BOTH hold: no node is a center and a leaf, AND
+      // every leaf has exactly one center. The second clause is not implied
+      // by the first — two local minima sharing a leaf (e.g. a—d, c—d, c—e,
+      // b—e after one round gives leaves c→a and c→b) pass the first test
+      // while the component is still split across two stars; stopping there
+      // would assign one doc to two clusters and elect two survivors.
       converged = small.select(col("lo").as("n")).distinct()
         .join(small.select(col("hi").as("n")), Seq("n"), "left_semi")
-        .isEmpty
+        .isEmpty &&
+        small.groupBy("hi").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
       edges = small
       it += 1
     }

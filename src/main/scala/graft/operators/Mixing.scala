@@ -15,40 +15,62 @@ import graft.CodeDoc
   */
 object Mixing {
 
-  /** Global 1-based positions of `df`'s rows under the total order `order`,
-    * added as column `pos`; also returns the exact row count. Two-phase
-    * distributed scan (same shape as TextStats.packSequences): range-partition
-    * by the order key, per-partition row_number (parallel window PARTITIONED
-    * by physical partition id), and one tiny driver collect of per-partition
-    * counts turned into broadcast offsets. A bare
-    * `row_number() over (order by k)` serializes the corpus through ONE
-    * window task — at 10^12 rows that is a stall, not a scan. `order` must
-    * be a total order or positions are nondeterministic. */
-  private[graft] def withGlobalPositions(df: DataFrame, order: Seq[Column]): (DataFrame, Long) = {
+  /** Running totals of `value` in the total order of the named `order`
+    * columns — the ONE distributed two-phase prefix scan shared by global
+    * positions, ntile sharding, and sequence packing (which needs prefix
+    * token counts, i.e. the same scan with a different value). Adds
+    * `outCol` and returns the grand total. A bare
+    * `sum()/row_number() over (order by k)` serializes the corpus through
+    * ONE window task — at 10^12 rows that is a stall, not a scan.
+    *
+    * Correctness of the two phases REQUIRES one fixed partition assignment:
+    * the narrow (order, value) projection is range-partitioned and then
+    * localCheckpoint'd EAGERLY, pinning both data and partition ids, so the
+    * per-partition offsets collected in phase 1 and the per-partition window
+    * of phase 2 read the SAME materialization. (The persist/unpersist form
+    * is subtly wrong at scale: a re-executed range exchange re-samples its
+    * partitioner with a fresh seed, rows shift partitions, and stale offsets
+    * silently corrupt every position.) On a real cluster swap
+    * localCheckpoint for checkpoint() on durable storage — executor loss
+    * then re-reads instead of failing the job; either way it can fail,
+    * never corrupt. Wide columns stay out of the checkpoint: the scan runs
+    * on the key projection and joins back on the order key, so content pays
+    * one hash exchange and never a block-storage copy.
+    *
+    * `order` must be a UNIQUE total order — otherwise positions are
+    * nondeterministic and the join-back fans out. */
+  private[graft] def withRunningTotal(df: DataFrame, order: Seq[String],
+                                      value: Column, outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val part = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("pid", spark_partition_id())
-    part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // phase 1: per-partition row counts (one row per partition) ->
-      // exclusive prefix offsets in pid order
-      val totals = part.groupBy("pid").agg(count(lit(1)).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = totals.map(_._2).sum
-      val offsets = {
-        var acc = 0L
-        totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
-      }
-      val offDF = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
-      // phase 2: parallel local row_number + broadcast offset add
-      val w = Window.partitionBy("pid").orderBy(order: _*)
-      val out = part.join(broadcast(offDF), Seq("pid"))
-        .withColumn("pos", row_number().over(w).cast("long") + col("off"))
-        .drop("pid", "off")
-      (out, n)
-    } finally part.unpersist(false)
+    val oc = order.map(col)
+    val proj = df.select(oc :+ value.cast("long").as("__v"): _*)
+      .repartitionByRange(oc: _*)
+      .sortWithinPartitions(oc: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // phase 1: per-partition totals (one row per partition) ->
+    // exclusive prefix offsets in pid order
+    val totals = proj.groupBy("__pid").agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    }
+    val offDF = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    // phase 2: parallel per-partition cumsum + broadcast offset add
+    val w = Window.partitionBy("__pid").orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = proj.join(broadcast(offDF), Seq("__pid"))
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .select(oc :+ col(outCol): _*)
+    (df.join(scanned, order), n)
   }
+
+  /** Global 1-based positions under the unique total order `order`, added
+    * as column `pos`, plus the exact row count: the running total of 1s. */
+  private[graft] def withGlobalPositions(df: DataFrame, order: Seq[String]): (DataFrame, Long) =
+    withRunningTotal(df, order, lit(1L), "pos")
 
   /** SQL `ntile(n)` over a distributed corpus: rows in `order` split into
     * `n` buckets, the first (N mod n) buckets one row larger — bit-identical
@@ -56,7 +78,7 @@ object Mixing {
     * bucket i), but computed with the two-phase scan above instead of a
     * single global window task. Adds `pos` (1-based global position) and
     * `bucket` (1-based). */
-  def ntileBuckets(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+  def ntileBuckets(df: DataFrame, n: Int, order: Seq[String]): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
     val (pos, total) = withGlobalPositions(df, order)
     val big = total % n
@@ -75,14 +97,14 @@ object Mixing {
     * ntile shard. Re-running with the same seed — on ANY partitioning or
     * cluster size — yields the identical order and shard assignment
     * (contrast `orderBy(rand())`); a new seed gives an independent
-    * permutation per epoch. Scale shape: ONE range exchange on the hash key,
-    * which is uniform by construction so the sort can never skew; content
-    * rides that exchange once — exactly the "shuffle the corpus before
-    * writing training shards" job. */
+    * permutation per epoch. Scale shape: positions come from the two-phase
+    * scan over the (skey) projection; content pays exactly one hash
+    * exchange in the join-back. The sha256 key is uniform by construction,
+    * so neither exchange can skew. */
   def deterministicShuffle(docs: Dataset[CodeDoc], nShards: Int, seed: String): DataFrame = {
     val keyed = docs.toDF().withColumn("skey",
       sha2(concat_ws("|", lit(seed), col("repo"), col("path"), col("commit")), 256))
-    ntileBuckets(keyed, nShards, Seq(col("skey")))
+    ntileBuckets(keyed, nShards, Seq("skey"))
       .withColumnRenamed("bucket", "shard")
   }
 
@@ -95,14 +117,13 @@ object Mixing {
     * projection — content is token-counted in the scan, never shuffled. */
   def mixtureWeights(docs: Dataset[CodeDoc], domainCol: String,
                      targets: Map[String, Double]): DataFrame = {
-    val ntok = size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= ""))
-      .cast("long")
     val targetCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (dom, t)) =>
       when(col("domain") === dom, lit(t)).otherwise(acc)
     }
     val per = docs.toDF()
       .groupBy(col(domainCol).as("domain"))
-      .agg(count(lit(1)).as("n_docs"), sum(ntok).as("tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.wordTokenCount(col("content"))).as("tokens"))
       .withColumn("target", targetCol)
     val tot = per.agg(sum(col("tokens")).as("total"))
     per.crossJoin(tot)

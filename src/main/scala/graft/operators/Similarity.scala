@@ -163,6 +163,11 @@ object Similarity {
     val centers = rnd.shuffle(xs.indices.toVector).take(math.min(k, xs.length))
       .map(i => xs(i).clone).toArray
     val dim = xs.head.length
+    // a ragged sample would read past a short vector in the accumulation
+    // loop below — reject it loudly (a dimension bug upstream must surface,
+    // same contract as ArrayDot's NULL on mismatched lengths)
+    xs.foreach(x => require(x.length == dim,
+      s"IVF training sample has inconsistent dimensions: ${x.length} vs $dim"))
     var it = 0
     while (it < iters) {
       val sums = Array.ofDim[Double](centers.length, dim)

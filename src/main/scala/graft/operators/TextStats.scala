@@ -39,13 +39,19 @@ object TextStats {
         .cast("long").as("chars_per_token_e4"))
   }
 
+  /** THE word-token count of a content column — the token definition every
+    * oracle replays as `list_filter(regexp_split_to_array(lower(x),
+    * '[^a-z0-9_]+'), t -> t <> '')`. Shared (tokenCounts, Mixing
+    * .mixtureWeights) so the definition can never silently diverge. */
+  private[graft] def wordTokenCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")).cast("long")
+
   /** Token counting: whitespace tokens vs word-regex tokens vs a BPE-ish
     * subword estimate (splits on case/digit boundaries inside words). */
   def tokenCounts(docs: Dataset[CodeDoc]): DataFrame = {
     val ws = when(length(trim(col("content"))) === 0, 0)
       .otherwise(size(split(trim(col("content")), "\\s+"))).cast("long")
-    val re = size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= ""))
-      .cast("long")
+    val re = wordTokenCount(col("content"))
     val bpeish = size(filter(
       split(col("content"), "[^A-Za-z0-9_]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       t => t =!= "")).cast("long")
@@ -173,48 +179,24 @@ object TextStats {
     * [tok_start, tok_end) and the first/last chunk it lands in (chunks CUT
     * ACROSS documents — the standard pretraining packing).
     *
-    * Scale shape: the global running sum is a TWO-PHASE distributed scan —
-    * per-range-partition local prefix sums (parallel window PARTITIONED by
-    * partition id) plus one tiny driver collect of per-partition totals
-    * turned into broadcast offsets. A naive `sum() over (order by docid)`
-    * with no partition key collapses the whole corpus into ONE window task;
-    * at 10^12 docs that is the difference between a scan and a stall. The
-    * scanned rows are the (docid, ntok) projection, never content.
-    * Zero-token docs occupy no stream positions and are excluded.
+    * Scale shape: the global running sum is `Mixing.withRunningTotal`'s
+    * two-phase distributed scan (per-range-partition prefix sums over a
+    * checkpoint-pinned partitioning + broadcast offsets) over the
+    * (docid, ntok) projection — never content, never ONE global window
+    * task. Zero-token docs occupy no stream positions and are excluded.
     * TextStatsSpec asserts the two-phase result equals the naive global
     * window on the same input. */
   def packSequences(td: Dataset[TokDoc], seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val spark = td.sparkSession
-    import spark.implicits._
+    import td.sparkSession.implicits._
     val lens = td.map(d => (d.docid, d.terms.length.toLong)).toDF("docid", "ntok")
       .filter(col("ntok") > 0)
-      .repartitionByRange(col("docid"))
-      .sortWithinPartitions("docid")
-      .withColumn("pid", spark_partition_id())
-    lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // phase 1: per-partition totals (tiny: one row per partition) ->
-      // exclusive prefix offsets in pid order
-      val totals = lens.groupBy("pid").agg(sum(col("ntok")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offMap = {
-        var acc = 0L
-        totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
-      }
-      val offDF = spark.createDataFrame(offMap.toSeq).toDF("pid", "off")
-      // phase 2: parallel local cumsum + broadcast offset add
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("pid").orderBy("docid")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      lens.withColumn("local_end", sum(col("ntok")).over(w))
-        .join(broadcast(offDF), Seq("pid"))
-        .withColumn("tok_end", col("local_end") + col("off"))
-        .withColumn("tok_start", col("tok_end") - col("ntok"))
-        .withColumn("first_seq", floor(col("tok_start") / seqLen).cast("long"))
-        .withColumn("last_seq", floor((col("tok_end") - 1) / seqLen).cast("long"))
-        .select("docid", "ntok", "tok_start", "first_seq", "last_seq")
-    } finally lens.unpersist(false)
+    val (scanned, _) = Mixing.withRunningTotal(lens, Seq("docid"), col("ntok"), "tok_end")
+    scanned
+      .withColumn("tok_start", col("tok_end") - col("ntok"))
+      .withColumn("first_seq", floor(col("tok_start") / seqLen).cast("long"))
+      .withColumn("last_seq", floor((col("tok_end") - 1) / seqLen).cast("long"))
+      .select("docid", "ntok", "tok_start", "first_seq", "last_seq")
   }
 
   /** Unigram-LM quality score (perplexity proxy): per doc, the mean token

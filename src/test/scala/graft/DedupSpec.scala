@@ -199,6 +199,15 @@ class DedupSpec extends SparkTestBase {
     assert(ccOf(Seq.empty).isEmpty)
   }
 
+  test("connected components: two local minima sharing leaves still merge") {
+    // regression (review round 3): after one large+small round this graph is
+    // {(a,c),(a,d),(b,c),(b,e)} — no node is both center and leaf, but leaf
+    // c has TWO centers; a convergence test missing the unique-center clause
+    // stops here and reports component {a,b,c,d,e} as two clusters
+    val cc = ccOf(Seq(("c", "d"), ("c", "e"), ("a", "d"), ("b", "e")))
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"), s"$cc")
+  }
+
   test("duplicateSpans: cross-doc spans found, within-doc repeats ignored") {
     val k = 3
     val a = TokDoc("a", ((0 until 10).map(i => s"w$i") ++ (0 until 10).map(i => s"ua$i")).toArray)

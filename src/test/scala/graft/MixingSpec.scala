@@ -15,7 +15,7 @@ class MixingSpec extends SparkTestBase {
   test("ntileBuckets matches Spark's own ntile window for awkward (N, k)") {
     for ((n, k) <- Seq((100, 8), (97, 10), (5, 8), (16, 16), (1, 3), (64, 1))) {
       val df = (0 until n).map(i => (f"id$i%03d", i.toLong)).toDF("id", "v").repartition(4)
-      val got = Mixing.ntileBuckets(df, k, Seq(col("id")))
+      val got = Mixing.ntileBuckets(df, k, Seq("id"))
         .select("id", "bucket").as[(String, Long)].collect().toMap
       val want = df.withColumn("bucket", ntile(k).over(Window.orderBy("id")).cast("long"))
         .select("id", "bucket").as[(String, Long)].collect().toMap

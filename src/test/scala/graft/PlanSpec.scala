@@ -110,13 +110,16 @@ class PlanSpec extends SparkTestBase {
     // form must show neither, and its Window must be pid-partitioned
     val df = (0 until 500).map(i => (f"id$i%03d", i.toLong)).toDF("id", "v")
       .repartition(4)
-    val out = operators.Mixing.ntileBuckets(df, 8, Seq(col("id")))
+    val out = operators.Mixing.ntileBuckets(df, 8, Seq("id"))
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"global-window funnel in the ntile plan:\n$plan")
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange on the sort key:\n$plan")
+    // the window must be partitioned by the pinned partition id — the
+    // range exchange itself lives inside the eager checkpoint and is
+    // therefore absent from this plan by design
+    assert(plan.contains("Window") && plan.contains("__pid"),
+      s"expected a __pid-partitioned window:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"per-partition offsets must join broadcast:\n$plan")
   }
