@@ -355,10 +355,16 @@ object Dedup {
       // b—e after one round gives leaves c→a and c→b) pass the first test
       // while the component is still split across two stars; stopping there
       // would assign one doc to two clusters and elect two survivors.
-      converged = small.select(col("lo").as("n")).distinct()
-        .join(small.select(col("hi").as("n")), Seq("n"), "left_semi")
-        .isEmpty &&
-        small.groupBy("hi").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+      // Both clauses in ONE aggregation pass: per node, count leaf
+      // appearances (as hi) and center appearances (as lo) — a violation is
+      // a node that is both, or a leaf more than once.
+      converged = small.select(col("hi").as("n"), lit(1L).as("leaf"))
+        .unionAll(small.select(col("lo").as("n"), lit(0L).as("leaf")))
+        .groupBy("n")
+        .agg(sum(col("leaf")).as("leaves"), count(lit(1)).as("tot"))
+        // violation ⟺ a leaf with any second appearance (leaf or center)
+        .filter(col("leaves") > 0 && col("tot") > 1)
+        .isEmpty
       edges = small
       it += 1
     }
