@@ -62,9 +62,28 @@ object ExtraQueries {
     def trunc(t: TokDoc, tenths: Int, suffix: String) =
       TokDoc(t.docid + suffix, t.terms.take(math.max(t.terms.length * tenths / 10, 1)))
     val base = tokdocsUnder(s, d, 30)
-    val ten = tokdocsUnder(s, d, 10)
+    val ten = base.filter(t => t.docid.toInt < 10) // one scan, variants derived
     base.union(ten.map(trunc(_, 9, "_v1"))).union(ten.map(trunc(_, 8, "_v2")))
   }
+
+  /** SQL replay of tdWithPlantedNearDups — shared by the q_dedup_cc and
+    * q_dedup_substring oracles so the fixture can never silently diverge
+    * between them (or from the Scala side it mirrors). */
+  private val plantedNearDupCte: String =
+    """d AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+      |  FROM documents WHERE doc_id < 30
+      |),
+      |pl AS (
+      |  SELECT docid, arr FROM d
+      |  UNION ALL
+      |  SELECT docid || '_v1', arr[1:greatest(len(arr) * 9 // 10, 1)]
+      |  FROM d WHERE CAST(docid AS INTEGER) < 10
+      |  UNION ALL
+      |  SELECT docid || '_v2', arr[1:greatest(len(arr) * 8 // 10, 1)]
+      |  FROM d WHERE CAST(docid AS INTEGER) < 10
+      |)""".stripMargin
 
   /** Per-query ANN quality summary: result count, best similarity, and
     * recall@5 against the exact brute-force top-k on the identical input. */
@@ -795,7 +814,7 @@ object ExtraQueries {
     // engines evaluate the same correctly-rounded IEEE ops in the same order)
     "q_dedup_embedding_lsh" -> embLshOracle(500, 50,
       """SELECT count(*) AS n_pairs,
-        |       CAST(sum(CASE WHEN b = a + 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |       COALESCE(CAST(sum(CASE WHEN b = a + 100000 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_planted,
         |       COALESCE(CAST(round(min(sim) * 10000) AS BIGINT), 0) AS min_sim_e4
         |FROM fin""".stripMargin),
 
@@ -1117,20 +1136,7 @@ object ExtraQueries {
     // all-pairs transitive closure the engine's large-star/small-star
     // rounds must agree with exactly.
     "q_dedup_cc" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
-        |  FROM documents WHERE doc_id < 30
-        |),
-        |pl AS (
-        |  SELECT docid, arr FROM d
-        |  UNION ALL
-        |  SELECT docid || '_v1', arr[1:greatest(len(arr) * 9 // 10, 1)]
-        |  FROM d WHERE CAST(docid AS INTEGER) < 10
-        |  UNION ALL
-        |  SELECT docid || '_v2', arr[1:greatest(len(arr) * 8 // 10, 1)]
-        |  FROM d WHERE CAST(docid AS INTEGER) < 10
-        |),
+      s"""WITH RECURSIVE $plantedNearDupCte,
         |sh AS (
         |  SELECT DISTINCT docid,
         |         unnest(list_transform(generate_series(1, len(arr) - 1),
@@ -1167,20 +1173,7 @@ object ExtraQueries {
     // marks its positions, and the span math (k + min(k, gap) coverage,
     // split at gap > k) runs over each doc's sorted position list
     "q_dedup_substring" ->
-      """WITH d AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
-        |  FROM documents WHERE doc_id < 30
-        |),
-        |pl AS (
-        |  SELECT docid, arr FROM d
-        |  UNION ALL
-        |  SELECT docid || '_v1', arr[1:greatest(len(arr) * 9 // 10, 1)]
-        |  FROM d WHERE CAST(docid AS INTEGER) < 10
-        |  UNION ALL
-        |  SELECT docid || '_v2', arr[1:greatest(len(arr) * 8 // 10, 1)]
-        |  FROM d WHERE CAST(docid AS INTEGER) < 10
-        |),
+      s"""WITH $plantedNearDupCte,
         |grams AS (
         |  SELECT docid, i, array_to_string(arr[i:i+4], ' ') || ' ' AS g
         |  FROM pl, unnest(generate_series(1, len(arr) - 4)) AS u(i)
@@ -1228,13 +1221,7 @@ object ExtraQueries {
     // (row_number + ntile over the sha256 key) is the semantic spec the
     // engine's two-phase scan must reproduce bit-identically
     "q_shuffle_shards" ->
-      """WITH docs AS (
-        |  SELECT source AS repo,
-        |         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
-        |         substr(sha256(text), 1, 12) AS "commit",
-        |         text AS content
-        |  FROM documents
-        |),
+      s"""WITH ${sources.CorpusSynth.docsSqlCte},
         |k AS (
         |  SELECT sha256('epoch0' || '|' || repo || '|' || path || '|' || "commit") AS skey,
         |         content

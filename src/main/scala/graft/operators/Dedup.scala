@@ -313,17 +313,47 @@ object Dedup {
     * otherwise grows its lineage (and analysis time) without bound.
     *
     * Returns (docid, cluster) for every node appearing in `pairs` (columns
-    * `a`, `b`), cluster = MINIMUM reachable id in string order — so the
-    * cluster id is itself the canonical survivor. Throws if `maxIter`
-    * rounds don't converge (silently-partial components would be a wrong
-    * answer, not a slow one). */
+    * `a`, `b`), cluster = MINIMUM reachable id in the id column's OWN
+    * ordering (numeric for long vec_ids, lexicographic for string docids) —
+    * so the cluster id is itself the canonical "first" survivor. The input
+    * type is preserved end-to-end: casting to string here would elect
+    * "100099" over "99" for numeric ids. Throws if `maxIter` rounds don't
+    * converge (silently-partial components would be a wrong answer, not a
+    * slow one).
+    *
+    * Iteration state: each round's edge set is persisted (MEMORY_AND_DISK),
+    * materialized by the convergence check, and the PREVIOUS round's set is
+    * unpersisted immediately — at most two edge-set copies are ever live,
+    * no matter how many rounds run (an unbounded checkpoint trail would
+    * hold O(rounds) input-sized copies hostage to driver GC). Recompute on
+    * block loss is safe: every edge in the chain derives through
+    * deterministic hash aggregations. Lineage is additionally truncated
+    * with an eager localCheckpoint every few rounds so pathological graphs
+    * cannot grow the plan without bound. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    var edges = pairs
-      .select(least(col("a"), col("b")).cast("string").as("lo"),
-        greatest(col("a"), col("b")).cast("string").as("hi"))
+    val sc = pairs.sparkSession.sparkContext
+    // eager localCheckpoint EVERY round is load-bearing twice over: the
+    // round body references `edges` several times, so without truncation
+    // the logical plan grows EXPONENTIALLY in rounds (plans are trees, not
+    // DAGs); and a frozen materialization is what makes the fixpoint test
+    // read the same data the next round consumes. Checkpoint blocks are
+    // freed DETERMINISTICALLY (not left to driver GC) by diffing the
+    // public getPersistentRDDs registry around each checkpoint and
+    // unpersisting the superseded round's RDDs — at most two edge-set
+    // copies are ever live. (Single-driver loop: the registry diff is not
+    // meant to be raced by concurrent checkpointing jobs.)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val pinned = df.localCheckpoint(true)
+      (pinned, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (edges, edgeIds) = checkpointTracked(pairs
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
@@ -347,7 +377,7 @@ object Dedup {
         .filter(col("m") =!= col("v"))
         .select(col("m").as("lo"), col("v").as("hi"))
         .distinct()
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(small)
       // fixpoint test: the edge set is a TRUE star forest (stable under both
       // phases) only when BOTH hold: no node is a center and a leaf, AND
       // every leaf has exactly one center. The second clause is not implied
@@ -358,23 +388,32 @@ object Dedup {
       // Both clauses in ONE aggregation pass: per node, count leaf
       // appearances (as hi) and center appearances (as lo) — a violation is
       // a node that is both, or a leaf more than once.
-      converged = small.select(col("hi").as("n"), lit(1L).as("leaf"))
-        .unionAll(small.select(col("lo").as("n"), lit(0L).as("leaf")))
+      converged = next.select(col("hi").as("n"), lit(1L).as("leaf"))
+        .unionAll(next.select(col("lo").as("n"), lit(0L).as("leaf")))
         .groupBy("n")
         .agg(sum(col("leaf")).as("leaves"), count(lit(1)).as("tot"))
         // violation ⟺ a leaf with any second appearance (leaf or center)
         .filter(col("leaves") > 0 && col("tot") > 1)
         .isEmpty
-      edges = small
+      free(edgeIds)
+      edges = next
+      edgeIds = nextIds
       it += 1
     }
-    if (!converged)
+    if (!converged) {
+      free(edgeIds)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "partial components would be silently wrong; raise maxIter")
-    edges.select(col("hi").as("docid"), col("lo").as("cluster"))
-      .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))
-      .distinct()
+    }
+    // pin the (node-sized) assignment eagerly, then release the star edges —
+    // nothing of the iterative chain stays cached past this call
+    val (out, _) = checkpointTracked(
+      edges.select(col("hi").as("docid"), col("lo").as("cluster"))
+        .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))
+        .distinct())
+    free(edgeIds)
+    out
   }
 
   /** Cluster-resolved dedup emit: pair graph → components → per-doc cluster

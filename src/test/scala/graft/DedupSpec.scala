@@ -199,6 +199,16 @@ class DedupSpec extends SparkTestBase {
     assert(ccOf(Seq.empty).isEmpty)
   }
 
+  test("connected components: numeric ids elect the NUMERIC minimum survivor") {
+    // regression (review round 3): a string cast would elect min("10",
+    // "100099", "9") = "10" — for long vec_ids (embedding dedup pairs) the
+    // survivor must be the numeric minimum, 9
+    val df = spark.createDataset(Seq((10L, 9L), (100099L, 10L))).toDF("a", "b")
+    val cc = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(9L -> 9L, 10L -> 9L, 100099L -> 9L), s"$cc")
+  }
+
   test("connected components: two local minima sharing leaves still merge") {
     // regression (review round 3): after one large+small round this graph is
     // {(a,c),(a,d),(b,c),(b,e)} — no node is both center and leaf, but leaf
