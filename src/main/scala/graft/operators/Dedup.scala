@@ -210,24 +210,30 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
+  /** The 64-bit SimHash of one term sequence (majority vote over seeded
+    * term-hash bits) — shared by the batch operator below and the
+    * streaming near-dedup (signature computation is doc-local in both). */
+  private[graft] def simhash64(terms: Array[String], seed: Long = 42L): Long = {
+    val acc = new Array[Int](64)
+    terms.foreach { t =>
+      val h = h64(t, seed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
   /** Doc-local 64-bit SimHash over term frequencies. */
   def simhash(td: Dataset[TokDoc], seed: Long = 42L): DataFrame = {
     import td.sparkSession.implicits._
-    td.mapPartitions(_.map { d =>
-      val acc = new Array[Int](64)
-      d.terms.foreach { t =>
-        val h = h64(t, seed)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
-        }
-      }
-      var sig = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-      (d.docid, sig)
-    }).toDF("docid", "simhash")
+    td.mapPartitions(_.map(d => (d.docid, simhash64(d.terms, seed))))
+      .toDF("docid", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via the

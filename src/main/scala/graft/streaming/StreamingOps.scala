@@ -53,6 +53,26 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("sha")
 
+  /** Streaming NEAR-dup dedup: drop any document whose 64-bit SimHash
+    * signature was already seen within the watermark horizon. Signature
+    * computation is stateless and doc-local (tokenize + simhash in one
+    * map), so state stays one row per distinct signature per horizon —
+    * bounded exactly like dedupStream. Signature-EXACT matching: token
+    * reorderings and boilerplate with the identical term multiset collapse
+    * (Hamming 0); for banded Hamming<=k matching run the batch
+    * simhashNearDups over the deduped sink — banded candidate generation
+    * needs a bucket aggregation no append-mode stream can express. */
+  def nearDedupStream(docs: Dataset[TimedDoc], watermark: String = "10 minutes",
+                      seed: Long = 42L): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val sig = graft.operators.Dedup.simhash64(Tokenize.tokensOf(d.content, Set.empty), seed)
+      (d.ts, d.repo, d.path, d.content, sig)
+    }.toDF("ts", "repo", "path", "content", "simhash")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Timestamped document row for the streaming-dedup path. */
   final case class TimedDoc(ts: Timestamp, repo: String, path: String, content: String)
 

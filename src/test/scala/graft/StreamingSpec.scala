@@ -64,6 +64,27 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dedup: reordered token multiset collapses, distinct survives") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedDoc]
+    val out = StreamingOps.nearDedupStream(stream.toDS(), "10 minutes")
+    val query = out.writeStream.format("memory").queryName("neardedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData(
+        StreamingOps.TimedDoc(t(0), "r", "a", "alpha beta gamma delta"),
+        // same term multiset, different order AND different raw bytes ->
+        // identical SimHash -> near-dup, dropped (exact-sha dedup keeps it)
+        StreamingOps.TimedDoc(t(1), "r", "b", "delta gamma beta alpha"),
+        StreamingOps.TimedDoc(t(2), "r", "c", "entirely different words here"))
+      query.processAllAvailable()
+      val kept = spark.table("neardedup_stream").select("path").as[String].collect().toSet
+      assert(kept.contains("c") && kept.size == 2, s"kept=$kept")
+      assert(!(kept.contains("a") && kept.contains("b")), s"both near-dups survived: $kept")
+    } finally query.stop()
+  }
+
   test("windowed sense counts: watermark + tumbling window aggregation") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedAssignment]
