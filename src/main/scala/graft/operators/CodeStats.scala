@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.CodeDoc
+
+/** Code-corpus curation operators — the steps a source-code training
+  * pipeline runs that prose corpora don't (cf. the public The Stack /
+  * StarCoder data-curation recipes): license-family gating and secret
+  * scanning/redaction. Everything is pure column expressions (whole-stage
+  * codegen, scan-parallel, no shuffle before the final aggregation), and
+  * every pattern is deliberately regex-dialect-neutral so the DuckDB
+  * oracles replay it verbatim.
+  */
+object CodeStats {
+
+  /** (family, class, lowercase marker phrase) in MATCH PRIORITY order —
+    * the more specific GNU variants must test before plain "gnu general
+    * public license", which is a substring-sibling of neither but a
+    * catch-all for GPL-family text. */
+  val licenseMarkers: Seq[(String, String, String)] = Seq(
+    ("apache-2.0", "permissive", "apache license"),
+    ("mit", "permissive", "mit license"),
+    ("bsd", "permissive", "bsd license"),
+    ("mpl-2.0", "weak-copyleft", "mozilla public license"),
+    ("lgpl", "weak-copyleft", "gnu lesser general public license"),
+    ("agpl", "copyleft", "gnu affero general public license"),
+    ("gpl", "copyleft", "gnu general public license"))
+
+  /** Per-document license family + class, matched against the lowercased
+    * HEADER region only (first `headerChars` chars — license text lives at
+    * the top of source files, and bounding the scan keeps the expression
+    * cheap on multi-MB files). First marker in priority order wins;
+    * no marker → ("none", "unknown"). */
+  def licenses(docs: Dataset[CodeDoc], headerChars: Int = 2000): DataFrame = {
+    val header = lower(substring(col("content"), 1, headerChars))
+    def pick(field: Int): Column =
+      licenseMarkers.foldRight(lit(if (field == 0) "none" else "unknown")) {
+        case ((fam, cls, marker), acc) =>
+          when(header.contains(marker), lit(if (field == 0) fam else cls)).otherwise(acc)
+      }
+    docs.select(col("repo"), col("path"), col("lang"),
+      length(col("content")).cast("long").as("chars"),
+      pick(0).as("license"), pick(1).as("license_class"))
+  }
+
+  /** (kind, pattern) secret signatures. Conservative, dialect-neutral
+    * regexes (no lookarounds, no inline flags) so Java (Spark) and RE2
+    * (DuckDB) agree byte-for-byte: AWS access key ids, PEM private-key
+    * headers, long bare hex tokens, lowercase password assignments. */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    ("aws_key", "AKIA[0-9A-Z]{16}"),
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("hex_token", "\\b[0-9a-f]{40,64}\\b"),
+    ("password_assign", "password\\s*=\\s*'[^']{6,}'"))
+
+  /** Per-document secret counts, one column per pattern kind plus the
+    * total — the detect step; drop or route to redactSecrets on hits. */
+  def secretScan(docs: Dataset[CodeDoc]): DataFrame = {
+    val counts = secretPatterns.map { case (kind, p) =>
+      regexp_count(col("content"), lit(p)).cast("long").as(s"n_$kind")
+    }
+    val total = secretPatterns.map { case (kind, _) => col(s"n_$kind") }
+      .reduce(_ + _).as("n_secrets")
+    docs.select(col("repo") +: col("path") +: col("lang") +: counts: _*)
+      .withColumn("n_secrets", total)
+  }
+
+  /** Secret redaction: every match replaced by <SECRET:kind> — the code
+    * corpus analogue of TextStats.redactPii, applied in pattern order. */
+  def redactSecrets(docs: Dataset[CodeDoc]): DataFrame =
+    docs.toDF().withColumn("content",
+      secretPatterns.foldLeft(col("content")) { case (c, (kind, p)) =>
+        regexp_replace(c, p, s"<SECRET:$kind>")
+      })
+}
