@@ -345,6 +345,22 @@ object ExtraQueries {
         .crossJoin(Similarity.ivfCellStats(emb(s, d, 500), centers))
     }),
 
+    // the IVF PROBE path under a FIXED deterministic index (corpus vectors
+    // 100..115 as centroids): cell assignment, nprobe cell selection, and
+    // the exact cosine re-rank are all replayed in the oracle — so the
+    // probe semantics are hash-checked even though the KMeans-built index
+    // of q_sim_ivf cannot be (Lloyd + seeded shuffle are not SQL). Build
+    // once / probe many stays q_sim_ivf's job; this pins the probe math.
+    "q_sim_ivf_probe" -> ((s, d) => {
+      import s.implicits._
+      val centers = emb(s, d, 500).filter(col("vec_id").between(100, 115))
+        .orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .as[Seq[Double]].collect().map(_.toArray)
+      Similarity.ivfProbe(emb(s, d, 500), emb(s, d, 3), 5, centers, nprobe = 4)
+        .orderBy("a", "rnk")
+    }),
+
     // ---------------------------------------------------- text analysis
     "q_text_quality" -> ((s, d) => {
       import s.implicits._
@@ -1267,6 +1283,56 @@ object ExtraQueries {
         |JOIN (SELECT lang, CAST(sum(length(content)) AS BIGINT) AS chars_redacted
         |      FROM red GROUP BY lang) r USING (lang)
         |GROUP BY s.lang, r.chars_redacted ORDER BY s.lang""".stripMargin,
+
+    // IVF probe with the fixed index: distances accumulate left-to-right
+    // from 0.0 exactly like Spark's aggregate(zip_with(...)), so argmin
+    // cells are bit-identical; ties break on the cell index in both engines
+    "q_sim_ivf_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |cent AS (SELECT vec_id - 100 AS ci, ed AS c FROM e WHERE vec_id BETWEEN 100 AND 115),
+        |cd AS (
+        |  SELECT e.vec_id, cent.ci,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, len(e.ed)),
+        |             j -> (e.ed[j] - cent.c[j]) * (e.ed[j] - cent.c[j]))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM e CROSS JOIN cent
+        |),
+        |ccell AS (
+        |  SELECT vec_id, ci AS cell FROM (
+        |    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+        |    FROM cd)
+        |  WHERE rn = 1
+        |),
+        |qcell AS (
+        |  SELECT vec_id, ci AS cell FROM (
+        |    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+        |    FROM cd WHERE vec_id < 3)
+        |  WHERE rn <= 4
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+        |  FROM qcell q JOIN ccell c USING (cell)
+        |  WHERE q.vec_id <> c.vec_id
+        |),
+        |sims AS (
+        |  SELECT c.a, c.b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * eb.ed[j])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * ea.ed[j])), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(eb.ed)), j -> eb.ed[j] * eb.ed[j])), (x, y) -> x + y))) AS sim
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        |)
+        |SELECT a, b, rnk, sim_e4 FROM (
+        |  SELECT a, b, CAST(round(sim * 10000) AS BIGINT) AS sim_e4,
+        |         row_number() OVER (PARTITION BY a ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, b) AS rnk
+        |  FROM sims)
+        |WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin,
 
     // connected components over the planted near-dup pair graph: the pair
     // set is the exact n-gram Jaccard (same CTE shape as q_dedup_ngram's
