@@ -31,14 +31,21 @@ object CodeStats {
   /** Per-document license family + class, matched against the lowercased
     * HEADER region only (first `headerChars` chars — license text lives at
     * the top of source files, and bounding the scan keeps the expression
-    * cheap on multi-MB files). First marker in priority order wins;
+    * cheap on multi-MB files). The header is word-normalized (non-alnum
+    * runs collapsed to single spaces, space-padded) and markers match as
+    * whole word sequences — bare substring containment would classify a
+    * GPL file saying "to permit licensees" as MIT ("permit licensees"
+    * contains "mit license"). First marker in priority order wins;
     * no marker → ("none", "unknown"). */
   def licenses(docs: Dataset[CodeDoc], headerChars: Int = 2000): DataFrame = {
-    val header = lower(substring(col("content"), 1, headerChars))
+    val header = concat(lit(" "),
+      regexp_replace(lower(substring(col("content"), 1, headerChars)), "[^a-z0-9]+", " "),
+      lit(" "))
     def pick(field: Int): Column =
       licenseMarkers.foldRight(lit(if (field == 0) "none" else "unknown")) {
         case ((fam, cls, marker), acc) =>
-          when(header.contains(marker), lit(if (field == 0) fam else cls)).otherwise(acc)
+          when(header.contains(s" $marker "), lit(if (field == 0) fam else cls))
+            .otherwise(acc)
       }
     docs.select(col("repo"), col("path"), col("lang"),
       length(col("content")).cast("long").as("chars"),
@@ -46,24 +53,31 @@ object CodeStats {
   }
 
   /** (kind, pattern) secret signatures. Conservative, dialect-neutral
-    * regexes (no lookarounds, no inline flags) so Java (Spark) and RE2
-    * (DuckDB) agree byte-for-byte: AWS access key ids, PEM private-key
-    * headers, long bare hex tokens, lowercase password assignments. */
+    * regexes so Java (Spark) and RE2 (DuckDB) agree byte-for-byte: no
+    * lookarounds, no inline flags, and — deliberately — no `\b` or `\s`
+    * either (Java's `\b` is Unicode-letter-based while RE2's is ASCII, and
+    * Java's `\s` includes U+000B where RE2's does not; either divergence
+    * would silently split the engines on non-ASCII or exotic-whitespace
+    * corpora). The hex rule therefore matches hex runs inside longer
+    * tokens too — more recall, which is the right bias for a secret
+    * scanner. */
   val secretPatterns: Seq[(String, String)] = Seq(
     ("aws_key", "AKIA[0-9A-Z]{16}"),
     ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
-    ("hex_token", "\\b[0-9a-f]{40,64}\\b"),
-    ("password_assign", "password\\s*=\\s*'[^']{6,}'"))
+    ("hex_token", "[0-9a-f]{40,64}"),
+    ("password_assign", "password[ \\t\\r\\n]*=[ \\t\\r\\n]*'[^']{6,}'"))
 
   /** Per-document secret counts, one column per pattern kind plus the
-    * total — the detect step; drop or route to redactSecrets on hits. */
+    * total — the detect step; drop or route to redactSecrets on hits.
+    * `content` rides along so callers can redact/measure in the SAME scan
+    * instead of re-reading the corpus. */
   def secretScan(docs: Dataset[CodeDoc]): DataFrame = {
     val counts = secretPatterns.map { case (kind, p) =>
       regexp_count(col("content"), lit(p)).cast("long").as(s"n_$kind")
     }
     val total = secretPatterns.map { case (kind, _) => col(s"n_$kind") }
       .reduce(_ + _).as("n_secrets")
-    docs.select(col("repo") +: col("path") +: col("lang") +: counts: _*)
+    docs.select(col("repo") +: col("path") +: col("lang") +: col("content") +: counts: _*)
       .withColumn("n_secrets", total)
   }
 

@@ -66,11 +66,19 @@ object StreamingOps {
                       seed: Long = 42L): DataFrame = {
     import docs.sparkSession.implicits._
     docs.map { d =>
-      val sig = graft.operators.Dedup.simhash64(Tokenize.tokensOf(d.content, Set.empty), seed)
-      (d.ts, d.repo, d.path, d.content, sig)
-    }.toDF("ts", "repo", "path", "content", "simhash")
+      val terms = Tokenize.tokensOf(d.content, Set.empty)
+      // token-free documents all hash to SimHash 0 — near-dup semantics are
+      // undefined without tokens, so key them by exact content hash instead
+      // of silently collapsing every non-textual payload to one survivor
+      val key =
+        if (terms.isEmpty)
+          "sha:" + java.security.MessageDigest.getInstance("SHA-256")
+            .digest(d.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        else "sim:" + graft.operators.Dedup.simhash64(terms, seed).toHexString
+      (d.ts, d.repo, d.path, d.content, key)
+    }.toDF("ts", "repo", "path", "content", "sigkey")
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("simhash")
+      .dropDuplicatesWithinWatermark("sigkey")
   }
 
   /** Timestamped document row for the streaming-dedup path. */

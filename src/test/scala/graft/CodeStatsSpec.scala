@@ -18,6 +18,10 @@ class CodeStatsSpec extends SparkTestBase {
       doc("both", "Apache License AND GNU General Public License"),
       // marker beyond the header bound -> not seen
       doc("deep", ("x" * 3000) + " MIT License"),
+      // embedded-substring trap: "permit licensees" contains "mit license"
+      // but must NOT classify as MIT — the GPL marker is the real one
+      doc("trap", "under the GNU General Public License, to permit licensees broad use"),
+      doc("punct", "(MIT License) applies"),
       doc("none", "no license text at all")).toDS()
     val r = CodeStats.licenses(docs).collect()
       .map(x => x.getString(1) -> ((x.getString(4), x.getString(5)))).toMap
@@ -27,6 +31,8 @@ class CodeStatsSpec extends SparkTestBase {
     assert(r("gpl") == (("gpl", "copyleft")))
     assert(r("both") == (("apache-2.0", "permissive")), s"priority order broken: $r")
     assert(r("deep") == (("none", "unknown")), s"header bound ignored: $r")
+    assert(r("trap") == (("gpl", "copyleft")), s"'permit licensees' misread as MIT: $r")
+    assert(r("punct") == (("mit", "permissive")), s"punctuation-delimited marker missed: $r")
     assert(r("none") == (("none", "unknown")))
   }
 

@@ -77,11 +77,16 @@ class StreamingSpec extends SparkTestBase {
         // same term multiset, different order AND different raw bytes ->
         // identical SimHash -> near-dup, dropped (exact-sha dedup keeps it)
         StreamingOps.TimedDoc(t(1), "r", "b", "delta gamma beta alpha"),
-        StreamingOps.TimedDoc(t(2), "r", "c", "entirely different words here"))
+        StreamingOps.TimedDoc(t(2), "r", "c", "entirely different words here"),
+        // token-free docs must NOT collapse into one signature-0 survivor
+        StreamingOps.TimedDoc(t(3), "r", "p1", ":-)"),
+        StreamingOps.TimedDoc(t(4), "r", "p2", "<<<===>>>"))
       query.processAllAvailable()
       val kept = spark.table("neardedup_stream").select("path").as[String].collect().toSet
-      assert(kept.contains("c") && kept.size == 2, s"kept=$kept")
+      assert(kept.contains("c") && kept.size == 4, s"kept=$kept")
       assert(!(kept.contains("a") && kept.contains("b")), s"both near-dups survived: $kept")
+      assert(kept.contains("p1") && kept.contains("p2"),
+        s"distinct token-free docs were collapsed: $kept")
     } finally query.stop()
   }
 
