@@ -242,6 +242,54 @@ class DedupSpec extends SparkTestBase {
     assert(r("f") == ((10L, 6L, 6000L, 2L)), s"$r")
   }
 
+  test("connected components: 3000-node sparse graph (long chains) matches union-find") {
+    // sparse regime (~0.5 edges/node) produces long chains and many small
+    // components — the shapes that exposed the convergence bug — at a size
+    // where a round-count regression would also show up as slowness
+    val rnd = new scala.util.Random(11)
+    val n = 3000
+    val nodes = (0 until n).map(i => f"m$i%04d")
+    val pairs = (0 until n / 2).map { _ =>
+      (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n)))
+    }.filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val want = inGraph.map(x => x -> find(x)).toMap
+    assert(ccOf(pairs) == want)
+  }
+
+  test("duplicateSpans matches a brute-force reference on random docs") {
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val docs = (0 until 12).map { i =>
+      TokDoc(f"r$i%02d", Array.fill(25 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))))
+    }
+    val k = 3
+    // brute force: per doc, positions whose k-gram STRING occurs in >= 2
+    // distinct docs; merge coverage intervals directly
+    def gramsOf(t: Array[String]) =
+      (0 to t.length - k).map(i => i -> t.slice(i, i + k).mkString(" "))
+    val byGram = docs.flatMap(d => gramsOf(d.terms).map { case (_, g) => g -> d.docid })
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val want = docs.map { d =>
+      val ps = gramsOf(d.terms).collect { case (i, g) if byGram(g).size >= 2 => i }
+      val covered = ps.flatMap(p => p until p + k).toSet.size.toLong
+      val nSpans = ps.sorted.foldLeft((0L, Int.MinValue)) { case ((cnt, last), p) =>
+        (if (last != Int.MinValue && p - last <= k) cnt else cnt + 1, p)
+      }._1
+      d.docid -> ((d.terms.length.toLong, covered, nSpans))
+    }.toMap
+    val got = Dedup.duplicateSpans(spark.createDataset(docs).repartition(3), k).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("ntok"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("n_spans")))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("nearDupClusters: sizes and survivor election on a known graph") {
     // two components: {a,b,c} via chain a-b, b-c; {x,y} direct
     val df = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")
