@@ -257,10 +257,13 @@ object ExtraQueries {
     }),
 
     // domain-mixture reweighting: observed per-language token shares vs a
-    // target training mixture -> per-domain sampling weights
+    // target training mixture -> per-domain sampling weights. "ja" has a
+    // target but no corpus documents: the unsatisfiable-domain row (zero
+    // counts, weight 0) must surface rather than silently vanish
     "q_mix_weights" -> ((s, d) =>
       Mixing.mixtureWeights(docs(s, d), "lang",
-          Map("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05))
+          Map("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.15,
+            "zh" -> 0.05, "ja" -> 0.05))
         .orderBy("domain")),
 
     // ---------------------------------------------- code-corpus curation
@@ -309,10 +312,7 @@ object ExtraQueries {
       // scan/redact double pass + join would read the corpus twice for the
       // identical result
       CodeStats.secretScan(planted)
-        .withColumn("chars_red",
-          length(CodeStats.secretPatterns.foldLeft(col("content")) {
-            case (c, (kind, p)) => regexp_replace(c, p, s"<SECRET:$kind>")
-          }))
+        .withColumn("chars_red", length(CodeStats.redactedContent(col("content"))))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_aws_key")).as("aws_keys"),
@@ -487,36 +487,21 @@ object ExtraQueries {
 
   // -------------------------------------------------------------- oracles
 
-  /** Shared SQL prefix replaying the embedding-LSH dedup chain in DuckDB:
-    * planted near-dup construction (REAL-rounded exactly like Spark's float
-    * cast), hyperplane signs (seeded mixer in HUGEINT mod-2^64 arithmetic
-    * with 32/64-split mulmod), per-(vec, plane) sequential-order dots (IEEE
-    * add and multiply are correctly rounded, and the summation ORDER matches
-    * the Scala loop, so sign bits are bit-identical), 8-bit band keys, 2..1000
-    * bucket prune, candidate pairs, and the exact-cosine verification on
-    * L2-normalized vectors. `finalSelect` aggregates the verified pairs. */
-  private def embLshOracle(maxId: Int, nPlant: Int, finalSelect: String): String =
-    s"""WITH base AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
-       |),
-       |dups AS (
-       |  SELECT vec_id + 100000 AS vec_id,
-       |         list_transform(embedding, (x, i) ->
-       |           CAST(CAST(x AS DOUBLE) *
-       |                (CAST(1.0 AS DOUBLE) + CAST((i - 1) % 5 - 2 AS DOUBLE) * CAST(0.02 AS DOUBLE))
-       |                AS REAL)) AS embedding
-       |  FROM base WHERE vec_id < $nPlant
-       |),
-       |e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
-       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)
-       |),
-       |pd AS (
+  /** Hyperplane-sign replay shared by the embedding-LSH dedup and ANN-LSH
+    * oracles: seeded mixer in HUGEINT mod-2^64 arithmetic with 32/64-split
+    * mulmod, per-(vec, plane) sequential-order dots (sign bits are
+    * bit-identical to the Scala loop), and `width`-bit band keys over
+    * `nPlanes` planes. Expects a CTE `e(vec_id, ed)` in scope; emits
+    * pd/pm/psign/planes/bitsv/buckets. ONE definition — a fix to the mulmod
+    * or shift constants cannot diverge the two oracles that pin the same
+    * hyperplaneSign implementation. */
+  private def hyperplaneCte(nPlanes: Int, width: Int): String =
+    s"""pd AS (
        |  SELECT p.p, d.d,
        |         xor(xor(CAST(42 AS HUGEINT),
        |                 (CAST(p.p AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)),
        |             (CAST(d.d AS HUGEINT) * 14029467366897019727) % CAST(18446744073709551616 AS HUGEINT)) AS h0
-       |  FROM (SELECT unnest(generate_series(0, 127)) AS p) p
+       |  FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) p
        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
        |),
        |pm AS (
@@ -541,10 +526,36 @@ object ExtraQueries {
        |  FROM e CROSS JOIN planes pl
        |),
        |buckets AS (
-       |  SELECT vec_id, CAST(p // 8 AS BIGINT) AS band,
-       |         CAST(sum(bit * CAST(power(2, 7 - (p % 8)) AS BIGINT)) AS BIGINT) AS bucket
-       |  FROM bitsv GROUP BY vec_id, p // 8
+       |  SELECT vec_id, CAST(p // $width AS BIGINT) AS band,
+       |         CAST(sum(bit * CAST(power(2, ${width - 1} - (p % $width)) AS BIGINT)) AS BIGINT) AS bucket
+       |  FROM bitsv GROUP BY vec_id, p // $width
+       |)""".stripMargin
+
+  /** Shared SQL prefix replaying the embedding-LSH dedup chain in DuckDB:
+    * planted near-dup construction (REAL-rounded exactly like Spark's float
+    * cast), hyperplane signs (seeded mixer in HUGEINT mod-2^64 arithmetic
+    * with 32/64-split mulmod), per-(vec, plane) sequential-order dots (IEEE
+    * add and multiply are correctly rounded, and the summation ORDER matches
+    * the Scala loop, so sign bits are bit-identical), 8-bit band keys, 2..1000
+    * bucket prune, candidate pairs, and the exact-cosine verification on
+    * L2-normalized vectors. `finalSelect` aggregates the verified pairs. */
+  private def embLshOracle(maxId: Int, nPlant: Int, finalSelect: String): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
        |),
+       |dups AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(embedding, (x, i) ->
+       |           CAST(CAST(x AS DOUBLE) *
+       |                (CAST(1.0 AS DOUBLE) + CAST((i - 1) % 5 - 2 AS DOUBLE) * CAST(0.02 AS DOUBLE))
+       |                AS REAL)) AS embedding
+       |  FROM base WHERE vec_id < $nPlant
+       |),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)
+       |),
+       |${hyperplaneCte(128, 8)},
        |ok AS (
        |  SELECT band, bucket FROM buckets GROUP BY band, bucket
        |  HAVING count(*) BETWEEN 2 AND 1000
@@ -796,45 +807,12 @@ object ExtraQueries {
     // Scala loop; quantized (sim_e4, b) ranking makes the top-5 ties
     // engine-stable; recall compares against the brute-force top-5 CTE
     "q_sim_lsh" ->
-      """
+      s"""
         |WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
         |  FROM embeddings WHERE vec_id < 500
         |),
-        |pd AS (
-        |  SELECT p.p, d.d,
-        |         xor(xor(CAST(42 AS HUGEINT),
-        |                 (CAST(p.p AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)),
-        |             (CAST(d.d AS HUGEINT) * 14029467366897019727) % CAST(18446744073709551616 AS HUGEINT)) AS h0
-        |  FROM (SELECT unnest(generate_series(0, 95)) AS p) p
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
-        |),
-        |pm AS (
-        |  SELECT p, d,
-        |    ((xor(h0, h0 // 8589934592) % 4294967296) * 18397679294719823053
-        |     + ((xor(h0, h0 // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
-        |    ) % CAST(18446744073709551616 AS HUGEINT) AS h1
-        |  FROM pd
-        |),
-        |psign AS (
-        |  SELECT p, d,
-        |         CASE WHEN xor(h1, h1 // 536870912) % 2 = 0
-        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
-        |  FROM pm
-        |),
-        |planes AS (SELECT p, list(s ORDER BY d) AS pv FROM psign GROUP BY p),
-        |bitsv AS (
-        |  SELECT e.vec_id, pl.p,
-        |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                list_transform(generate_series(1, len(e.ed)), j -> pl.pv[j] * e.ed[j])),
-        |                (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN planes pl
-        |),
-        |buckets AS (
-        |  SELECT vec_id, CAST(p // 6 AS BIGINT) AS band,
-        |         CAST(sum(bit * CAST(power(2, 5 - (p % 6)) AS BIGINT)) AS BIGINT) AS bucket
-        |  FROM bitsv GROUP BY vec_id, p // 6
-        |),
+        |${hyperplaneCte(96, 6)},
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
         |  FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
@@ -1491,11 +1469,19 @@ object ExtraQueries {
         |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS ntok
         |  FROM documents
         |),
-        |per AS (
-        |  SELECT lang AS domain, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens,
-        |         CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.3 WHEN 'es' THEN 0.2
-        |                   WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.05 ELSE 0.0 END AS target
+        |obs AS (
+        |  SELECT lang AS domain, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
         |  FROM docs GROUP BY lang
+        |),
+        |tgt(domain, target) AS (
+        |  VALUES ('en', 0.3), ('de', 0.3), ('es', 0.2), ('fr', 0.15), ('zh', 0.05), ('ja', 0.05)
+        |),
+        |per AS (
+        |  SELECT COALESCE(o.domain, t.domain) AS domain,
+        |         COALESCE(o.n_docs, 0) AS n_docs,
+        |         CAST(COALESCE(o.tokens, 0) AS BIGINT) AS tokens,
+        |         COALESCE(t.target, 0.0) AS target
+        |  FROM obs o FULL OUTER JOIN tgt t ON o.domain = t.domain
         |),
         |tot AS (SELECT sum(tokens) AS total FROM per)
         |SELECT domain, n_docs, tokens,

@@ -81,11 +81,16 @@ object CodeStats {
       .withColumn("n_secrets", total)
   }
 
-  /** Secret redaction: every match replaced by <SECRET:kind> — the code
-    * corpus analogue of TextStats.redactPii, applied in pattern order. */
+  /** The redaction column expression (every match replaced by
+    * <SECRET:kind>, in pattern order) — THE definition; shared by
+    * redactSecrets and any query measuring redacted output so the fold can
+    * never silently diverge from the operator. */
+  private[graft] def redactedContent(c: Column): Column =
+    secretPatterns.foldLeft(c) { case (acc, (kind, p)) =>
+      regexp_replace(acc, p, s"<SECRET:$kind>")
+    }
+
+  /** Secret redaction: the code-corpus analogue of TextStats.redactPii. */
   def redactSecrets(docs: Dataset[CodeDoc]): DataFrame =
-    docs.toDF().withColumn("content",
-      secretPatterns.foldLeft(col("content")) { case (c, (kind, p)) =>
-        regexp_replace(c, p, s"<SECRET:$kind>")
-      })
+    docs.toDF().withColumn("content", redactedContent(col("content")))
 }

@@ -229,11 +229,17 @@ object Dedup {
     sig
   }
 
-  /** Doc-local 64-bit SimHash over term frequencies. */
+  /** Doc-local 64-bit SimHash over term frequencies. Token-free documents
+    * emit NO signature (same contract as minhashSignatures' empty-shingle
+    * skip): they would all hash to 0 and count each other as Hamming-0
+    * near-dups — and the DuckDB oracles, whose unnest drops empty token
+    * arrays, would disagree. Near-dup semantics without tokens are
+    * undefined; route such docs through exact (sha) dedup instead. */
   def simhash(td: Dataset[TokDoc], seed: Long = 42L): DataFrame = {
     import td.sparkSession.implicits._
-    td.mapPartitions(_.map(d => (d.docid, simhash64(d.terms, seed))))
-      .toDF("docid", "simhash")
+    td.mapPartitions(_.collect {
+      case d if d.terms.nonEmpty => (d.docid, simhash64(d.terms, seed))
+    }).toDF("docid", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via the
@@ -412,8 +418,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "partial components would be silently wrong; raise maxIter")
     }
-    // pin the (node-sized) assignment eagerly, then release the star edges —
-    // nothing of the iterative chain stays cached past this call
+    // pin the (node-sized) assignment eagerly, then release the star edges:
+    // every ROUND state is freed; what remains cached is exactly the
+    // returned assignment itself (callers consume it; its node-sized blocks
+    // are reclaimed by ContextCleaner once the result is dropped)
     val (out, _) = checkpointTracked(
       edges.select(col("hi").as("docid"), col("lo").as("cluster"))
         .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))

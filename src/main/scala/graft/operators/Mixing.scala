@@ -38,7 +38,13 @@ object Mixing {
     * one hash exchange and never a block-storage copy.
     *
     * `order` must be a UNIQUE total order — otherwise positions are
-    * nondeterministic and the join-back fans out. */
+    * nondeterministic and the join-back fans out.
+    *
+    * Lifetime note: the narrow checkpoint stays pinned until the consumer
+    * DataFrame is dropped and ContextCleaner runs — it cannot be freed
+    * eagerly because the returned frame reads it lazily. The pin is
+    * key+value-sized (order columns + one long), never content-sized;
+    * same policy as the session Memo's persisted frames. */
   private[graft] def withRunningTotal(df: DataFrame, order: Seq[String],
                                       value: Column, outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
@@ -112,19 +118,25 @@ object Mixing {
     * target mixture → per-domain sampling weight target/observed (>1 =
     * upsample / extra epochs, <1 = downsample) — the knob that turns a
     * skewed crawl into the training mixture. Domains absent from `targets`
-    * get target 0 (dropped); shares and weights are e4-scaled BIGINTs for
-    * engine-stable comparison. One aggregation over the (domain, ntok)
-    * projection — content is token-counted in the scan, never shuffled. */
+    * get target 0 (dropped); target domains with NO observed documents
+    * still emit a row (zero counts, weight 0) — an unsatisfiable mixture
+    * must be visible, not silently under-delivered. Shares and weights are
+    * e4-scaled BIGINTs for engine-stable comparison. One aggregation over
+    * the (domain, ntok) projection — content is token-counted in the scan,
+    * never shuffled; the target table is a broadcast-sized literal. */
   def mixtureWeights(docs: Dataset[CodeDoc], domainCol: String,
                      targets: Map[String, Double]): DataFrame = {
-    val targetCol = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (dom, t)) =>
-      when(col("domain") === dom, lit(t)).otherwise(acc)
-    }
-    val per = docs.toDF()
+    val spark = docs.sparkSession
+    val obs = docs.toDF()
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextStats.wordTokenCount(col("content"))).as("tokens"))
-      .withColumn("target", targetCol)
+    val tgt = spark.createDataFrame(targets.toSeq).toDF("domain", "target")
+    val per = obs.join(tgt, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("target"), lit(0.0)).as("target"))
     val tot = per.agg(sum(col("tokens")).as("total"))
     per.crossJoin(tot)
       .select(col("domain"), col("n_docs"), col("tokens"),

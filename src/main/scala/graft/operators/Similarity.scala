@@ -135,20 +135,27 @@ object Similarity {
   }
 
   /** IVF index BUILD: coarse centroids from a seeded Lloyd fit over a
-    * BOUNDED, DETERMINISTIC sample (lowest `maxTrain` vec_ids via
-    * TakeOrderedAndProject — one scan, no sort shuffle, stable across runs
-    * and cluster sizes). This is the standard IVF recipe at any corpus
-    * scale: the coarse quantizer is trained on a sample and probed at full
-    * scale — a distributed KMeans over the whole corpus buys nothing for
-    * nlist cells but costs ~10 latency-bound jobs per fit (and round 2's
-    * version carried the repo's last remaining per-row UDF). Split from the
-    * probe so callers (and the query registry) build once, probe many. */
+    * BOUNDED, DETERMINISTIC, UNBIASED sample — the `maxTrain` rows with the
+    * lowest seeded HASH of vec_id (TakeOrderedAndProject: one scan, no sort
+    * shuffle, stable across runs and cluster sizes). Sampling the lowest
+    * raw vec_ids instead would be ordered, not random: real corpora assign
+    * ids by ingestion order (time/domain/shard), so a prefix sample can
+    * train every centroid inside one domain's subspace and collapse the
+    * rest of the corpus into a cell or two. Hash order is uniform over the
+    * id space regardless of how ids correlate with content. This is the
+    * standard IVF recipe at any corpus scale: the coarse quantizer is
+    * trained on a sample and probed at full scale — a distributed KMeans
+    * over the whole corpus buys nothing for nlist cells but costs ~10
+    * latency-bound jobs per fit (and round 2's version carried the repo's
+    * last remaining per-row UDF). Split from the probe so callers (and the
+    * query registry) build once, probe many. */
   def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
                maxTrain: Int = 4096): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val train: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(maxTrain)
+      .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
+      .limit(maxTrain)
       .select(asDouble("embedding")).as[Array[Double]].collect()
     localKMeans(train, nlist, seed, iters = 10)
   }

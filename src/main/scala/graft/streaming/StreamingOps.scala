@@ -65,17 +65,27 @@ object StreamingOps {
   def nearDedupStream(docs: Dataset[TimedDoc], watermark: String = "10 minutes",
                       seed: Long = 42L): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.map { d =>
-      val terms = Tokenize.tokensOf(d.content, Set.empty)
-      // token-free documents all hash to SimHash 0 — near-dup semantics are
-      // undefined without tokens, so key them by exact content hash instead
-      // of silently collapsing every non-textual payload to one survivor
-      val key =
-        if (terms.isEmpty)
-          "sha:" + java.security.MessageDigest.getInstance("SHA-256")
-            .digest(d.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        else "sim:" + graft.operators.Dedup.simhash64(terms, seed).toHexString
-      (d.ts, d.repo, d.path, d.content, key)
+    docs.mapPartitions { it =>
+      // per-PARTITION digest + hex table: a per-record
+      // MessageDigest.getInstance + "%02x".format would allocate on the
+      // streaming hot path exactly for the payloads this branch serves
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = "0123456789abcdef"
+      it.map { d =>
+        val terms = Tokenize.tokensOf(d.content, Set.empty)
+        // token-free documents all hash to SimHash 0 — near-dup semantics
+        // are undefined without tokens, so key them by exact content hash
+        // instead of collapsing every non-textual payload to one survivor
+        val key =
+          if (terms.isEmpty) {
+            md.reset()
+            val dig = md.digest(d.content.getBytes("UTF-8"))
+            val sb = new StringBuilder(69).append("sha:")
+            dig.foreach(b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)))
+            sb.toString
+          } else "sim:" + graft.operators.Dedup.simhash64(terms, seed).toHexString
+        (d.ts, d.repo, d.path, d.content, key)
+      }
     }.toDF("ts", "repo", "path", "content", "sigkey")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sigkey")
