@@ -472,6 +472,11 @@ object ExtraQueries {
       TextStats.unigramLogProb(td).orderBy("docid")
     }),
 
+    // tokenizer-vocab construction: top-50 terms with stream share and
+    // cumulative coverage (distributed top-k; window only over the 50)
+    "q_vocab_topk" -> ((s, d) =>
+      TextStats.vocabulary(tokdocsWhere(s, d, lit(true)), 50).orderBy("rank")),
+
     "q_text_fingerprint" -> ((s, d) => {
       val td = tokdocsWhere(s, d, lit(true))
       // per-doc rows (not one aggregate): a regression in the rolling hash
@@ -1317,6 +1322,27 @@ object ExtraQueries {
         |         row_number() OVER (PARTITION BY a ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, b) AS rnk
         |  FROM sims)
         |WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin,
+
+    // vocab construction: identical (count desc, term) total order, so the
+    // top-50 set, ranks, shares, and cumulative coverage all pin exactly
+    "q_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT unnest(arr) AS term FROM t),
+        |counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        |ranked AS (
+        |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        |  FROM counts
+        |),
+        |topk AS (SELECT * FROM ranked WHERE rank <= 50)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n,
+        |       CAST(round(n * 10000.0 / total) AS BIGINT) AS share_e4,
+        |       CAST(round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                  * 10000.0 / total) AS BIGINT) AS coverage_e4
+        |FROM topk CROSS JOIN tot ORDER BY rank""".stripMargin,
 
     // connected components over the planted near-dup pair graph: the pair
     // set is the exact n-gram Jaccard (same CTE shape as q_dedup_ngram's

@@ -223,6 +223,36 @@ object TextStats {
           .cast("long").as("logprob_e4"))
   }
 
+  /** Top-k corpus vocabulary with cumulative coverage — the vocab
+    * construction step of a tokenizer-training pipeline: terms ranked by
+    * frequency (count desc, then term — a total order, so ranks are
+    * engine-stable), each with its share of the token stream and the
+    * cumulative coverage up to its rank.
+    *
+    * Scale shape: one per-term count aggregation over the token projection
+    * (uniform key space), then a DISTRIBUTED top-k (TakeOrdered — never a
+    * global sort), and only the k surviving rows pass through the ranking
+    * window — k is bounded and small, so the single-partition window is a
+    * driver-scale afterthought, not a corpus funnel. */
+  def vocabulary(td: Dataset[TokDoc], k: Int): DataFrame = {
+    require(k > 0, s"vocabulary size must be positive, got $k")
+    import td.sparkSession.implicits._
+    val counts = td.flatMap(d => d.terms.iterator).toDF("term")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val topk = counts.orderBy(col("n").desc, col("term")).limit(k)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    val wCum = wRank.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    topk.crossJoin(total)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("share_e4", round(col("n") * 10000.0 / col("total")).cast("long"))
+      .withColumn("coverage_e4",
+        round(sum(col("n")).over(wCum) * 10000.0 / col("total")).cast("long"))
+      .select("rank", "term", "n", "share_e4", "coverage_e4")
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

@@ -92,6 +92,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.6, f"IVF recall $mean%.3f < 0.6")
   }
 
+  test("IVF index: hash-ordered training sample is partitioning-invariant") {
+    // the sample is the lowest seeded hash of vec_id — identical centroids
+    // whatever the physical layout (a prefix-of-ids sample would also pass
+    // this, but fails the unbiasedness argument; see ivfIndex scaladoc)
+    val a = Similarity.ivfIndex(emb.repartition(1), nlist = 8, maxTrain = 100)
+    val b = Similarity.ivfIndex(emb.repartition(7), nlist = 8, maxTrain = 100)
+    assert(a.length == 8 && a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "centroids differ across input partitionings")
+  }
+
   test("IVF balanced-cell guard: fires on a planted single-cluster corpus") {
     // healthy corpus: the sf0.001 embeddings are ~uniform, so 16 cells share
     // the mass and no cell dominates
