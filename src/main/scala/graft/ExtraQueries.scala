@@ -1438,7 +1438,7 @@ object ExtraQueries {
     "q_shuffle_shards" ->
       s"""WITH ${sources.CorpusSynth.docsSqlCte},
         |k AS (
-        |  SELECT sha256('epoch0' || '|' || repo || '|' || path || '|' || "commit") AS skey,
+        |  SELECT sha256(sha256('epoch0') || sha256(repo) || sha256(path) || sha256("commit")) AS skey,
         |         content
         |  FROM docs
         |),

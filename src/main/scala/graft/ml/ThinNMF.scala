@@ -334,9 +334,31 @@ object ThinNMF {
   /** M3: choose the sense count per entity when not given — fit k = 2..kMax
     * and keep raising k while the relative reconstruction-error improvement
     * stays >= tau (elbow rule; wsid fixtures pin k=2 so correctness gates do
-    * not depend on this heuristic). */
+    * not depend on this heuristic).
+    *
+    * `maxModelBytes` routes the whole selection through the SAME entity-shard
+    * budget as fitSharded: shards are packed at the LARGEST candidate k, and
+    * each shard runs its own fit + reconstruction passes, so neither the fit
+    * broadcast nor the error pass's H map can exceed the budget at E ~ 10^6
+    * (both are entity-keyed and per-entity seeded, so the sharded selection
+    * equals the joint one exactly — EntityShardSpec asserts it). */
   def selectK(grouped: RDD[Ctx], spark: SparkSession, kMax: Int, iters: Int,
-              seed: Long, tau: Double = 0.10): Map[String, Int] = {
+              seed: Long, tau: Double = 0.10,
+              maxModelBytes: Long = Long.MaxValue): Map[String, Int] = {
+    val ms = entityDims(grouped)
+    if (ms.isEmpty) return Map.empty
+    val shards = packShards(
+      ms.map { case (e, m) => e -> modelBytesOf(kMax, m) }, maxModelBytes)
+    if (shards.size > 1)
+      return shards.iterator.map { es =>
+        val set = es.toSet
+        selectKJoint(grouped.filter(c => set(c.entity)), spark, kMax, iters, seed, tau)
+      }.reduce(_ ++ _)
+    selectKJoint(grouped, spark, kMax, iters, seed, tau)
+  }
+
+  private def selectKJoint(grouped: RDD[Ctx], spark: SparkSession, kMax: Int,
+                           iters: Int, seed: Long, tau: Double): Map[String, Int] = {
     val errByK: Map[Int, Map[String, Double]] =
       (1 to kMax).map { k =>
         val h = fit(grouped, spark, k, iters, seed)

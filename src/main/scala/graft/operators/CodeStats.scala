@@ -38,18 +38,28 @@ object CodeStats {
     * contains "mit license"). First marker in priority order wins;
     * no marker → ("none", "unknown"). */
   def licenses(docs: Dataset[CodeDoc], headerChars: Int = 2000): DataFrame = {
+    // The normalized header is PROJECTED ONCE and the CASE chains fold over
+    // that column. Inlining it into every branch (the round-3 shape) made
+    // the expression appear 14x (7 markers x 2 output fields) in one
+    // projection — runtime subexpression elimination kept execution fast,
+    // but the generated codegen unit was huge and its one-time janino
+    // compile dominated the query (~7 s cold vs ~1 s steady, the single
+    // biggest bench entry). CollapseProject leaves the split alone: it only
+    // re-inlines cheap expressions into multi-reference sites.
     val header = concat(lit(" "),
       regexp_replace(lower(substring(col("content"), 1, headerChars)), "[^a-z0-9]+", " "),
       lit(" "))
     def pick(field: Int): Column =
       licenseMarkers.foldRight(lit(if (field == 0) "none" else "unknown")) {
         case ((fam, cls, marker), acc) =>
-          when(header.contains(s" $marker "), lit(if (field == 0) fam else cls))
+          when(col("__hdr").contains(s" $marker "), lit(if (field == 0) fam else cls))
             .otherwise(acc)
       }
     docs.select(col("repo"), col("path"), col("lang"),
-      length(col("content")).cast("long").as("chars"),
-      pick(0).as("license"), pick(1).as("license_class"))
+        length(col("content")).cast("long").as("chars"),
+        header.as("__hdr"))
+      .select(col("repo"), col("path"), col("lang"), col("chars"),
+        pick(0).as("license"), pick(1).as("license_class"))
   }
 
   /** (kind, pattern) secret signatures. Conservative, dialect-neutral

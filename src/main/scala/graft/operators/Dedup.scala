@@ -354,9 +354,15 @@ object Dedup {
     // unpersisting the superseded round's RDDs — at most two edge-set
     // copies are ever live. (Single-driver loop: the registry diff is not
     // meant to be raced by concurrent checkpointing jobs.)
+    // materialization via Pinned.pin: localCheckpoint by default; a RELIABLE
+    // checkpoint on durable storage when graft.checkpoint.dir is configured
+    // (executor loss then re-reads instead of failing mid-CC). The registry
+    // diff tracks the blocks localCheckpoint persists; reliable checkpoints
+    // persist no blocks, so free() no-ops and the durable files follow
+    // Spark's checkpoint lifecycle instead.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val pinned = df.localCheckpoint(true)
+      val pinned = graft.plans.Pinned.pin(df)
       (pinned, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def free(ids: Set[Int]): Unit =
@@ -427,7 +433,16 @@ object Dedup {
         .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))
         .distinct())
     free(edgeIds)
-    out
+    // nodes appearing ONLY in self-pairs (a == b) never enter the star
+    // rounds (the edge normalization drops degenerate loops), so they are
+    // unioned back as singleton clusters — the contract is "every node
+    // appearing in pairs", and a caller driving keep/drop from
+    // nearDupClusters would silently lose self-pair-only docs otherwise.
+    // Both sides of the anti-join are node-sized.
+    val selfOnly = pairs.filter(col("a") === col("b"))
+      .select(col("a").as("docid")).distinct()
+      .join(out, Seq("docid"), "left_anti")
+    out.unionByName(selfOnly.select(col("docid"), col("docid").as("cluster")))
   }
 
   /** Cluster-resolved dedup emit: pair graph → components → per-doc cluster

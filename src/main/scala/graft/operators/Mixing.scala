@@ -30,9 +30,10 @@ object Mixing {
     * of phase 2 read the SAME materialization. (The persist/unpersist form
     * is subtly wrong at scale: a re-executed range exchange re-samples its
     * partitioner with a fresh seed, rows shift partitions, and stale offsets
-    * silently corrupt every position.) On a real cluster swap
-    * localCheckpoint for checkpoint() on durable storage — executor loss
-    * then re-reads instead of failing the job; either way it can fail,
+    * silently corrupt every position.) The materialization goes through
+    * `Pinned.pin`: localCheckpoint by default, and a RELIABLE checkpoint on
+    * durable storage when `graft.checkpoint.dir` is configured — executor
+    * loss then re-reads instead of failing the job; either way it can fail,
     * never corrupt. Wide columns stay out of the checkpoint: the scan runs
     * on the key projection and joins back on the order key, so content pays
     * one hash exchange and never a block-storage copy.
@@ -49,11 +50,11 @@ object Mixing {
                                       value: Column, outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val oc = order.map(col)
-    val proj = df.select(oc :+ value.cast("long").as("__v"): _*)
-      .repartitionByRange(oc: _*)
-      .sortWithinPartitions(oc: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val proj = graft.plans.Pinned.pin(
+      df.select(oc :+ value.cast("long").as("__v"): _*)
+        .repartitionByRange(oc: _*)
+        .sortWithinPartitions(oc: _*)
+        .withColumn("__pid", spark_partition_id()))
     // phase 1: per-partition totals (one row per partition) ->
     // exclusive prefix offsets in pid order
     val totals = proj.groupBy("__pid").agg(sum(col("__v")).as("t"))
@@ -106,10 +107,19 @@ object Mixing {
     * permutation per epoch. Scale shape: positions come from the two-phase
     * scan over the (skey) projection; content pays exactly one hash
     * exchange in the join-back. The sha256 key is uniform by construction,
-    * so neither exchange can skew. */
+    * so neither exchange can skew.
+    *
+    * The key hashes EACH field separately before the outer hash
+    * (sha256(sha256(seed)||sha256(repo)||sha256(path)||sha256(commit))):
+    * a delimiter-joined preimage would let distinct tuples containing the
+    * delimiter collide (("a|b","c") vs ("a","b|c")), and a duplicated skey
+    * breaks withRunningTotal's unique-total-order contract — the join-back
+    * would silently fan out. Fixed-width inner hashes make the preimage
+    * unambiguous for ALL field values. */
   def deterministicShuffle(docs: Dataset[CodeDoc], nShards: Int, seed: String): DataFrame = {
     val keyed = docs.toDF().withColumn("skey",
-      sha2(concat_ws("|", lit(seed), col("repo"), col("path"), col("commit")), 256))
+      sha2(concat(sha2(lit(seed), 256), sha2(col("repo"), 256),
+        sha2(col("path"), 256), sha2(col("commit"), 256)), 256))
     ntileBuckets(keyed, nShards, Seq("skey"))
       .withColumnRenamed("bucket", "shard")
   }

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partition-pinning materialization for the iterative/scan operators
+  * (connected components' star rounds, the two-phase prefix scan), with a
+  * config-surfaced durable mode.
+  *
+  * Default (no config): eager `localCheckpoint` — correct and fast in local
+  * mode and on healthy clusters, but executor loss kills the job (truncated
+  * lineage cannot recompute).
+  *
+  * Durable mode: set `graft.checkpoint.dir` (runtime Spark conf or JVM
+  * system property) or env `GRAFT_CHECKPOINT_DIR` to a Hadoop-visible
+  * directory and the SAME call sites route through
+  * `SparkContext.setCheckpointDir` + eager reliable `checkpoint()` —
+  * executor loss then re-reads from durable storage instead of failing.
+  * Both modes pin partitioning and data identically (reliable checkpoint
+  * files preserve the partition layout on re-read), so the two-phase scan's
+  * offset/window agreement holds either way; the swap changes fault
+  * behavior only, never results (PinnedSpec asserts equality).
+  *
+  * Durable-mode note: checkpoint files accumulate one snapshot per pin
+  * until the context stops (Spark's `ReliableCheckpointRDD` lifecycle);
+  * enable `spark.cleaner.referenceTracking.cleanCheckpoints` for eager
+  * cleanup on long-running drivers.
+  */
+object Pinned {
+
+  val ConfKey = "graft.checkpoint.dir"
+
+  /** The configured durable checkpoint root, if any. Runtime conf wins over
+    * system property wins over environment. */
+  def durableDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(ConfKey)
+      .orElse(sys.props.get(ConfKey))
+      .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))
+      .filter(_.nonEmpty)
+
+  /** Eagerly materialize `df` with pinned partitions: reliable checkpoint
+    * when a durable dir is configured, localCheckpoint otherwise. */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    durableDir(spark) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // first pin wins for the context lifetime: setCheckpointDir creates
+        // a per-app subdir, and moving it mid-run would orphan earlier
+        // checkpoints that later plan nodes still read
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None =>
+        df.localCheckpoint(eager = true)
+    }
+  }
+}

@@ -209,6 +209,16 @@ class DedupSpec extends SparkTestBase {
     assert(cc == Map(9L -> 9L, 10L -> 9L, 100099L -> 9L), s"$cc")
   }
 
+  test("connected components: self-pair-only nodes surface as singleton clusters") {
+    // regression (ADVICE r3): a node appearing ONLY in degenerate (x, x)
+    // pairs was dropped by the edge normalization and vanished from the
+    // output — a caller driving keep/drop from nearDupClusters would
+    // silently lose such docs. Nodes in BOTH a self-pair and a real pair
+    // must not duplicate.
+    val cc = ccOf(Seq(("s", "s"), ("a", "b"), ("b", "b")))
+    assert(cc == Map("s" -> "s", "a" -> "a", "b" -> "a"), s"$cc")
+  }
+
   test("connected components: two local minima sharing leaves still merge") {
     // regression (review round 3): after one large+small round this graph is
     // {(a,c),(a,d),(b,c),(b,e)} — no node is both center and leaf, but leaf

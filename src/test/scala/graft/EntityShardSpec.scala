@@ -80,6 +80,25 @@ class EntityShardSpec extends SparkTestBase {
     } finally ctx.unpersist(false)
   }
 
+  test("ThinNMF.selectK under a tiny budget == unsharded selection (VERDICT r3 #4)") {
+    val ctx = syntheticCtx(60, 8).cache()
+    try {
+      val kMax = 3
+      // pack at kMax (the largest candidate footprint): ~20 entities/shard
+      val budget = ThinNMF.modelBytesOf(kMax, 12) * 20
+      val nShards = ThinNMF.packShards(
+        ThinNMF.entityDims(ctx).map { case (e, m) => e -> ThinNMF.modelBytesOf(kMax, m) },
+        budget).size
+      assert(nShards >= 3, s"budget did not force sharding: $nShards shards")
+      val joint = ThinNMF.selectK(ctx, spark, kMax, iters = 3, seed = 42L)
+      val sharded = ThinNMF.selectK(ctx, spark, kMax, iters = 3, seed = 42L,
+        maxModelBytes = budget)
+      assert(joint.size == 60)
+      assert(joint == sharded,
+        s"diff=${joint.collect { case (e, k) if sharded.get(e) != Some(k) => e }.take(5)}")
+    } finally ctx.unpersist(false)
+  }
+
   test("senseMatrix honors cfg.modelBytesBudget (sharded run, entities intact)") {
     val cfg = WsidConfig(entities = Seq.empty, kSenses = 2, nmfMaxIter = 2,
       modelBytesBudget = ThinNMF.modelBytesOf(2, 12) * 10)
