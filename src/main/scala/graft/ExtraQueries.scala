@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CodeStats, Dedup, Mixing, Similarity, TextStats, Tokenize}
+import graft.operators.{Bpe, CodeStats, Dedup, Mixing, Similarity, TextStats, Tokenize}
 
 /** Training-data-pipeline operators registered on the driver contract:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -227,6 +227,25 @@ object ExtraQueries {
     // duplicated 5-gram windows, their originals ~80-90%, unplanted docs 0
     "q_dedup_substring" -> ((s, d) =>
       Dedup.duplicateSpans(tdWithPlantedNearDups(s, d), 5).orderBy("docid")),
+
+    // END-TO-END near-dup dedup emit (VERDICT r3 #5): the planted chain
+    // fixture → exact-Jaccard pairs → transitive clusters → the deduplicated
+    // corpus itself. Survivors (cluster minima + unpaired docs) keep their
+    // corpus columns plus cluster provenance; the _v1/_v2 variants vanish
+    // and each base doc 0..9 stands for its 3-doc cluster
+    "q_dedup_emit" -> ((s, d) => {
+      import s.implicits._
+      val td = tdWithPlantedNearDups(s, d)
+      val corpus = td.map(t => (t.docid, t.terms.length.toLong)).toDF("docid", "ntok")
+      val pairs = Dedup.ngramJaccardPairs(td, 2, 0.85)
+      Dedup.emitDeduped(corpus, "docid", pairs).orderBy("docid")
+    }),
+
+    // distributed BPE merge training (VERDICT r3 #6): 8 merge rounds over
+    // the corpus word dictionary — the merge table (step, lhs, rhs, count)
+    // is the learned artifact; every round is replayed in the oracle
+    "q_vocab_bpe" -> ((s, d) =>
+      Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step")),
 
     // ------------------------------------------------- corpus composition
     // deterministic global shuffle + equal-size sharding for training
@@ -591,6 +610,86 @@ object ExtraQueries {
        |),
        |fin AS (SELECT a, b, sim FROM verified WHERE sim >= 0.95)
        |$finalSelect""".stripMargin
+
+  /** Shared transitive-closure chain over the planted fixture `pl` (expects
+    * plantedNearDupCte in scope, WITH RECURSIVE): exact 2-gram Jaccard
+    * pairs at 0.85, symmetric closure, recursive reachability, components
+    * as min reachable id, cluster sizes. ONE definition for the q_dedup_cc
+    * and q_dedup_emit oracles so the pair/closure semantics can never
+    * silently diverge between detection and emit. */
+  private val ccCompCte: String =
+    """sh AS (
+      |  SELECT DISTINCT docid,
+      |         unnest(list_transform(generate_series(1, len(arr) - 1),
+      |                i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+      |  FROM pl
+      |),
+      |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
+      |inter AS (
+      |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
+      |  GROUP BY a.docid, b.docid
+      |),
+      |p AS (
+      |  SELECT a, b FROM inter
+      |  JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
+      |  WHERE i / (sa.sz + sb.sz - i) >= 0.85
+      |),
+      |sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+      |reach AS (
+      |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t0
+      |  UNION
+      |  SELECT s.u, r.r FROM sym s JOIN reach r ON r.u = s.v
+      |),
+      |comp AS (SELECT u AS docid, min(r) AS cluster FROM reach GROUP BY u),
+      |csz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)""".stripMargin
+
+  /** SQL replay of Bpe.merges for a FIXED round count: the brace-wrapped
+    * word dictionary (v0), then per round i the zipped-unnest pair counts,
+    * the (cnt DESC, l, r) argmax, and the identical literal replace —
+    * DuckDB's replace() is leftmost-non-overlapping exactly like Spark's,
+    * and the brace form gives adjacent pair occurrences no shared
+    * delimiter, so training replays bit-for-bit.
+    *
+    * Every CTE is AS MATERIALIZED — load-bearing, not a hint: each round
+    * references the previous round's v twice via scalar subqueries plus
+    * once in FROM, so DuckDB's default CTE inlining re-expands the whole
+    * chain ~3x per round (3^rounds copies of the corpus scan; the 8-round
+    * form never finishes). Materialized, each round runs once: ~0.5 s. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT n, string_split(seq[2:len(seq)-1], '}{') AS sym FROM v${i - 1}),
+         |p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(sym[1:len(sym)-1]) AS l, unnest(sym[2:len(sym)]) AS r
+         |    FROM s$i WHERE len(sym) >= 2)
+         |  GROUP BY l, r
+         |),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT n, replace(seq,
+         |    (SELECT '{' || l || '}{' || r || '}' FROM b$i),
+         |    (SELECT '{' || l || r || '}' FROM b$i)) AS seq
+         |  FROM v${i - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+       |  FROM documents
+       |),
+       |w AS MATERIALIZED (SELECT unnest(arr) AS w FROM t),
+       |v0 AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         '{' || array_to_string(string_split(w, ''), '}{') || '}' AS seq
+       |  FROM w GROUP BY w
+       |),
+       |$rounds
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
 
   private val d40Cte =
     """d40 AS (
@@ -1352,35 +1451,33 @@ object ExtraQueries {
     // rounds must agree with exactly.
     "q_dedup_cc" ->
       s"""WITH RECURSIVE $plantedNearDupCte,
-        |sh AS (
-        |  SELECT DISTINCT docid,
-        |         unnest(list_transform(generate_series(1, len(arr) - 1),
-        |                i -> arr[i] || ' ' || arr[i + 1])) AS shingle
-        |  FROM pl
-        |),
-        |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
-        |inter AS (
-        |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
-        |  GROUP BY a.docid, b.docid
-        |),
-        |p AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
-        |  WHERE i / (sa.sz + sb.sz - i) >= 0.85
-        |),
-        |sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
-        |reach AS (
-        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t0
-        |  UNION
-        |  SELECT s.u, r.r FROM sym s JOIN reach r ON r.u = s.v
-        |),
-        |comp AS (SELECT u AS docid, min(r) AS cluster FROM reach GROUP BY u),
-        |csz AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+        |$ccCompCte
         |SELECT c.docid, c.cluster, CAST(s.cluster_size AS BIGINT) AS cluster_size,
         |       CAST(CASE WHEN c.docid = c.cluster THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         |FROM comp c JOIN csz s USING (cluster)
         |ORDER BY c.docid""".stripMargin,
+
+    // end-to-end emit: the SAME fixture + transitive-closure chain, joined
+    // back onto the corpus — survivors are cluster minima plus docs in no
+    // pair, each carrying its cluster id and size
+    "q_dedup_emit" ->
+      s"""WITH RECURSIVE $plantedNearDupCte,
+        |$ccCompCte,
+        |lens AS (SELECT docid, CAST(len(arr) AS BIGINT) AS ntok FROM pl)
+        |SELECT l.docid, l.ntok,
+        |       COALESCE(c.cluster, l.docid) AS cluster,
+        |       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+        |FROM lens l
+        |LEFT JOIN comp c ON c.docid = l.docid
+        |LEFT JOIN csz s ON s.cluster = c.cluster
+        |WHERE c.docid IS NULL OR c.docid = c.cluster
+        |ORDER BY l.docid""".stripMargin,
+
+    // BPE merge training: every round (pair counts over the evolving word
+    // dictionary, argmax with the same total order, the same literal
+    // brace-form replace) is replayed — the learned merge table must agree
+    // step for step
+    "q_vocab_bpe" -> bpeOracleSql(8),
 
     // duplicate spans: the 5-gram FNV-1a hash is replayed exactly as in the
     // fingerprint oracle (64-bit wraparound via HUGEINT mod 2^64 over the

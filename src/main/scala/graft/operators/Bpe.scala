@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.TokDoc
+import graft.plans.Pinned
+
+/** Distributed BPE-style merge training (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016 — public
+  * literature): learn the first `nMerges` subword merges from the corpus.
+  * This is the tokenizer-TRAINING step `TextStats.vocabulary`'s unigram
+  * top-k approximates from above: iterative adjacent-pair counting over the
+  * word dictionary, one merge per round.
+  *
+  * Scale shape — the standard scaling of BPE trainers, distributed:
+  *   - the ONLY corpus-scale pass is the word-count aggregation (uniform
+  *     key space, partial-agg combinable) — content never shuffles;
+  *   - every merge round then runs over the DISTINCT-WORD table weighted by
+  *     counts (vocabulary-sized, orders of magnitude below the corpus) as
+  *     ONE pair-count aggregation plus a single-row argmax collect — the
+  *     driver ever holds only the merge table itself;
+  *   - the evolving word table is re-pinned per round (Pinned.pin — durable
+  *     under graft.checkpoint.dir) and the superseded round's blocks are
+  *     freed, so lineage and cached state stay O(1) in rounds.
+  *
+  * Representation: a word's symbol sequence is one string with every symbol
+  * brace-wrapped ("low" -> "{l}{o}{w}"), and applying a merge is ONE literal
+  * string replace of "{l}{r}" with "{lr}" — leftmost non-overlapping, which
+  * equals the per-word left-to-right merge fold because a merged symbol can
+  * never re-match the same pair within the pass (BpeSpec proves equality
+  * against an array-fold reference). Braces cannot collide with symbol text
+  * (tokenizer contract [a-z0-9_]) and per-symbol wrapping means adjacent
+  * pair occurrences share NO delimiter characters (a space-joined form
+  * silently misses every second occurrence of a repeated pair: in
+  * " a b a b " the two " a b " matches overlap on the middle space). Both
+  * the pair explode and the replace are pure codegen column work, and the
+  * identical replace semantics exist in DuckDB, so the oracle replays
+  * training bit-for-bit.
+  *
+  * Determinism: the best pair per round is max count with ties broken by
+  * (left, right) lexicographically — a total order, so the merge table is
+  * reproducible across runs AND cluster sizes.
+  *
+  * Returns the merge table (step, lhs, rhs, pair_count), step 1-based;
+  * stops early if the corpus runs out of adjacent pairs.
+  */
+object Bpe {
+
+  /** Brace-wrapped symbol sequence for a word column. The empty-string
+    * filter guards against regex-split artifacts (a trailing "" would mint
+    * a phantom "{}" symbol); DuckDB's string_split(w, '') yields bare
+    * chars. */
+  private def seqOf(w: org.apache.spark.sql.Column) =
+    concat(lit("{"),
+      array_join(filter(split(w, ""), c => length(c) > 0), "}{"), lit("}"))
+
+  /** Symbols array parsed back from the brace form. */
+  private def symsOf(seq: org.apache.spark.sql.Column) =
+    split(seq.substr(lit(2), length(seq) - 2), "\\}\\{")
+
+  def merges(td: Dataset[TokDoc], nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = td.sparkSession
+    import spark.implicits._
+
+    // corpus-scale pass: distinct-word counts, then never touch docs again
+    val words = td.flatMap(_.terms.iterator).toDF("w")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var (vocab, vocabIds) = Pinned.pinTracked(
+      words.select(col("n"), seqOf(col("w")).as("seq")))
+
+    val table = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent symbol pairs weighted by word count; one agg + 1-row argmax
+      val syms = symsOf(col("seq"))
+      val prs = transform(slice(syms, lit(1), size(syms) - 1), (x, i) =>
+        struct(x.as("l"), element_at(syms, i + lit(2)).as("r")))
+      val best = vocab
+        .select(col("n"), explode(prs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        table += ((step.toLong, l, r, cnt))
+        val (next, nextIds) = Pinned.pinTracked(vocab.withColumn("seq",
+          replace(col("seq"), lit(s"{$l}{$r}"), lit(s"{$l$r}"))))
+        Pinned.free(spark, vocabIds)
+        vocab = next
+        vocabIds = nextIds
+        step += 1
+      }
+    }
+    Pinned.free(spark, vocabIds)
+    table.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Reference single-machine merge application for one symbol array —
+    * the left-to-right fold the string replace must equal; used by tests
+    * and usable to tokenize new text with a learned table. */
+  private[graft] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r) { out.remove(out.length - 1); out += l + r }
+      else out += x
+    }
+    out.toArray
+  }
+}

@@ -343,7 +343,6 @@ object Dedup {
     * with an eager localCheckpoint every few rounds so pathological graphs
     * cannot grow the plan without bound. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     // eager localCheckpoint EVERY round is load-bearing twice over: the
     // round body references `edges` several times, so without truncation
     // the logical plan grows EXPONENTIALLY in rounds (plans are trees, not
@@ -354,19 +353,14 @@ object Dedup {
     // unpersisting the superseded round's RDDs — at most two edge-set
     // copies are ever live. (Single-driver loop: the registry diff is not
     // meant to be raced by concurrent checkpointing jobs.)
-    // materialization via Pinned.pin: localCheckpoint by default; a RELIABLE
-    // checkpoint on durable storage when graft.checkpoint.dir is configured
-    // (executor loss then re-reads instead of failing mid-CC). The registry
-    // diff tracks the blocks localCheckpoint persists; reliable checkpoints
-    // persist no blocks, so free() no-ops and the durable files follow
-    // Spark's checkpoint lifecycle instead.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val pinned = graft.plans.Pinned.pin(df)
-      (pinned, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    // materialization via Pinned.pinTracked: localCheckpoint by default; a
+    // RELIABLE checkpoint on durable storage when graft.checkpoint.dir is
+    // configured (executor loss then re-reads instead of failing mid-CC),
+    // with superseded rounds' blocks freed deterministically (see Pinned).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+      graft.plans.Pinned.pinTracked(df)
     def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      graft.plans.Pinned.free(pairs.sparkSession, ids)
     var (edges, edgeIds) = checkpointTracked(pairs
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
@@ -454,6 +448,31 @@ object Dedup {
     cc.join(sizes, Seq("cluster"))
       .select(col("docid"), col("cluster"), col("cluster_size"),
         when(col("docid") === col("cluster"), 1L).otherwise(0L).as("is_kept"))
+  }
+
+  /** End-to-end near-dup dedup EMIT (VERDICT r3 #5): pair graph →
+    * transitive clusters → the DEDUPLICATED CORPUS itself. Keeps exactly
+    * one survivor per cluster (the minimum id, consistent with
+    * dedupKeepFirst) plus every unpaired document, every column of `corpus`
+    * intact, with cluster provenance added: `cluster` (the cluster id this
+    * survivor represents — its own id for singletons) and `cluster_size`
+    * (1 for singletons), so downstream mixing/packing can weight or audit
+    * by how much duplication each survivor stands for.
+    *
+    * Scale shape: the cluster assignment is NODE-sized (only ids that
+    * appear in pairs — at real dup rates a small fraction of the corpus),
+    * so the corpus pays exactly one join against a frame far smaller than
+    * itself (AQE broadcasts it when it fits) and unpaired documents stream
+    * through the left join untouched. `pairs` can come from ANY signature
+    * family above (MinHash-LSH, SimHash, embedding-LSH) — the standard
+    * pipeline is exact dedup first, then one near-dup family, then this. */
+  def emitDeduped(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs).withColumnRenamed("docid", idCol)
+    corpus.join(clusters, Seq(idCol), "left")
+      .filter(col("is_kept").isNull || col("is_kept") === 1L)
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .drop("is_kept")
   }
 
   // ---------------------------------------------- duplicate-span (substr)

@@ -53,4 +53,23 @@ object Pinned {
         df.localCheckpoint(eager = true)
     }
   }
+
+  /** pin() plus the ids of any storage blocks the pin persisted — the
+    * iterative operators (CC star rounds, BPE merge rounds) free superseded
+    * rounds DETERMINISTICALLY with free() instead of waiting on driver GC,
+    * so at most two round-state copies are ever live. localCheckpoint
+    * registers its persisted RDDs; reliable checkpoints persist no blocks
+    * (free() then no-ops and the durable files follow Spark's checkpoint
+    * lifecycle). Single-driver loops only: the registry diff is not meant
+    * to be raced by concurrent checkpointing jobs. */
+  def pinTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pinned = pin(df)
+    (pinned, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Unpersist blocks recorded by pinTracked (non-blocking). */
+  def free(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 }

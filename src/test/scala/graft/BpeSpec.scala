@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Distributed BPE merge training vs a driver-side reference implementation
+  * (plain array folds over the word-count dictionary — the textbook
+  * algorithm), on corpora engineered to stress the edge the string-replace
+  * trick must get right: repeated adjacent pairs inside one word. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE: word counts -> nMerges rounds of (pair argmax, fold). */
+  private def referenceMerges(wordCounts: Map[String, Long],
+                              nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[Array[String], Long] =
+      wordCounts.map { case (w, n) => w.split("").filter(_.nonEmpty) -> n }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var go = true
+    while (step <= nMerges && go) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { pr =>
+          val k = (pr(0), pr(1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step.toLong, l, r, cnt))
+        vocab = vocab.map { case (syms, n) => Bpe.applyMerge(syms, l, r) -> n }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  private def tdOf(words: Seq[String]): org.apache.spark.sql.Dataset[TokDoc] =
+    spark.createDataset(words.grouped(3).zipWithIndex.map { case (g, i) =>
+      TokDoc(s"d$i", g.toArray)
+    }.toSeq).repartition(3)
+
+  test("merges match the reference on the classic Sennrich-style corpus") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = referenceMerges(wc, 6)
+    val got = Bpe.merges(tdOf(words), 6).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("repeated adjacent pairs merge left-to-right non-overlapping (aaaa)") {
+    // the case a space-joined string form gets wrong: 'aaaa' has THREE
+    // (a,a) occurrences but only TWO non-overlapping merges
+    val words = Seq.fill(4)("aaaa") ++ Seq.fill(2)("aab") ++ Seq.fill(1)("ba")
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = referenceMerges(wc, 5)
+    val got = Bpe.merges(tdOf(words), 5).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    // round 1 must count 4 words x 3 occurrences + 2 words x 1 = 14 for (a,a)
+    assert(want.head._2 == "a" && want.head._3 == "a" && want.head._4 == 14L)
+  }
+
+  test("early exhaustion: single-char vocabulary stops before nMerges") {
+    val got = Bpe.merges(tdOf(Seq("a", "b", "a")), 4).collect()
+    // one merge is possible at most only if some word has >= 2 symbols; none does
+    assert(got.isEmpty, got.mkString(","))
+  }
+
+  test("applyMerge: fold semantics on adjacent repeats") {
+    assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "b", "a").toSeq == Seq("a", "ba", "b"))
+  }
+}

@@ -300,6 +300,21 @@ class DedupSpec extends SparkTestBase {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("emitDeduped: survivors + singletons, corpus columns and provenance intact") {
+    // corpus of 6 docs; pairs chain {a,b,c} plus {x,y}; q unpaired
+    val corpus = Seq(("a", 10L), ("b", 11L), ("c", 12L), ("x", 20L), ("y", 21L), ("q", 30L))
+      .toDF("docid", "ntok").repartition(3)
+    val pairs = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")
+    val rows = Dedup.emitDeduped(corpus, "docid", pairs).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("ntok"), r.getString(2),
+        r.getAs[Long]("cluster_size")))).toMap
+    // survivors only: cluster minima a, x plus the unpaired singleton q
+    assert(rows.keySet == Set("a", "x", "q"), s"${rows.keySet}")
+    assert(rows("a") == ((10L, "a", 3L)))
+    assert(rows("x") == ((20L, "x", 2L)))
+    assert(rows("q") == ((30L, "q", 1L)))
+  }
+
   test("nearDupClusters: sizes and survivor election on a known graph") {
     // two components: {a,b,c} via chain a-b, b-c; {x,y} direct
     val df = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")
