@@ -151,24 +151,136 @@ object Similarity {
     * query registry) build once, probe many. */
   def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
                maxTrain: Int = 4096): Array[Array[Double]] = {
+    val train = trainingSample(corpus, seed, maxTrain)
+    localKMeans(train, nlist, seed, iters = 10)
+  }
+
+  /** The bounded deterministic unbiased training sample of ivfIndex,
+    * shared with the balanced build. */
+  private[graft] def trainingSample(corpus: DataFrame, seed: Long,
+                                        maxTrain: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train: Array[Array[Double]] = corpus
+    corpus
       .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
       .limit(maxTrain)
       .select(asDouble("embedding")).as[Array[Double]].collect()
-    localKMeans(train, nlist, seed, iters = 10)
+  }
+
+  /** IVF index build with a BALANCE RESPONSE (VERDICT r3 #7): when the
+    * fitted cells are lopsided — a degenerate local minimum can park two
+    * centers in one true cluster and merge others, silently degrading probe
+    * cost toward brute force — the build (1) repairs the fit by moving the
+    * smallest cell's center onto the farthest member of the biggest cell
+    * and re-running Lloyd (the deterministic split-repair of the classic
+    * k-means local minimum), and (2) falls back to re-seeded refits, keeping
+    * whichever attempt has the lowest max cell share. All balance checks run
+    * on the maxTrain-bounded DRIVER-LOCAL sample — no extra corpus scans —
+    * and q_sim_ivf's in-query ivfCellStats guard still reports the
+    * corpus-level share every run. Irreducible corpora (e.g. all vectors
+    * identical) stay over threshold after `maxRetries`; the best attempt is
+    * returned and the guard stays the visible signal. */
+  def ivfIndexBalanced(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+                       maxTrain: Int = 4096, maxShare: Double = 0.5,
+                       maxRetries: Int = 3): Array[Array[Double]] = {
+    val train = trainingSample(corpus, seed, maxTrain)
+    var best = localKMeans(train, nlist, seed, iters = 10)
+    var bestShare = maxShareOf(train, best)
+    var attempt = 0
+    while (bestShare > maxShare && attempt < maxRetries) {
+      val repaired = splitRepair(train, best, maxShare, maxMoves = nlist)
+      val reseeded = localKMeans(train, nlist, seed + attempt + 1, iters = 10)
+      Seq(repaired, reseeded).foreach { cand =>
+        val s = maxShareOf(train, cand)
+        if (s < bestShare) { best = cand; bestShare = s }
+      }
+      attempt += 1
+    }
+    best
+  }
+
+  /** Largest cell's share of the sample under `centers`. */
+  private[graft] def maxShareOf(xs: Array[Array[Double]],
+                                    centers: Array[Array[Double]]): Double = {
+    if (xs.isEmpty || centers.isEmpty) return 0.0
+    val counts = new Array[Long](centers.length)
+    xs.foreach(x => counts(nearestIdx(centers, x)) += 1)
+    counts.max.toDouble / xs.length
+  }
+
+  @inline private def nearestIdx(centers: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var d = 0.0
+      var i = 0
+      while (i < x.length && i < ctr.length) { val t = x(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic split repair: move the SMALLEST cell's center onto the
+    * farthest member of the BIGGEST cell, Lloyd-refine, repeat while the
+    * share exceeds `maxShare` (at most `maxMoves` moves). Escapes the
+    * split-one-cluster/merge-two local minimum; a no-op improvement on
+    * corpora whose imbalance is in the data itself. */
+  private[operators] def splitRepair(xs: Array[Array[Double]], centers0: Array[Array[Double]],
+                                     maxShare: Double, maxMoves: Int): Array[Array[Double]] = {
+    if (xs.isEmpty || centers0.length < 2) return centers0
+    var centers = centers0.map(_.clone)
+    var moves = 0
+    while (moves < maxMoves) {
+      val counts = new Array[Long](centers.length)
+      val assign = xs.map { x => val c = nearestIdx(centers, x); counts(c) += 1; c }
+      val biggest = counts.indices.maxBy(counts)
+      if (counts(biggest).toDouble / xs.length <= maxShare) return centers
+      val smallest = counts.indices.minBy(i => (counts(i), i))
+      if (smallest == biggest) return centers
+      var farIdx = -1
+      var farD = -1.0
+      var i = 0
+      while (i < xs.length) {
+        if (assign(i) == biggest) {
+          val ctr = centers(biggest)
+          var d = 0.0
+          var j = 0
+          while (j < xs(i).length && j < ctr.length) {
+            val t = xs(i)(j) - ctr(j); d += t * t; j += 1
+          }
+          if (d > farD) { farD = d; farIdx = i }
+        }
+        i += 1
+      }
+      if (farIdx < 0 || farD == 0.0) return centers // identical points: irreducible
+      centers(smallest) = xs(farIdx).clone
+      centers = lloydFrom(xs, centers, iters = 5)
+      moves += 1
+    }
+    centers
   }
 
   /** Seeded driver-local Lloyd: init from a deterministic shuffle of the
     * sample, empty cells keep their previous center. Sample sizes are
     * maxTrain-bounded, so the fit is microseconds next to one corpus scan. */
-  private[operators] def localKMeans(xs: Array[Array[Double]], k: Int, seed: Long,
+  private[graft] def localKMeans(xs: Array[Array[Double]], k: Int, seed: Long,
                                      iters: Int): Array[Array[Double]] = {
     if (xs.isEmpty) return Array.empty
     val rnd = new scala.util.Random(seed)
-    val centers = rnd.shuffle(xs.indices.toVector).take(math.min(k, xs.length))
+    val init = rnd.shuffle(xs.indices.toVector).take(math.min(k, xs.length))
       .map(i => xs(i).clone).toArray
+    lloydFrom(xs, init, iters)
+  }
+
+  /** Lloyd refinement from GIVEN centers (shared by the seeded fit and the
+    * split repair); empty cells keep their previous center. */
+  private[operators] def lloydFrom(xs: Array[Array[Double]], init: Array[Array[Double]],
+                                   iters: Int): Array[Array[Double]] = {
+    if (xs.isEmpty || init.isEmpty) return init
+    val centers = init.map(_.clone)
     val dim = xs.head.length
     // a ragged sample would read past a short vector in the accumulation
     // loop below — reject it loudly (a dimension bug upstream must surface,

@@ -120,6 +120,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(degenerate.getAs[Long]("max_cell_share_e4") == 10000L, s"guard silent: $degenerate")
   }
 
+  test("ivfIndexBalanced: split-repair/re-seed restores balance on a recoverable degenerate fit") {
+    // four well-separated planted clusters with skewed sizes — the classic
+    // k-means local minimum parks two centers in one cluster and merges two
+    // others into a single >50% cell. Scan seeds for one where the PLAIN fit
+    // is lopsided (deterministic: fixed corpus, fixed seed list), then
+    // assert the balanced build repairs exactly that fit.
+    val rnd = new scala.util.Random(11)
+    val corners = Seq(
+      Array.fill(8)(0.0), Array.tabulate(8)(i => if (i < 4) 10.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 4) 10.0 else 0.0), Array.fill(8)(10.0))
+    val sizes = Seq(60, 60, 60, 20)
+    val pts = corners.zip(sizes).zipWithIndex.flatMap { case ((c, n), ci) =>
+      (0 until n).map(j => (ci * 1000L + j,
+        c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq))
+    }
+    val planted = pts.toDF("vec_id", "embedding")
+    val train = Similarity.trainingSample(planted, 42L, 4096)
+    val badSeed = (1 to 60).find { s =>
+      Similarity.maxShareOf(train,
+        Similarity.localKMeans(train, 4, s.toLong, 10)) > 0.5
+    }
+    assert(badSeed.nonEmpty, "no seed in 1..60 produced a lopsided plain fit " +
+      "(fixture no longer exercises the retry; rebuild it)")
+    val plainShare = Similarity.maxShareOf(train,
+      Similarity.localKMeans(train, 4, badSeed.get.toLong, 10))
+    val balanced = Similarity.ivfIndexBalanced(planted, nlist = 4,
+      seed = badSeed.get.toLong, maxShare = 0.5)
+    val fixedShare = Similarity.maxShareOf(train, balanced)
+    info(f"seed=${badSeed.get} plain=$plainShare%.2f balanced=$fixedShare%.2f")
+    assert(fixedShare <= 0.5, f"retry did not restore balance: $fixedShare%.2f")
+    // corpus-level guard agrees
+    val stats = Similarity.ivfCellStats(planted, balanced).head()
+    assert(stats.getAs[Long]("max_cell_share_e4") <= 5000L, s"$stats")
+  }
+
+  test("ivfIndexBalanced: irreducible corpus (identical vectors) returns best effort, guard still fires") {
+    val flat = (0 until 100).map(i => (i.toLong, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val centers = Similarity.ivfIndexBalanced(flat, nlist = 4, maxRetries = 2)
+    val stats = Similarity.ivfCellStats(flat, centers).head()
+    assert(stats.getAs[Long]("max_cell_share_e4") == 10000L, s"$stats")
+  }
+
   // note: the embeddings table's labels are NOT cosine-separable (same-label
   // fraction of true top-5 ≈ 0.11 ≈ chance, verified against numpy) — so
   // recall tests compare against exact brute force, never against labels.
