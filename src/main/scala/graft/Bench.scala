@@ -52,6 +52,11 @@ object Bench {
     val warmCs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
     warmCs.coverage.count()
     warmCs.scored.count()
+    // E3's version-keyed sense model: loading an EXISTING model is the
+    // operator's contract, so populating the store (one induction whenever
+    // the code-derived ModelVersion changed) is warm-phase work — charged
+    // here, visibly, instead of to whichever E3 query runs first
+    Memo.modelOf(spark, sfDir, ExtraQueries.e3Cfg)
     val memoWarmSec = (System.nanoTime() - tWarm) / 1e9
 
     // test hook for the loud-failure contract: GRAFT_BENCH_INJECT_FAIL adds a

@@ -30,9 +30,15 @@ object Memo {
   /** Bounded access-ordered memo; stopped sessions purged on every access
     * (their persisted frames died with the session — no unpersist needed or
     * safe), LRU entries evicted WITH unpersist once size exceeds the cap.
-    * Builds run under the lock: registry queries are sequential by contract,
-    * and serializing concurrent builders of the same key is the point. */
-  private final class BoundedMemo[V](onEvict: V => Unit) {
+    *
+    * Builds run OUTSIDE the map lock behind a per-key latch (ADVICE r3 #4):
+    * the map lock only guards lookups/puts (microseconds), concurrent
+    * builders of the SAME key collapse to one build with waiters adopting
+    * its result, and a second SparkSession in the same JVM building a
+    * DIFFERENT key proceeds in parallel instead of blocking on an unrelated
+    * session's minutes-long model build. A failed build propagates to its
+    * waiters and clears the latch so a retry can rebuild. */
+  private[graft] final class BoundedMemo[V](onEvict: V => Unit) {
     private def maxEntries: Int =
       sys.props.getOrElse("graft.memo.max", "8").toInt
 
@@ -41,12 +47,38 @@ object Memo {
         if (size() > maxEntries) { onEvict(e.getValue); true } else false
     }
 
-    def getOrBuild(key: (SparkSession, String))(build: => V): V = m.synchronized {
-      val it = m.keySet().iterator()
-      while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
-      val cur = m.get(key)
-      if (cur != null) cur
-      else { val v = build; m.put(key, v); v }
+    private val inflight =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        java.util.concurrent.CompletableFuture[V]]()
+
+    def getOrBuild(key: (SparkSession, String))(build: => V): V = {
+      val hit = m.synchronized {
+        val it = m.keySet().iterator()
+        while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
+        m.get(key)
+      }
+      if (hit != null) return hit
+      val mine = new java.util.concurrent.CompletableFuture[V]()
+      val prior = inflight.putIfAbsent(key, mine)
+      if (prior != null)
+        return try prior.join()
+        catch { case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+        }
+      try {
+        // double-check: the prior builder may have completed (and cleared
+        // its latch) between our fast path and winning the latch
+        val cur = m.synchronized(m.get(key))
+        if (cur != null) { mine.complete(cur); cur }
+        else {
+          val v = build
+          m.synchronized(m.put(key, v))
+          mine.complete(v)
+          v
+        }
+      } catch {
+        case e: Throwable => mine.completeExceptionally(e); throw e
+      } finally inflight.remove(key)
     }
 
     def invalidate(spark: SparkSession): Unit = m.synchronized {

@@ -75,6 +75,62 @@ class MemoSpec extends SparkTestBase {
     }
   }
 
+  test("BoundedMemo: same-key concurrent builders collapse to ONE build") {
+    val memo = new Memo.BoundedMemo[String](_ => ())
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val key = (spark, "same-key")
+    val t1 = new Thread(() => memo.getOrBuild(key) {
+      builds.incrementAndGet(); started.countDown()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS); "v"
+    })
+    t1.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // second caller arrives mid-build: must adopt t1's result, not rebuild
+    val t2Result = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t2 = new Thread(() => t2Result.set(memo.getOrBuild(key) {
+      builds.incrementAndGet(); "WRONG"
+    }))
+    t2.start()
+    release.countDown()
+    t1.join(10000); t2.join(10000)
+    assert(builds.get() == 1, s"build ran ${builds.get()} times")
+    assert(t2Result.get() == "v")
+  }
+
+  test("BoundedMemo: different keys build in PARALLEL (no JVM-wide build lock)") {
+    // key A's build blocks until key B's build STARTS — possible only if
+    // builds run outside a shared lock; under the old whole-build lock this
+    // times out (asserted, not hung)
+    val memo = new Memo.BoundedMemo[String](_ => ())
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => memo.getOrBuild((spark, "key-a")) {
+      aStarted.countDown()
+      assert(bStarted.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "key-b's build never started while key-a's was in flight")
+      "a"
+    })
+    val b = new Thread(() => {
+      assert(aStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      memo.getOrBuild((spark, "key-b")) { bStarted.countDown(); "b" }
+    })
+    a.start(); b.start()
+    a.join(15000); b.join(15000)
+    assert(!a.isAlive && !b.isAlive, "parallel builds deadlocked/timed out")
+    assert(memo.size == 2)
+  }
+
+  test("BoundedMemo: failed build clears the latch so a retry rebuilds") {
+    val memo = new Memo.BoundedMemo[String](_ => ())
+    val key = (spark, "flaky-key")
+    intercept[RuntimeException] {
+      memo.getOrBuild(key) { throw new RuntimeException("boom") }
+    }
+    assert(memo.getOrBuild(key)("recovered") == "recovered")
+  }
+
   test("memos are LRU-bounded: sweeping 10 configs holds <= graft.memo.max entries") {
     withProp("graft.memo.max", "3") {
       val before = Memo.totalEntries
