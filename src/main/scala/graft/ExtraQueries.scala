@@ -256,6 +256,15 @@ object ExtraQueries {
     "q_vocab_bpe" -> ((s, d) =>
       Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step")),
 
+    // the APPLY step: train 8 merges, then encode the corpus under the
+    // learned table — per-doc word and subword counts (the compression the
+    // packing/mixing operators would consume from a real tokenizer)
+    "q_vocab_bpe_encode" -> ((s, d) => {
+      val table = Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(tokdocsWhere(s, d, lit(true)), table).orderBy("docid")
+    }),
+
     // ------------------------------------------------- corpus composition
     // deterministic global shuffle + equal-size sharding for training
     // output: sha256 sort key, two-phase global positions, ntile shards —
@@ -668,7 +677,7 @@ object ExtraQueries {
     * once in FROM, so DuckDB's default CTE inlining re-expands the whole
     * chain ~3x per round (3^rounds copies of the corpus scan; the 8-round
     * form never finishes). Materialized, each round runs once: ~0.5 s. */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeOracleSql(nMerges: Int, finalSelect: String): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""s$i AS MATERIALIZED (SELECT n, string_split(seq[2:len(seq)-1], '}{') AS sym FROM v${i - 1}),
          |p$i AS MATERIALIZED (
@@ -679,29 +688,45 @@ object ExtraQueries {
          |),
          |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT n, replace(seq,
+         |  SELECT w, n, replace(seq,
          |    (SELECT '{' || l || '}{' || r || '}' FROM b$i),
          |    (SELECT '{' || l || r || '}' FROM b$i)) AS seq
          |  FROM v${i - 1}
          |)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH t AS MATERIALIZED (
-       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+       |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
        |  FROM documents
        |),
-       |w AS MATERIALIZED (SELECT unnest(arr) AS w FROM t),
+       |tok AS MATERIALIZED (SELECT docid, unnest(arr) AS w FROM t),
        |v0 AS MATERIALIZED (
-       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n,
        |         '{' || array_to_string(string_split(w, ''), '}{') || '}' AS seq
-       |  FROM w GROUP BY w
+       |  FROM tok GROUP BY w
        |),
        |$rounds
-       |$finals
-       |ORDER BY step""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  /** Final select emitting the learned merge table (q_vocab_bpe). */
+  private def bpeMergeTableSelect(nMerges: Int): String =
+    (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** Final select applying the trained table back to the corpus
+    * (q_vocab_bpe_encode): per-word subword counts from the terminal round,
+    * joined onto the token stream. */
+  private def bpeEncodeSelect(nMerges: Int): String =
+    s""",
+       |wmap AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(seq[2:len(seq)-1], '}{')) AS BIGINT) AS nsub
+       |  FROM v$nMerges
+       |)
+       |SELECT tok.docid, count(*) AS ntok, CAST(sum(m.nsub) AS BIGINT) AS n_subwords
+       |FROM tok JOIN wmap m USING (w)
+       |GROUP BY tok.docid ORDER BY tok.docid""".stripMargin
 
   private val d40Cte =
     """d40 AS (
@@ -1489,7 +1514,11 @@ object ExtraQueries {
     // dictionary, argmax with the same total order, the same literal
     // brace-form replace) is replayed — the learned merge table must agree
     // step for step
-    "q_vocab_bpe" -> bpeOracleSql(8),
+    "q_vocab_bpe" -> bpeOracleSql(8, bpeMergeTableSelect(8)),
+
+    // BPE encode: the same 8 training rounds, then the terminal round's
+    // per-word subword counts joined back onto the token stream
+    "q_vocab_bpe_encode" -> bpeOracleSql(8, bpeEncodeSelect(8)),
 
     // duplicate spans: the 5-gram FNV-1a hash is replayed exactly as in the
     // fingerprint oracle (64-bit wraparound via HUGEINT mod 2^64 over the

@@ -100,6 +100,34 @@ object Bpe {
     table.result().toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** ENCODE with a learned merge table: per distinct word, the subword
+    * count after applying `merges` in training order. The whole merge chain
+    * compiles to ONE column expression (nMerges chained literal replaces
+    * over the brace form) evaluated once per DISTINCT word — never per
+    * token occurrence. */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seq = merges.foldLeft(seqOf(col("w"))) { case (acc, (l, r)) =>
+      replace(acc, lit(s"{$l}{$r}"), lit(s"{$l$r}"))
+    }
+    words.withColumn("n_subwords", size(symsOf(seq)).cast("long"))
+  }
+
+  /** Per-document subword counts under a learned merge table — the APPLY
+    * step of tokenizer training (the number the packing/mixing operators
+    * consume once a real tokenizer exists). Scale shape: the merge chain
+    * runs over the distinct-word projection (vocabulary-sized); the token
+    * stream then joins that map — AQE broadcasts it when it fits — and one
+    * aggregation emits (docid, ntok, n_subwords). */
+  def encode(td: Dataset[TokDoc], merges: Seq[(String, String)]): DataFrame = {
+    val spark = td.sparkSession
+    import spark.implicits._
+    val toks = td.flatMap(d => d.terms.iterator.map(t => (d.docid, t))).toDF("docid", "w")
+    val wmap = encodeWords(toks.select("w").distinct(), merges)
+    toks.join(wmap, Seq("w"))
+      .groupBy("docid")
+      .agg(count(lit(1)).as("ntok"), sum(col("n_subwords")).as("n_subwords"))
+  }
+
   /** Reference single-machine merge application for one symbol array —
     * the left-to-right fold the string replace must equal; used by tests
     * and usable to tokenize new text with a learned table. */

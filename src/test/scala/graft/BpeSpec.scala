@@ -70,6 +70,27 @@ class BpeSpec extends SparkTestBase {
     assert(got.isEmpty, got.mkString(","))
   }
 
+  test("encode: per-doc subword counts match the reference fold chain") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq("aaaa")
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val table = referenceMerges(wc, 6).map { case (_, l, r, _) => (l, r) }
+    // reference: apply the table per word, count symbols
+    def nsub(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty)
+      table.foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+      syms.length.toLong
+    }
+    val td = tdOf(words)
+    val want = td.collect().map(d =>
+      d.docid -> ((d.terms.length.toLong, d.terms.map(nsub).sum))).toMap
+    val got = Bpe.encode(td, table).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("ntok"), r.getAs[Long]("n_subwords")))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    // merging strictly compresses: subwords <= chars, >= words
+    got.foreach { case (_, (ntok, ns)) => assert(ns >= ntok) }
+  }
+
   test("applyMerge: fold semantics on adjacent repeats") {
     assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
