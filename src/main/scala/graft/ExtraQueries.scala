@@ -60,6 +60,15 @@ object ExtraQueries {
   private[graft] val e3Cfg: WsidConfig =
     WsidConfig(entities = Seq("join", "spark"), window = 5, topK = 30)
 
+  /** The 8-round BPE merge table for a corpus, trained ONCE per (session,
+    * corpus) — the train and encode queries share it (Memo, same build-once
+    * contract as the IVF index; training is deterministic in sfDir). */
+  private def bpeTable(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
+    Memo.bpeMergesOf(s, s"$d|nmerges8") {
+      Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+
   /** Near-dup cluster fixture: docs 0..29 plus, for docs 0..9, two prefix
     * truncations (_v1 keeps the first 90% of tokens, _v2 the first 80%) —
     * at Jaccard threshold 0.85 the typical pair set is {orig–v1, v1–v2} but
@@ -253,17 +262,17 @@ object ExtraQueries {
     // distributed BPE merge training (VERDICT r3 #6): 8 merge rounds over
     // the corpus word dictionary — the merge table (step, lhs, rhs, count)
     // is the learned artifact; every round is replayed in the oracle
-    "q_vocab_bpe" -> ((s, d) =>
-      Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step")),
-
-    // the APPLY step: train 8 merges, then encode the corpus under the
-    // learned table — per-doc word and subword counts (the compression the
-    // packing/mixing operators would consume from a real tokenizer)
-    "q_vocab_bpe_encode" -> ((s, d) => {
-      val table = Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.encode(tokdocsWhere(s, d, lit(true)), table).orderBy("docid")
+    "q_vocab_bpe" -> ((s, d) => {
+      import s.implicits._
+      bpeTable(s, d).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
     }),
+
+    // the APPLY step: encode the corpus under the learned (memoized) table
+    // — per-doc word and subword counts (the compression the packing/mixing
+    // operators would consume from a real tokenizer)
+    "q_vocab_bpe_encode" -> ((s, d) =>
+      Bpe.encode(tokdocsWhere(s, d, lit(true)),
+        bpeTable(s, d).map(t => (t._2, t._3))).orderBy("docid")),
 
     // ------------------------------------------------- corpus composition
     // deterministic global shuffle + equal-size sharding for training
@@ -677,6 +686,12 @@ object ExtraQueries {
     * once in FROM, so DuckDB's default CTE inlining re-expands the whole
     * chain ~3x per round (3^rounds copies of the corpus scan; the 8-round
     * form never finishes). Materialized, each round runs once: ~0.5 s. */
+  /** NOTE on early exhaustion: a corpus that runs out of adjacent pairs
+    * before round i leaves b$i empty; the COALESCE('~') sentinel (a char
+    * the [a-z0-9_{}] symbol alphabet cannot contain) turns the replace into
+    * a no-op instead of NULL-cascading every later round's seq — the
+    * encode final then still counts real subwords, matching Spark's
+    * early-stopping Bpe.merges/encode. */
   private def bpeOracleSql(nMerges: Int, finalSelect: String): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""s$i AS MATERIALIZED (SELECT n, string_split(seq[2:len(seq)-1], '}{') AS sym FROM v${i - 1}),
@@ -689,8 +704,8 @@ object ExtraQueries {
          |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS MATERIALIZED (
          |  SELECT w, n, replace(seq,
-         |    (SELECT '{' || l || '}{' || r || '}' FROM b$i),
-         |    (SELECT '{' || l || r || '}' FROM b$i)) AS seq
+         |    COALESCE((SELECT '{' || l || '}{' || r || '}' FROM b$i), '~'),
+         |    COALESCE((SELECT '{' || l || r || '}' FROM b$i), '~')) AS seq
          |  FROM v${i - 1}
          |)""".stripMargin
     }.mkString(",\n")
@@ -1576,7 +1591,8 @@ object ExtraQueries {
     "q_shuffle_shards" ->
       s"""WITH ${sources.CorpusSynth.docsSqlCte},
         |k AS (
-        |  SELECT sha256(sha256('epoch0') || sha256(repo) || sha256(path) || sha256("commit")) AS skey,
+        |  SELECT sha256(COALESCE(sha256('epoch0'), '-') || COALESCE(sha256(repo), '-') ||
+        |                COALESCE(sha256(path), '-') || COALESCE(sha256("commit"), '-')) AS skey,
         |         content
         |  FROM docs
         |),

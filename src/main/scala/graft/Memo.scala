@@ -100,10 +100,11 @@ object Memo {
     d.unpersist(false); s.unpersist(false)
   })
   private val ivfMemo = new BoundedMemo[Array[Array[Double]]](_ => ())
+  private val bpeMemo = new BoundedMemo[Seq[(Long, String, String, Long)]](_ => ())
 
   /** Total live entries across all memos (test hook for the LRU bound). */
   private[graft] def totalEntries: Int =
-    tokdocsMemo.size + costatsMemo.size + modelMemo.size + ivfMemo.size
+    tokdocsMemo.size + costatsMemo.size + modelMemo.size + ivfMemo.size + bpeMemo.size
 
   /** Version key for the on-disk model cache, derived from the BYTECODE of
     * the classes that pin induction semantics (tokenizer, counting,
@@ -250,6 +251,14 @@ object Memo {
   def ivfIndexOf(spark: SparkSession, key: String)(build: => Array[Array[Double]]): Array[Array[Double]] =
     ivfMemo.getOrBuild((spark, key))(build)
 
+  /** Learned BPE merge table (step, lhs, rhs, pair_count) for a named
+    * corpus — trained once per (session, key); the train and encode
+    * registry queries share it (training is deterministic in the key, same
+    * build-once contract as the IVF index). */
+  def bpeMergesOf(spark: SparkSession, key: String)(
+      build: => Seq[(Long, String, String, Long)]): Seq[(Long, String, String, Long)] =
+    bpeMemo.getOrBuild((spark, key))(build)
+
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -260,5 +269,6 @@ object Memo {
     tokdocsMemo.invalidate(spark)
     modelMemo.invalidate(spark)
     ivfMemo.invalidate(spark)
+    bpeMemo.invalidate(spark)
   }
 }

@@ -352,16 +352,20 @@ object ThinNMF {
     if (shards.size > 1)
       return shards.iterator.map { es =>
         val set = es.toSet
-        selectKJoint(grouped.filter(c => set(c.entity)), spark, kMax, iters, seed, tau)
+        selectKJoint(grouped.filter(c => set(c.entity)), spark, kMax, iters, seed, tau,
+          ms.view.filterKeys(set).toMap)
       }.reduce(_ ++ _)
-    selectKJoint(grouped, spark, kMax, iters, seed, tau)
+    selectKJoint(grouped, spark, kMax, iters, seed, tau, ms)
   }
 
   private def selectKJoint(grouped: RDD[Ctx], spark: SparkSession, kMax: Int,
-                           iters: Int, seed: Long, tau: Double): Map[String, Int] = {
+                           iters: Int, seed: Long, tau: Double,
+                           ms: Map[String, Int]): Map[String, Int] = {
+    // the entity-dimension map is computed ONCE by selectK and reused by
+    // every per-k fit — kMax extra full-RDD aggregations otherwise
     val errByK: Map[Int, Map[String, Double]] =
       (1 to kMax).map { k =>
-        val h = fit(grouped, spark, k, iters, seed)
+        val h = fit(grouped, spark, k, iters, seed, Some(ms))
         k -> reconstructionError(grouped, spark, h)
       }.toMap
     val entities = errByK.values.flatMap(_.keys).toSet

@@ -418,11 +418,8 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "partial components would be silently wrong; raise maxIter")
     }
-    // pin the (node-sized) assignment eagerly, then release the star edges:
-    // every ROUND state is freed; what remains cached is exactly the
-    // returned assignment itself (callers consume it; its node-sized blocks
-    // are reclaimed by ContextCleaner once the result is dropped)
-    val (out, _) = checkpointTracked(
+    // pin the (node-sized) star assignment eagerly, then release the edges
+    val (out, outIds) = checkpointTracked(
       edges.select(col("hi").as("docid"), col("lo").as("cluster"))
         .unionAll(edges.select(col("lo").as("docid"), col("lo").as("cluster")))
         .distinct())
@@ -432,11 +429,20 @@ object Dedup {
     // unioned back as singleton clusters — the contract is "every node
     // appearing in pairs", and a caller driving keep/drop from
     // nearDupClusters would silently lose self-pair-only docs otherwise.
-    // Both sides of the anti-join are node-sized.
+    // The FINAL union is pinned too: the self-pair branch re-reads `pairs`
+    // (often an expensive candidate chain), and callers like
+    // nearDupClusters reference the result more than once — the returned
+    // frame must be a frozen node-sized assignment, never a plan that
+    // recomputes the pair input per action. Every intermediate is freed;
+    // what remains cached is exactly the returned assignment (reclaimed by
+    // ContextCleaner once the caller drops it).
     val selfOnly = pairs.filter(col("a") === col("b"))
       .select(col("a").as("docid")).distinct()
       .join(out, Seq("docid"), "left_anti")
-    out.unionByName(selfOnly.select(col("docid"), col("docid").as("cluster")))
+    val (res, _) = checkpointTracked(
+      out.unionByName(selfOnly.select(col("docid"), col("docid").as("cluster"))))
+    free(outIds)
+    res
   }
 
   /** Cluster-resolved dedup emit: pair graph → components → per-doc cluster
@@ -465,14 +471,21 @@ object Dedup {
     * itself (AQE broadcasts it when it fits) and unpaired documents stream
     * through the left join untouched. `pairs` can come from ANY signature
     * family above (MinHash-LSH, SimHash, embedding-LSH) — the standard
-    * pipeline is exact dedup first, then one near-dup family, then this. */
+    * pipeline is exact dedup first, then one near-dup family, then this.
+    *
+    * Provenance columns OVERWRITE same-named corpus columns (`cluster`,
+    * `cluster_size`) — e.g. when a prior pass's output is fed back in; the
+    * join itself runs on collision-proof internal names so a corpus
+    * carrying those columns can never make the join ambiguous. */
   def emitDeduped(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val clusters = nearDupClusters(pairs).withColumnRenamed("docid", idCol)
+    val clusters = nearDupClusters(pairs).select(
+      col("docid").as(idCol), col("cluster").as("__graft_c"),
+      col("cluster_size").as("__graft_cs"), col("is_kept").as("__graft_k"))
     corpus.join(clusters, Seq(idCol), "left")
-      .filter(col("is_kept").isNull || col("is_kept") === 1L)
-      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
-      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
-      .drop("is_kept")
+      .filter(col("__graft_k").isNull || col("__graft_k") === 1L)
+      .withColumn("cluster", coalesce(col("__graft_c"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("__graft_cs"), lit(1L)))
+      .drop("__graft_c", "__graft_cs", "__graft_k")
   }
 
   // ---------------------------------------------- duplicate-span (substr)

@@ -115,11 +115,14 @@ object Mixing {
     * delimiter collide (("a|b","c") vs ("a","b|c")), and a duplicated skey
     * breaks withRunningTotal's unique-total-order contract — the join-back
     * would silently fan out. Fixed-width inner hashes make the preimage
-    * unambiguous for ALL field values. */
+    * unambiguous for ALL field values, including NULLs: a null field
+    * becomes the literal '-' (not a valid sha256, so it cannot collide
+    * with any real value's hash — and without the coalesce, sha2 would
+    * null-propagate and give EVERY null-bearing row the same NULL key). */
   def deterministicShuffle(docs: Dataset[CodeDoc], nShards: Int, seed: String): DataFrame = {
+    def fh(c: org.apache.spark.sql.Column) = coalesce(sha2(c, 256), lit("-"))
     val keyed = docs.toDF().withColumn("skey",
-      sha2(concat(sha2(lit(seed), 256), sha2(col("repo"), 256),
-        sha2(col("path"), 256), sha2(col("commit"), 256)), 256))
+      sha2(concat(fh(lit(seed)), fh(col("repo")), fh(col("path")), fh(col("commit"))), 256))
     ntileBuckets(keyed, nShards, Seq("skey"))
       .withColumnRenamed("bucket", "shard")
   }

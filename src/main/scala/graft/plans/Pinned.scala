@@ -29,6 +29,9 @@ object Pinned {
 
   val ConfKey = "graft.checkpoint.dir"
 
+  /** The durable root the context's checkpoint dir was last derived from. */
+  private val lastRoot = new java.util.concurrent.atomic.AtomicReference[String]()
+
   /** The configured durable checkpoint root, if any. Runtime conf wins over
     * system property wins over environment. */
   def durableDir(spark: SparkSession): Option[String] =
@@ -44,10 +47,16 @@ object Pinned {
     durableDir(spark) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // first pin wins for the context lifetime: setCheckpointDir creates
-        // a per-app subdir, and moving it mid-run would orphan earlier
-        // checkpoints that later plan nodes still read
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // one setCheckpointDir per CONFIGURED root (it mints a fresh
+        // per-app subdir on every call): re-pins under the same root reuse
+        // the subdir, while a RE-configured root takes effect on the next
+        // pin instead of being silently ignored for the context lifetime
+        // (a test or notebook that reconfigures the dir would otherwise
+        // keep checkpointing into the first — possibly deleted — location)
+        if (sc.getCheckpointDir.isEmpty || lastRoot.get != dir) {
+          sc.setCheckpointDir(dir)
+          lastRoot.set(dir)
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)
