@@ -58,6 +58,81 @@ object TableIO {
   def readTriples(spark: SparkSession, uri: String): DataFrame =
     spark.read.parquet(s"$uri/data").select("subj", "pred", "obj")
 
+  /** Small-file COMPACTION for a partitioned TableIO table — the Iceberg
+    * `rewrite_data_files` binpack analogue, and the #1 operational
+    * maintenance job of any 100 TB table (every incremental append
+    * fragments partitions; scan cost then scales with file COUNT, not
+    * bytes: footer reads, task scheduling, and row-group fragmentation).
+    *
+    * Per partition directory (driver loop — partition values are
+    * low-cardinality by layout design, e.g. pred ∈ {hasSense,
+    * coOccursWith}): if it holds more files than ceil(bytes/target), the
+    * partition is re-read, coalesced to that count (coalesce, not
+    * repartition — compaction must never pay a shuffle), re-sorted within
+    * partitions on `sortCols` to preserve the layout contract, and written
+    * to a sibling staging dir which then REPLACES the partition dir (two
+    * metadata renames). Partitions already at or below target file count
+    * are untouched — steady-state compaction cost is proportional to the
+    * fragmented fraction, not the table.
+    *
+    * Crash contract (same commit rule as Checkpoint.stage): the manifest is
+    * deleted BEFORE any partition swap and regenerated from parquet footers
+    * after all swaps — a killed compaction leaves data fully readable
+    * (every partition dir is either old or new, swaps are per-partition
+    * renames) but manifest-less, which readers of manifest-gated flows
+    * treat as "stage incomplete, recompute/recompact". Returns the fresh
+    * manifest. */
+  def compact(spark: SparkSession, uri: String, targetFileBytes: Long,
+              sortCols: Seq[String] = Seq("subj", "obj")): TableManifest = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val data = new Path(s"$uri/data")
+    val fs = data.getFileSystem(conf)
+    val mPath = new Path(s"$uri/_manifest.json")
+    val t0 = System.nanoTime()
+
+    // partition dirs = direct children holding parquet (or the root itself
+    // for unpartitioned tables)
+    val parts: Seq[Path] =
+      if (!fs.exists(data)) Nil
+      else {
+        val kids = fs.listStatus(data).filter(_.isDirectory).map(_.getPath).toSeq
+        if (kids.nonEmpty) kids else Seq(data)
+      }
+    val plans = parts.flatMap { p =>
+      val files = listParquet(p, conf)
+      val bytes = files.map(_._2).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (files.size > want) Some((p, want)) else None
+    }
+
+    // identity fields survive compaction (it rewrites layout, not content)
+    val prior = readManifest(spark, mPath.toString)
+    if (fs.exists(mPath)) fs.delete(mPath, false)
+    plans.foreach { case (p, want) =>
+      val staging = new Path(p.getParent, s".compact-${p.getName}")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      spark.read.parquet(p.toString)
+        .coalesce(want)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val trash = new Path(p.getParent, s".old-${p.getName}")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (!fs.rename(p, trash) || !fs.rename(staging, p))
+        throw new java.io.IOException(s"compaction swap failed for $p")
+      fs.delete(trash, true)
+    }
+
+    val files = parquetLineage(spark, data.toString)
+    val m = TableManifest(prior.map(_.table).getOrElse("table"),
+      files.map(_.rows).sum, files,
+      prior.map(_.inputFingerprint).getOrElse(""),
+      Map("files" -> files.size.toLong, "compacted_partitions" -> plans.size.toLong),
+      (System.nanoTime() - t0) / 1000000)
+    writeManifest(spark, mPath.toString, m)
+    m
+  }
+
   /** Per-file row/byte lineage straight from parquet footers — no extra scan. */
   def parquetLineage(spark: SparkSession, dir: String): List[FileLineage] = {
     val conf = spark.sessionState.newHadoopConf()

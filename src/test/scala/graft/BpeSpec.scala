@@ -91,6 +91,26 @@ class BpeSpec extends SparkTestBase {
     got.foreach { case (_, (ntok, ns)) => assert(ns >= ntok) }
   }
 
+  test("merges match the reference on 12 random corpora (seeded sweep)") {
+    // broad equivalence of the brace-replace training against the fold
+    // reference: small alphabets force heavy repeated-pair structure (the
+    // regime where a wrong replace semantics diverges), varied word lengths
+    // exercise single-char words, exhaustion, and tie-breaks
+    val rnd = new scala.util.Random(2026)
+    (1 to 12).foreach { trial =>
+      val alpha = "ab_c1".take(2 + rnd.nextInt(3))
+      val words = (0 until 12 + rnd.nextInt(20)).map { _ =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val nm = 2 + rnd.nextInt(5)
+      val want = referenceMerges(wc, nm)
+      val got = Bpe.merges(tdOf(words), nm).orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial (alpha=$alpha, nm=$nm, words=$words):\ngot=$got\nwant=$want")
+    }
+  }
+
   test("applyMerge: fold semantics on adjacent repeats") {
     assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))

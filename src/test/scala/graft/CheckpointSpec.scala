@@ -124,6 +124,39 @@ class CheckpointSpec extends SparkTestBase {
     assert(back == triples.as[(String, String, String)].collect().toSet)
   }
 
+  test("compact: fragmented partitions binpacked, content byte-identical, manifest refreshed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val triples = (0 until 40).map { i =>
+      (f"s$i%03d", if (i % 2 == 0) "hasSense" else "coOccursWith", s"o$i")
+    }.toDF("subj", "pred", "obj")
+    TableIO.writeTriples(triples, dir, "fp-compact")
+    // fragment the way real tables fragment: incremental appends, one small
+    // file each (the sink's repartition(pred) keeps the INITIAL write tight)
+    (0 until 5).foreach { b =>
+      Seq((f"t$b%03d", "hasSense", s"x$b")).toDF("subj", "pred", "obj")
+        .coalesce(1).write.mode("append").partitionBy("pred").parquet(s"$dir/data")
+    }
+    def fileCount(p: String) = Option(new java.io.File(s"$dir/data/$p").listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(fileCount("pred=hasSense") >= 6, "fixture not fragmented enough")
+    val before = TableIO.readTriples(spark, dir).as[(String, String, String)].collect().toSet
+    assert(before.size == 45)
+
+    val m = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    // the fragmented partition collapses to ONE file; the tight one is untouched
+    assert(fileCount("pred=hasSense") == 1 && fileCount("pred=coOccursWith") == 1,
+      s"${fileCount("pred=hasSense")}/${fileCount("pred=coOccursWith")}")
+    assert(m.rowCount == 45 && m.counters("compacted_partitions") == 1L, s"$m")
+    assert(m.inputFingerprint == "fp-compact", "identity must survive compaction")
+    val after = TableIO.readTriples(spark, dir).as[(String, String, String)].collect().toSet
+    assert(after == before, "compaction changed table content")
+    // idempotent: an already-compact table is a no-op
+    val m2 = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(m2.counters("compacted_partitions") == 0L)
+    assert(m2.rowCount == 45)
+  }
+
   test("S1: readDocs applies the explicit schema (never inferred)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_docs").toString
