@@ -274,6 +274,33 @@ object ExtraQueries {
       Bpe.encode(tokdocsWhere(s, d, lit(true)),
         bpeTable(s, d).map(t => (t._2, t._3))).orderBy("docid")),
 
+    // CCNet-style line-level boilerplate dedup: the corpus has no natural
+    // newlines, so line structure is PLANTED identically in both engines —
+    // a shared generated-file header, the text chunked into 6-word lines,
+    // and a shared copyright footer. The header/footer (duplicated in every
+    // doc) must vanish; unique body lines must survive byte-exactly
+    // (sha256 of the rebuilt content is part of the hashed row).
+    "q_dedup_lines" -> ((s, d) => {
+      import s.implicits._
+      val w = split(col("text"), " ")
+      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
+      val body = array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * lit(6) + 1, lit(6)), " ")), "\n")
+      val planted = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") < 200)
+        .select(lit("doc").as("repo"), col("doc_id").cast("string").as("path"),
+          lit("x").as("commit"), col("lang"),
+          concat(lit("auto generated file do not edit\n"), body,
+            lit("\ncopyright footer all rights reserved")).as("content"))
+        .as[CodeDoc]
+      Dedup.dedupLines(planted, 2)
+        .select(col("path").as("docid"), col("n_lines"), col("n_removed"),
+          length(col("content")).cast("long").as("chars_after"),
+          sha2(col("content"), 256).as("sha_after"))
+        .orderBy("docid")
+    }),
+
     // ------------------------------------------------- corpus composition
     // deterministic global shuffle + equal-size sharding for training
     // output: sha256 sort key, two-phase global positions, ntile shards —
@@ -1584,6 +1611,48 @@ object ExtraQueries {
         |       CAST(COALESCE(m.n_spans, 0) AS BIGINT) AS n_spans
         |FROM lens l LEFT JOIN m2 m USING (docid)
         |ORDER BY l.docid""".stripMargin,
+
+    // line-level dedup: identical planted line structure (header, 6-word
+    // body chunks, footer), lowercase-trim normalization, >= 2 distinct
+    // docs, byte-exact rebuild checked via sha256 of the cleaned content
+    "q_dedup_lines" ->
+      """WITH raw AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid, text
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |pl AS (
+        |  SELECT docid,
+        |         'auto generated file do not edit' || chr(10) ||
+        |         array_to_string(
+        |           list_transform(
+        |             generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+        |             i -> array_to_string((string_split(text, ' '))[i*6+1 : i*6+6], ' ')),
+        |           chr(10)) ||
+        |         chr(10) || 'copyright footer all rights reserved' AS content
+        |  FROM raw
+        |),
+        |ls AS (SELECT docid, string_split(content, chr(10)) AS ls FROM pl),
+        |l AS (
+        |  SELECT docid, i AS idx, ls[i] AS line, lower(trim(ls[i])) AS lnorm
+        |  FROM ls, unnest(generate_series(1, len(ls))) AS u(i)
+        |),
+        |dup AS (
+        |  SELECT lnorm FROM l WHERE lnorm <> ''
+        |  GROUP BY lnorm HAVING count(DISTINCT docid) >= 2
+        |),
+        |kept AS (SELECT * FROM l WHERE lnorm NOT IN (SELECT lnorm FROM dup)),
+        |reb AS (
+        |  SELECT docid, string_agg(line, chr(10) ORDER BY idx) AS content,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY docid
+        |),
+        |tot AS (SELECT docid, count(*) AS n_lines FROM l GROUP BY docid)
+        |SELECT t.docid, CAST(t.n_lines AS BIGINT) AS n_lines,
+        |       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |       CAST(length(COALESCE(r.content, '')) AS BIGINT) AS chars_after,
+        |       sha256(COALESCE(r.content, '')) AS sha_after
+        |FROM tot t LEFT JOIN reb r USING (docid)
+        |ORDER BY t.docid""".stripMargin,
 
     // deterministic shuffle + sharding: the oracle's single global window
     // (row_number + ntile over the sha256 key) is the semantic spec the

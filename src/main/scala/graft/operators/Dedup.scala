@@ -488,6 +488,59 @@ object Dedup {
       .drop("__graft_c", "__graft_cs", "__graft_k")
   }
 
+  // ------------------------------------------------ line-level (CCNet)
+
+  /** LINE-level boilerplate dedup (the CCNet/C4 preprocessing step, public
+    * literature: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): every line whose normalized
+    * form (lowercase, trimmed) occurs in >= `minDf` DISTINCT documents is
+    * removed from every document — shared headers, footers, navigation and
+    * license boilerplate vanish corpus-wide while unique content stays.
+    * Whitespace-only lines are exempt (they would all collapse to one key
+    * and be deleted everywhere).
+    *
+    * Returns the corpus with `content` rebuilt from the surviving lines
+    * (original order and bytes preserved — the NORMALIZED form only keys
+    * the duplicate lookup) plus `n_lines`/`n_removed` provenance. A fully
+    * boilerplate document survives with empty content; dropping it is the
+    * caller's policy call (compose with a length filter).
+    *
+    * Scale shape: the duplicate-line lookup is
+    * distinct(line, doc) → count-by-line — Spark plans the distinct
+    * aggregate as a two-phase hash agg keyed on (line, doc) first, so a
+    * boilerplate line present in EVERY document spreads over reducers by
+    * doc key and the second phase is map-side combinable; the surviving
+    * join is a left-anti against the (small) duplicated-line set, and
+    * reassembly is doc-local (collect_list bounded by one document's own
+    * lines). */
+  def dedupLines(docs: Dataset[CodeDoc], minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): 1 would delete every line")
+    val df0 = docs.toDF()
+    val key = Seq("repo", "path", "commit")
+    val lines = df0.select(col("repo"), col("path"), col("commit"),
+        posexplode(split(col("content"), "\n", -1)).as(Seq("idx", "line")))
+      .withColumn("lnorm", lower(trim(col("line"))))
+    val dupes = lines.filter(col("lnorm") =!= "")
+      .groupBy("lnorm")
+      .agg(countDistinct(struct(col("repo"), col("path"), col("commit"))).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lnorm")
+    val kept = lines.join(dupes, Seq("lnorm"), "left_anti")
+    val rebuilt = kept.groupBy(key.map(col): _*)
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    val totals = lines.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_lines"))
+    df0.select(col("repo"), col("path"), col("commit"), col("lang"))
+      .join(totals, key)
+      .join(rebuilt, key, "left")
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        coalesce(col("__clean"), lit("")).as("content"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---------------------------------------------- duplicate-span (substr)
 
   /** Cross-document duplicate-SPAN detection at k-gram granularity — the

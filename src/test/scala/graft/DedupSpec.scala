@@ -300,6 +300,25 @@ class DedupSpec extends SparkTestBase {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("dedupLines: cross-doc boilerplate removed, unique lines byte-exact, blank lines exempt") {
+    val mk = (p: String, c: String) => CodeDoc("r", p, "c", "en", c)
+    val docs = spark.createDataset(Seq(
+      mk("a", "HEADER X\nunique a1\n\nunique a2\nFOOTER Y"),
+      mk("b", "header x\nunique b1\nFOOTER Y"),   // normalization: case-insensitive match
+      mk("c", "HEADER X\nFOOTER Y"),               // fully boilerplate -> empty survivor
+      mk("d", "solo only doc\n\n"),                // blank lines shared but exempt
+      mk("e", "unique a1 not quite\nsolo e")       // near-miss line is NOT a duplicate
+    )).repartition(3)
+    val rows = Dedup.dedupLines(docs, 2).collect()
+      .map(r => r.getString(1) -> ((r.getAs[String]("content"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed")))).toMap
+    assert(rows("a") == (("unique a1\n\nunique a2", 5L, 2L)))
+    assert(rows("b") == (("unique b1", 3L, 2L)))
+    assert(rows("c") == (("", 2L, 2L)))
+    assert(rows("d") == (("solo only doc\n\n", 3L, 0L)))
+    assert(rows("e") == (("unique a1 not quite\nsolo e", 2L, 0L)))
+  }
+
   test("emitDeduped: survivors + singletons, corpus columns and provenance intact") {
     // corpus of 6 docs; pairs chain {a,b,c} plus {x,y}; q unpaired
     val corpus = Seq(("a", 10L), ("b", 11L), ("c", 12L), ("x", 20L), ("y", 21L), ("q", 30L))
