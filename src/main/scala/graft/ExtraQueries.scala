@@ -444,6 +444,33 @@ object ExtraQueries {
     }),
 
     // ---------------------------------------------------- text analysis
+    // markup text extraction (C4-style front door): deterministic HTML
+    // wrapping planted around each doc — comment, script (containing a bare
+    // '<' and a fake close-tag string, so block removal must precede tag
+    // stripping), an UPPERCASE style block (exercises the ASCII-class case
+    // folding), entities — then extractText; sha256 of the extracted text
+    // rides in the hashed row
+    "q_text_extract_html" -> ((s, d) => {
+      import s.implicits._
+      val planted = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 200)
+        .select(lit("doc").as("repo"), col("doc_id").cast("string").as("path"),
+          lit("x").as("commit"), col("lang"),
+          concat(
+            lit("<html><!-- id "), col("doc_id").cast("string"), lit(" -->\n"),
+            lit("""<head><script type="text/javascript">var x = 1 < 2;"""), lit("\n"),
+            lit("""var y = "</" + "div>";</script><STYLE media="all">body { color: red }</STYLE></head>"""),
+            lit("\n<body><h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit("""</p><div class="x">Tom &amp; Jerry &lt;3 &#39;quoted&#39;&nbsp;end</div></body></html>"""))
+            .as("content"))
+        .as[CodeDoc]
+      TextStats.extractText(planted)
+        .select(col("path").as("docid"), col("n_tags"),
+          length(col("content")).cast("long").as("chars_after"),
+          sha2(col("content"), 256).as("sha_after"))
+        .orderBy("docid")
+    }),
+
     "q_text_quality" -> ((s, d) => {
       import s.implicits._
       val sub = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 100)
@@ -1340,6 +1367,42 @@ object ExtraQueries {
         |fp AS (SELECT DISTINCT docid, u.f AS fingerprint FROM wins, unnest(fps) AS u(f))
         |SELECT docid, count(*) AS n_fps, min(fingerprint) AS min_fp, max(fingerprint) AS max_fp
         |FROM fp GROUP BY docid ORDER BY docid""".stripMargin,
+
+    // markup extraction: identical planted HTML, identical RE2/Java-neutral
+    // patterns (explicit ASCII classes, (?s), no \s, no lookaround), same
+    // replace order (blocks -> tags -> entities with &amp; last -> collapse)
+    "q_text_extract_html" ->
+      """WITH pl AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         '<html><!-- id ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
+        |         '<head><script type="text/javascript">var x = 1 < 2;' || chr(10) ||
+        |         'var y = "</" + "div>";</script><STYLE media="all">body { color: red }</STYLE></head>' || chr(10) ||
+        |         '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |         '</p><div class="x">Tom &amp; Jerry &lt;3 &#39;quoted&#39;&nbsp;end</div></body></html>'
+        |           AS content
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |ext AS (
+        |  SELECT docid,
+        |         CAST(len(regexp_extract_all(content, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(
+        |                   regexp_replace(content,
+        |                     '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT][ \t\r\n]*>', ' ', 'g'),
+        |                   '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE][ \t\r\n]*>', ' ', 'g'),
+        |                 '(?s)<!--.*?-->', ' ', 'g'),
+        |               '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '[ \t\r\n]+', ' ', 'g')) AS content
+        |  FROM pl
+        |)
+        |SELECT docid, n_tags,
+        |       CAST(length(content) AS BIGINT) AS chars_after,
+        |       sha256(content) AS sha_after
+        |FROM ext ORDER BY docid""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (

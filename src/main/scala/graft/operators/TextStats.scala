@@ -253,6 +253,52 @@ object TextStats {
       .select("rank", "term", "n", "share_e4", "coverage_e4")
   }
 
+  /** ASCII-case-insensitive literal as an explicit character-class regex
+    * ("script" -> "[sS][cC]..."): dialect-neutral case folding — an inline
+    * (?i) would be ASCII-only in Java but Unicode in RE2 (U+017F 'ſ' folds
+    * to 's' there), silently splitting the engines on exotic corpora. */
+  private def ci(word: String): String =
+    word.map(c => if (c.isLetter) s"[${c.toLower}${c.toUpper}]" else c.toString).mkString
+
+  /** Markup patterns for extractText. (?s) is dialect-safe: with DOTALL both
+    * Java and RE2 make `.` match every character, erasing their differing
+    * default line-terminator sets; both support lazy `*?`. */
+  val scriptPattern: String = s"(?s)<${ci("script")}[^>]*>.*?</${ci("script")}[ \\t\\r\\n]*>"
+  val stylePattern: String = s"(?s)<${ci("style")}[^>]*>.*?</${ci("style")}[ \\t\\r\\n]*>"
+  val commentPattern: String = "(?s)<!--.*?-->"
+  val tagPattern: String = "<[^>]*>"
+
+  /** HTML entities decoded after tag stripping, in this order — `&amp;`
+    * LAST, so `&amp;lt;` decodes to the literal text `&lt;` (one level),
+    * never to `<`. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup text extraction — the C4/CCNet-style front door that turns
+    * crawled HTML into trainable text. REGEX-GRADE BY DESIGN (exactly like
+    * C4's own cleaning): script/style/comment blocks dropped, remaining
+    * tags replaced by a space (so adjacent words never fuse), common
+    * entities decoded, whitespace runs collapsed. Not an HTML parser —
+    * pathological markup (unclosed script blocks, CDATA) degrades to
+    * tag-stripping, which is the documented C4 behavior too. Pure column
+    * expressions: codegen'd, scan-parallel, zero shuffle; identical
+    * patterns evaluate in the DuckDB oracle (explicit ASCII classes +
+    * (?s), no `\s`, no lookaround). Adds `n_tags` (markup density — a
+    * useful quality signal) and rewrites `content`. */
+  def extractText(docs: Dataset[CodeDoc]): DataFrame = {
+    val noBlocks = Seq(scriptPattern, stylePattern, commentPattern)
+      .foldLeft(col("content")) { case (acc, p) => regexp_replace(acc, p, " ") }
+    val noTags = regexp_replace(noBlocks, tagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (acc, (e, v)) =>
+      replace(acc, lit(e), lit(v))
+    }
+    val cleaned = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    docs.toDF()
+      .withColumn("n_tags", regexp_count(col("content"), lit(tagPattern)).cast("long"))
+      .withColumn("content", cleaned)
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

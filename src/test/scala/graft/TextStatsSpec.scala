@@ -88,6 +88,24 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.langId(td("der the")).head().getString(1) == "de")
   }
 
+  test("extractText: blocks before tags, case-folded tags, entity order, whitespace collapse") {
+    import spark.implicits._
+    val html = "<html><!-- c -->\n<head><SCRIPT>if (a < b) { x = \"</div>\"; }</SCRIPT>" +
+      "<style>p { a: 1 }</style></head>\n<body><h1>Hello</h1> <p>world &amp;lt; ok" +
+      "&nbsp;&#39;q&#39; &lt;tag&gt;</p>\t\n</body></html>"
+    val out = TextStats.extractText(Seq(CodeDoc("r", "p", "c", "en", html)).toDS()).head()
+    // script content (with its bare '<' and fake close tag) is DROPPED, not
+    // tag-stripped; &amp;lt; decodes ONE level to the literal "&lt;"
+    assert(out.getAs[String]("content") == "Hello world &lt; ok 'q' <tag>",
+      s"got '${out.getAs[String]("content")}'")
+    assert(out.getAs[Long]("n_tags") > 0)
+    // markup-free text passes through (modulo whitespace normalization)
+    val plain = TextStats.extractText(
+      Seq(CodeDoc("r", "p", "c", "en", "just  plain\ttext")).toDS()).head()
+    assert(plain.getAs[String]("content") == "just plain text")
+    assert(plain.getAs[Long]("n_tags") == 0L)
+  }
+
   test("packSequences: hand-checked chunk straddling; two-phase scan == naive window") {
     // docs of 3, 5, 4, 2 tokens; seqLen 4: stream positions
     //   d0: [0,3)  seqs 0..0      d1: [3,8)  seqs 0..1 (straddles)
