@@ -562,6 +562,16 @@ object ExtraQueries {
       TextStats.contamination(corpus, bench, 3).orderBy("docid")
     }),
 
+    // decontamination EMIT (the production direction): training docs
+    // sharing ANY 3-gram with the benchmark are dropped; survivors carry
+    // their hit count (0 under the strict default)
+    "q_decontaminate" -> ((s, d) => {
+      val corpus = tokdocsWhere(s, d, col("doc_id") >= 20 && col("doc_id") < 220)
+      val bench = tokdocsWhere(s, d, col("doc_id") < 20)
+      TextStats.decontaminate(corpus, bench, 3)
+        .orderBy(length(col("docid")), col("docid"))
+    }),
+
     // LLM sequence packing (concat-and-chunk, 1024-token sequences): per-doc
     // stream interval + first/last chunk, from the two-phase distributed scan
     "q_pack_sequences" -> ((s, d) => {
@@ -1002,6 +1012,36 @@ object ExtraQueries {
         |       CAST(round(COALESCE(h.n_hits, 0) * 10000.0 / s.n_shingles) AS BIGINT) AS containment_e4
         |FROM sizes s LEFT JOIN hits h ON s.docid = h.docid
         |ORDER BY s.docid""".stripMargin,
+
+    // decontamination emit: same shingle CTEs as q_contamination with the
+    // sides swapped; strict threshold 0
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid, doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(arr) - 2),
+        |         i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS shingle
+        |  FROM toks WHERE doc_id < 20
+        |),
+        |cs AS (
+        |  SELECT DISTINCT docid,
+        |         unnest(list_transform(generate_series(1, len(arr) - 2),
+        |         i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS shingle
+        |  FROM toks WHERE doc_id >= 20 AND doc_id < 220
+        |),
+        |hits AS (
+        |  SELECT docid, count(*) AS n FROM cs
+        |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY docid
+        |),
+        |lens AS (SELECT docid, len(arr) AS ntok FROM toks WHERE doc_id >= 20 AND doc_id < 220)
+        |SELECT l.docid, CAST(l.ntok AS BIGINT) AS ntok,
+        |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits
+        |FROM lens l LEFT JOIN hits h USING (docid)
+        |WHERE COALESCE(h.n, 0) <= 0
+        |ORDER BY length(l.docid), l.docid""".stripMargin,
 
     "q_text_tokencount" ->
       """WITH docs AS (SELECT source AS repo, text AS content FROM documents)

@@ -173,6 +173,34 @@ object TextStats {
       .select("docid", "n_shingles", "n_hits", "containment_e4")
   }
 
+  /** Decontamination EMIT — the production counterpart of `contamination`
+    * (which SCORES held-out docs): drop from the TRAINING corpus every
+    * document sharing more than `maxHits` distinct n-gram shingles with the
+    * benchmark. This is the direction deployed pipelines actually run
+    * (benchmark leakage is removed from training data, not measured after
+    * the fact). Returns surviving docs as (docid, ntok, n_bench_hits).
+    *
+    * Scale shape (same as contamination, sides swapped): the benchmark
+    * shingle vocabulary is broadcast — the ONLY thing that ever crosses the
+    * wire is benchmark-bounded — the 100 TB corpus is scanned once with a
+    * map-side semi-join filter, and the per-doc hit count aggregates only
+    * the matched shingles. maxHits = 0 is the strict default: any shared
+    * n-gram disqualifies. */
+  def decontaminate(corpus: Dataset[TokDoc], benchmark: Dataset[TokDoc],
+                    n: Int, maxHits: Long = 0L): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val benchVocab = Dedup.shingles(benchmark, n).select("shingle").distinct()
+    // Dedup.shingles is per-doc DISTINCT by construction, so the count is
+    // "distinct shingles of this doc that appear in the benchmark"
+    val hits = Dedup.shingles(corpus, n)
+      .join(broadcast(benchVocab), Seq("shingle"), "left_semi")
+      .groupBy("docid").agg(count(lit(1)).as("n_bench_hits"))
+    corpus.map(d => (d.docid, d.terms.length.toLong)).toDF("docid", "ntok")
+      .join(hits, Seq("docid"), "left")
+      .withColumn("n_bench_hits", coalesce(col("n_bench_hits"), lit(0L)))
+      .filter(col("n_bench_hits") <= maxHits)
+  }
+
   /** Sequence packing for LLM training (concat-and-chunk): documents are
     * concatenated in docid order into one global token stream and cut into
     * fixed `seqLen` chunks; each doc reports its token interval

@@ -37,6 +37,22 @@ class TextStatsSpec extends SparkTestBase {
     assert(r("b_half") == ((1L, 2500L)), s"$r")
   }
 
+  test("decontaminate: leaking docs dropped strictly, threshold relaxes, hits counted") {
+    import spark.implicits._
+    val bench = Seq(TokDoc("b0", "alpha beta gamma delta".split(" "))).toDS()
+    val corpus = Seq(
+      TokDoc("c1", "alpha beta gamma here".split(" ")), // shares "alpha beta gamma"
+      TokDoc("c2", "totally clean doc words".split(" ")),
+      TokDoc("c3", "beta gamma nothing else at all".split(" ")) // bigram-only overlap
+    ).toDS()
+    val strict = TextStats.decontaminate(corpus, bench, 3).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_bench_hits")).toMap
+    assert(strict == Map("c2" -> 0L, "c3" -> 0L), s"$strict")
+    val lax = TextStats.decontaminate(corpus, bench, 3, maxHits = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_bench_hits")).toMap
+    assert(lax == Map("c1" -> 1L, "c2" -> 0L, "c3" -> 0L), s"$lax")
+  }
+
   test("repetition: duplicate n-gram fraction and top-term ratio, hand-checked") {
     val td = Seq(
       TokDoc("loop", "spam spam spam spam".split(" ")),        // 3 bigrams, 1 distinct
