@@ -181,11 +181,13 @@ object TextStats {
     * the fact). Returns surviving docs as (docid, ntok, n_bench_hits).
     *
     * Scale shape (same as contamination, sides swapped): the benchmark
-    * shingle vocabulary is broadcast — the ONLY thing that ever crosses the
-    * wire is benchmark-bounded — the 100 TB corpus is scanned once with a
-    * map-side semi-join filter, and the per-doc hit count aggregates only
-    * the matched shingles. maxHits = 0 is the strict default: any shared
-    * n-gram disqualifies. */
+    * shingle vocabulary is broadcast, so the corpus is scanned once behind
+    * a MAP-SIDE semi-join — content and shingles never shuffle. What does
+    * shuffle is per-DOC and narrow: the matched-shingle counts (bounded by
+    * the benchmark overlap) and the final (docid, ntok) projection joining
+    * against them — two id-keyed, few-bytes-per-row exchanges, never
+    * corpus content. maxHits = 0 is the strict default: any shared n-gram
+    * disqualifies. */
   def decontaminate(corpus: Dataset[TokDoc], benchmark: Dataset[TokDoc],
                     n: Int, maxHits: Long = 0L): DataFrame = {
     import corpus.sparkSession.implicits._

@@ -76,12 +76,22 @@ object TableIO {
     * fragmented fraction, not the table.
     *
     * Crash contract (same commit rule as Checkpoint.stage): the manifest is
-    * deleted BEFORE any partition swap and regenerated from parquet footers
-    * after all swaps — a killed compaction leaves data fully readable
-    * (every partition dir is either old or new, swaps are per-partition
-    * renames) but manifest-less, which readers of manifest-gated flows
-    * treat as "stage incomplete, recompute/recompact". Returns the fresh
-    * manifest. */
+    * deleted BEFORE any partition swap and regenerated after all swaps — a
+    * killed compaction leaves the table manifest-less, which readers of
+    * manifest-gated flows treat as "stage incomplete, recompute/recompact",
+    * and the NEXT compact run self-heals the layout first: a leftover
+    * `.old-<part>` whose live partition is missing (killed between the two
+    * renames) is renamed back into place, every other `.old-`/`.compact-`
+    * remnant is deleted, and a failed second rename rolls the first one
+    * back before throwing. Readers racing a live swap can momentarily miss
+    * one partition (directory renames are not jointly atomic on any FS) —
+    * compaction is an offline maintenance job by nature; run it in the
+    * maintenance window, exactly like Iceberg's.
+    *
+    * Manifest regeneration opens footers ONLY for files not already in the
+    * prior manifest with matching size — a no-op compact of a huge
+    * well-compacted table costs one directory listing, not O(files) footer
+    * reads; swapped partitions and post-manifest appends are re-read. */
   def compact(spark: SparkSession, uri: String, targetFileBytes: Long,
               sortCols: Seq[String] = Seq("subj", "obj")): TableManifest = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
@@ -91,12 +101,25 @@ object TableIO {
     val mPath = new Path(s"$uri/_manifest.json")
     val t0 = System.nanoTime()
 
-    // partition dirs = direct children holding parquet (or the root itself
-    // for unpartitioned tables)
+    // self-heal a crashed predecessor BEFORE planning: restore a partition
+    // that vanished mid-swap, then clear every staging/trash remnant so the
+    // plan below never mistakes one for a data partition
+    if (fs.exists(data)) {
+      fs.listStatus(data).filter(_.isDirectory).map(_.getPath).foreach { p =>
+        if (p.getName.startsWith(".old-")) {
+          val live = new Path(p.getParent, p.getName.stripPrefix(".old-"))
+          if (!fs.exists(live)) fs.rename(p, live) else fs.delete(p, true)
+        } else if (p.getName.startsWith(".compact-")) fs.delete(p, true)
+      }
+    }
+
+    // partition dirs = direct non-hidden children holding parquet (or the
+    // root itself for unpartitioned tables)
     val parts: Seq[Path] =
       if (!fs.exists(data)) Nil
       else {
-        val kids = fs.listStatus(data).filter(_.isDirectory).map(_.getPath).toSeq
+        val kids = fs.listStatus(data).filter(_.isDirectory).map(_.getPath)
+          .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_")).toSeq
         if (kids.nonEmpty) kids else Seq(data)
       }
     val plans = parts.flatMap { p =>
@@ -118,12 +141,26 @@ object TableIO {
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val trash = new Path(p.getParent, s".old-${p.getName}")
       if (fs.exists(trash)) fs.delete(trash, true)
-      if (!fs.rename(p, trash) || !fs.rename(staging, p))
-        throw new java.io.IOException(s"compaction swap failed for $p")
+      if (!fs.rename(p, trash))
+        throw new java.io.IOException(s"compaction swap failed for $p (park rename)")
+      if (!fs.rename(staging, p)) {
+        fs.rename(trash, p) // roll back: the partition must never stay missing
+        throw new java.io.IOException(s"compaction swap failed for $p (promote rename)")
+      }
       fs.delete(trash, true)
     }
 
-    val files = parquetLineage(spark, data.toString)
+    // lineage: reuse prior-manifest rows for files unchanged in name+size,
+    // open footers only for new/rewritten files
+    val known: Map[String, FileLineage] =
+      prior.map(_.files.map(f => f.name -> f).toMap).getOrElse(Map.empty)
+    val files = listParquet(data, conf).map { case (p, bytes) =>
+      known.get(p.toString).filter(_.bytes == bytes).getOrElse {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try FileLineage(p.toString, reader.getRecordCount, bytes)
+        finally reader.close()
+      }
+    }.sortBy(_.name)
     val m = TableManifest(prior.map(_.table).getOrElse("table"),
       files.map(_.rows).sum, files,
       prior.map(_.inputFingerprint).getOrElse(""),

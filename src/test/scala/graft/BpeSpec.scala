@@ -98,7 +98,7 @@ class BpeSpec extends SparkTestBase {
     // exercise single-char words, exhaustion, and tie-breaks
     val rnd = new scala.util.Random(2026)
     (1 to 12).foreach { trial =>
-      val alpha = "ab_c1".take(2 + rnd.nextInt(3))
+      val alpha = "ab_c1".take(2 + rnd.nextInt(4)) // up to "ab_c1": includes digit symbols
       val words = (0 until 12 + rnd.nextInt(20)).map { _ =>
         (0 until 1 + rnd.nextInt(6)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
       }

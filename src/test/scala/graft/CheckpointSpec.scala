@@ -155,6 +155,24 @@ class CheckpointSpec extends SparkTestBase {
     val m2 = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
     assert(m2.counters("compacted_partitions") == 0L)
     assert(m2.rowCount == 45)
+
+    // crash recovery: simulate a kill between the two swap renames (the
+    // partition parked in .old-, live dir missing) plus a stray staging dir
+    // from another partition's interrupted rewrite — the next compact must
+    // restore the partition, clear remnants, and return the full table
+    val dataDir = new java.io.File(s"$dir/data")
+    assert(new java.io.File(dataDir, "pred=hasSense")
+      .renameTo(new java.io.File(dataDir, ".old-pred=hasSense")))
+    val stray = new java.io.File(dataDir, ".compact-pred=coOccursWith")
+    assert(stray.mkdirs())
+    java.nio.file.Files.writeString(stray.toPath.resolve("junk.txt"), "x")
+    val m3 = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(m3.rowCount == 45, s"recovery lost rows: $m3")
+    val healed = TableIO.readTriples(spark, dir).as[(String, String, String)].collect().toSet
+    assert(healed == before, "recovery changed table content")
+    assert(!dataDir.listFiles().exists(f =>
+      f.getName.startsWith(".old-") || f.getName.startsWith(".compact-")),
+      "remnants not cleared")
   }
 
   test("S1: readDocs applies the explicit schema (never inferred)") {
