@@ -123,4 +123,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"per-partition offsets must join broadcast:\n$plan")
   }
+
+  test("decontaminate: benchmark vocab broadcasts; shingles never shuffle-join") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => TokDoc(s"c$i", Array.fill(30)(s"w${(i * 7 + 1) % 50}"))).toDS()
+    val bench = (0 until 5).map(i => TokDoc(s"b$i", Array.fill(10)(s"w${i % 50}"))).toDS()
+    val df = operators.TextStats.decontaminate(corpus, bench, 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the semi-join against the benchmark vocabulary must be broadcast;
+    // with AQE the narrow per-doc joins may also resolve to broadcast —
+    // what must NEVER appear is a shingle-keyed SortMergeJoin
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("shingle"),
+      s"shingle-keyed shuffle join — only per-doc projections may exchange:\n$plan")
+  }
+
+  test("dedupLines: no global-window funnel; reassembly partitioned by doc key") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i =>
+      CodeDoc("r", s"p$i", "c", "en", s"shared header\nunique line $i\nshared footer")).toDS()
+    val out = operators.Dedup.dedupLines(docs, 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"line dedup must never funnel through one partition:\n$plan")
+  }
 }

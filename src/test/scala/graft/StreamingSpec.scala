@@ -45,6 +45,32 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming curation: extractText + quality + secret redaction run unchanged on a stream") {
+    // the curation operators are pure column expressions over Dataset[CodeDoc],
+    // so the SAME code path must run on a readStream source in append mode
+    // with no modification — the property that makes incremental corpus
+    // ingest a config change, not a rewrite
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[CodeDoc]
+    // extraction FIRST, then redaction — redaction markers (<EMAIL>) would
+    // otherwise be tag-stripped by the extractor
+    val cleaned = operators.TextStats.redactPii(
+      operators.TextStats.extractText(stream.toDS()).as[CodeDoc])
+    val query = cleaned.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        CodeDoc("r", "a", "c", "en",
+          "<html><script>x < 1</script><p>mail me at bob@example.com now</p></html>"),
+        CodeDoc("r", "b", "c", "en", "plain  text &amp; stuff"))
+      query.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .select("path", "content").as[(String, String)].collect().toMap
+      assert(rows("a") == "mail me at <EMAIL> now", s"got '${rows("a")}'")
+      assert(rows("b") == "plain text & stuff", s"got '${rows("b")}'")
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: duplicate content dropped within the watermark") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedDoc]
