@@ -59,6 +59,20 @@ object Bpe {
   private def symsOf(seq: org.apache.spark.sql.Column) =
     split(seq.substr(lit(2), length(seq) - 2), "\\}\\{")
 
+  /** The brace encoding requires brace-free terms (guaranteed by the
+    * repo's [a-z0-9_] tokenizer contract, but merges/encode are public and
+    * accept any TokDoc source) — a term containing '{'/'}' would mint
+    * phantom symbols and silently corrupt the merge table, so the word
+    * dictionary is checked ONCE per call (vocabulary-sized scan) and the
+    * violation surfaces loudly instead. */
+  private def requireBraceFree(words: DataFrame): Unit = {
+    val bad = words.filter(col("w").contains("{") || col("w").contains("}"))
+      .select("w").head(1)
+    require(bad.isEmpty,
+      s"BPE symbol encoding requires brace-free terms; found '${bad.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "— tokenize to the [a-z0-9_] contract before training")
+  }
+
   def merges(td: Dataset[TokDoc], nMerges: Int): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = td.sparkSession
@@ -68,7 +82,8 @@ object Bpe {
     val words = td.flatMap(_.terms.iterator).toDF("w")
       .groupBy("w").agg(count(lit(1)).as("n"))
     var (vocab, vocabIds) = Pinned.pinTracked(
-      words.select(col("n"), seqOf(col("w")).as("seq")))
+      words.select(col("w"), col("n"), seqOf(col("w")).as("seq")))
+    requireBraceFree(vocab)
 
     val table = Seq.newBuilder[(Long, String, String, Long)]
     var step = 1
@@ -109,7 +124,16 @@ object Bpe {
     val seq = merges.foldLeft(seqOf(col("w"))) { case (acc, (l, r)) =>
       replace(acc, lit(s"{$l}{$r}"), lit(s"{$l$r}"))
     }
-    words.withColumn("n_subwords", size(symsOf(seq)).cast("long"))
+    // the brace-free guard rides INSIDE the computed column (raise_error on
+    // the violating row) — a separate eager check would re-evaluate the
+    // corpus-scale distinct-words input a second time, and a guard in a
+    // dropped side column would be pruned by Catalyst before it ever ran
+    words.withColumn("n_subwords",
+      when(col("w").contains("{") || col("w").contains("}"),
+        raise_error(concat(lit("BPE symbol encoding requires brace-free terms; found '"),
+          col("w"), lit("' — tokenize to the [a-z0-9_] contract first"))))
+        .otherwise(size(symsOf(seq)))
+        .cast("long"))
   }
 
   /** Per-document subword counts under a learned merge table — the APPLY

@@ -29,9 +29,6 @@ object Pinned {
 
   val ConfKey = "graft.checkpoint.dir"
 
-  /** The durable root the context's checkpoint dir was last derived from. */
-  private val lastRoot = new java.util.concurrent.atomic.AtomicReference[String]()
-
   /** The configured durable checkpoint root, if any. Runtime conf wins over
     * system property wins over environment. */
   def durableDir(spark: SparkSession): Option[String] =
@@ -47,17 +44,30 @@ object Pinned {
     durableDir(spark) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // one setCheckpointDir per CONFIGURED root (it mints a fresh
-        // per-app subdir on every call): re-pins under the same root reuse
-        // the subdir, while a RE-configured root takes effect on the next
-        // pin instead of being silently ignored for the context lifetime
-        // (a test or notebook that reconfigures the dir would otherwise
-        // keep checkpointing into the first — possibly deleted — location)
-        if (sc.getCheckpointDir.isEmpty || lastRoot.get != dir) {
-          sc.setCheckpointDir(dir)
-          lastRoot.set(dir)
-        }
-        df.checkpoint(eager = true)
+        // setCheckpointDir mints a fresh per-app subdir per call, so call
+        // it only when the context's CURRENT checkpoint subdir does not
+        // already live under the configured root — re-pins under one root
+        // reuse the subdir, a RE-configured root takes effect on the next
+        // pin, and an externally-set foreign dir is corrected. Comparing
+        // the subdir's PARENT against the configured root (per context,
+        // not via JVM-global state) keeps this correct when multiple
+        // sessions configure different roots.
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val underRoot = sc.getCheckpointDir.exists(cur =>
+          new org.apache.hadoop.fs.Path(cur).getParent.toUri.getPath == want)
+        if (!underRoot) sc.setCheckpointDir(dir)
+        // persist before the reliable checkpoint: Spark's checkpoint-write
+        // job otherwise RECOMPUTES the whole plan from lineage after the
+        // eager count already ran it once — doubling every CC/BPE/scan
+        // round in exactly the durable-cluster scenario this mode serves.
+        // The transient cache is dropped (synchronously deregistered) as
+        // soon as the checkpoint files hold the data, so pinTracked's
+        // registry diff sees nothing to track in durable mode — free()
+        // stays a no-op there, as documented.
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint(eager = true)
+        cached.unpersist(false)
+        out
       case None =>
         df.localCheckpoint(eager = true)
     }

@@ -75,18 +75,22 @@ object TableIO {
     * are untouched — steady-state compaction cost is proportional to the
     * fragmented fraction, not the table.
     *
-    * Crash contract (same commit rule as Checkpoint.stage): the manifest is
-    * deleted BEFORE any partition swap and regenerated after all swaps — a
-    * killed compaction leaves the table manifest-less, which readers of
-    * manifest-gated flows treat as "stage incomplete, recompute/recompact",
-    * and the NEXT compact run self-heals the layout first: a leftover
+    * Crash contract (same commit rule as Checkpoint.stage): the live
+    * manifest is PARKED (renamed aside) BEFORE any partition swap and a
+    * fresh one written after all swaps — a killed compaction leaves the
+    * table live-manifest-less, which readers of manifest-gated flows treat
+    * as "stage incomplete, recompute/recompact", while the parked copy
+    * preserves table identity (name, input fingerprint) for the recovery
+    * run. The NEXT compact self-heals the layout first: a leftover
     * `.old-<part>` whose live partition is missing (killed between the two
-    * renames) is renamed back into place, every other `.old-`/`.compact-`
-    * remnant is deleted, and a failed second rename rolls the first one
-    * back before throwing. Readers racing a live swap can momentarily miss
-    * one partition (directory renames are not jointly atomic on any FS) —
-    * compaction is an offline maintenance job by nature; run it in the
-    * maintenance window, exactly like Iceberg's.
+    * renames) is renamed back into place — INCLUDING the unpartitioned
+    * case, where data/ itself is the swapped dir and the remnants are its
+    * siblings — every other `.old-`/`.compact-` remnant is deleted, and a
+    * failed second rename rolls the first one back before throwing.
+    * Readers racing a live swap can momentarily miss one partition
+    * (directory renames are not jointly atomic on any FS) — compaction is
+    * an offline maintenance job by nature; run it in the maintenance
+    * window, exactly like Iceberg's.
     *
     * Manifest regeneration opens footers ONLY for files not already in the
     * prior manifest with matching size — a no-op compact of a huge
@@ -103,15 +107,22 @@ object TableIO {
 
     // self-heal a crashed predecessor BEFORE planning: restore a partition
     // that vanished mid-swap, then clear every staging/trash remnant so the
-    // plan below never mistakes one for a data partition
-    if (fs.exists(data)) {
-      fs.listStatus(data).filter(_.isDirectory).map(_.getPath).foreach { p =>
-        if (p.getName.startsWith(".old-")) {
-          val live = new Path(p.getParent, p.getName.stripPrefix(".old-"))
-          if (!fs.exists(live)) fs.rename(p, live) else fs.delete(p, true)
-        } else if (p.getName.startsWith(".compact-")) fs.delete(p, true)
-      }
-    }
+    // plan below never mistakes one for a data partition. The sweep covers
+    // BOTH levels remnants can exist at: inside data/ (partitioned tables)
+    // and data's PARENT (unpartitioned tables swap data/ itself, so
+    // .old-data / .compact-data are siblings — and the crash state there
+    // is precisely `data` missing, which is why the sweep must not be
+    // gated on fs.exists(data)).
+    def heal(holder: Path): Unit =
+      if (fs.exists(holder))
+        fs.listStatus(holder).filter(_.isDirectory).map(_.getPath).foreach { p =>
+          if (p.getName.startsWith(".old-")) {
+            val live = new Path(p.getParent, p.getName.stripPrefix(".old-"))
+            if (!fs.exists(live)) fs.rename(p, live) else fs.delete(p, true)
+          } else if (p.getName.startsWith(".compact-")) fs.delete(p, true)
+        }
+    heal(data.getParent)
+    heal(data)
 
     // partition dirs = direct non-hidden children holding parquet (or the
     // root itself for unpartitioned tables)
@@ -130,8 +141,17 @@ object TableIO {
     }
 
     // identity fields survive compaction (it rewrites layout, not content)
+    // AND survive a crash: the live manifest is PARKED, not deleted, before
+    // any swap — readers of manifest-gated flows still see "incomplete"
+    // (live manifest absent), but the recovery run reads its identity from
+    // the parked copy instead of fabricating table=""/fingerprint=""
+    val parkedPath = new Path(s"$uri/_manifest.json.compacting")
     val prior = readManifest(spark, mPath.toString)
-    if (fs.exists(mPath)) fs.delete(mPath, false)
+      .orElse(readManifest(spark, parkedPath.toString))
+    if (fs.exists(mPath)) {
+      if (fs.exists(parkedPath)) fs.delete(parkedPath, false)
+      fs.rename(mPath, parkedPath)
+    }
     plans.foreach { case (p, want) =>
       val staging = new Path(p.getParent, s".compact-${p.getName}")
       if (fs.exists(staging)) fs.delete(staging, true)
@@ -167,6 +187,7 @@ object TableIO {
       Map("files" -> files.size.toLong, "compacted_partitions" -> plans.size.toLong),
       (System.nanoTime() - t0) / 1000000)
     writeManifest(spark, mPath.toString, m)
+    if (fs.exists(parkedPath)) fs.delete(parkedPath, false)
     m
   }
 

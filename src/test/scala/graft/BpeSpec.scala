@@ -111,6 +111,16 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("brace-bearing terms fail loudly instead of corrupting the merge table") {
+    val td = tdOf(Seq("okay", "ba{d", "fine"))
+    val e1 = intercept[IllegalArgumentException] { Bpe.merges(td, 2) }
+    assert(e1.getMessage.contains("brace-free"), e1.getMessage)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${msgs(t.getCause)}"
+    val e2 = intercept[Throwable] { Bpe.encode(td, Seq(("o", "k"))).collect() }
+    assert(msgs(e2).contains("brace-free"), msgs(e2))
+  }
+
   test("applyMerge: fold semantics on adjacent repeats") {
     assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))

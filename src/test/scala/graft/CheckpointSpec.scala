@@ -175,6 +175,42 @@ class CheckpointSpec extends SparkTestBase {
       "remnants not cleared")
   }
 
+  test("compact: unpartitioned crash state self-heals and identity survives a parked manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_unpart").toString
+    // unpartitioned table fragmented by three appends straight into data/
+    (0 until 3).foreach { b =>
+      Seq((f"s$b%02d", "p", s"o$b")).toDF("subj", "pred", "obj")
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    TableIO.writeManifest(spark, s"$dir/_manifest.json",
+      TableIO.TableManifest("mytable", 3, Nil, "fp-id", Map.empty, 0))
+    // crash state of a kill between the two swap renames of data/ ITSELF:
+    // data parked to the sibling .old-data, the live manifest already
+    // parked, a stray sibling staging dir left behind
+    val root = new java.io.File(dir)
+    assert(new java.io.File(root, "data").renameTo(new java.io.File(root, ".old-data")))
+    assert(new java.io.File(root, "_manifest.json")
+      .renameTo(new java.io.File(root, "_manifest.json.compacting")))
+    val stray = new java.io.File(root, ".compact-data")
+    assert(stray.mkdirs())
+    java.nio.file.Files.writeString(stray.toPath.resolve("junk.txt"), "x")
+
+    val m = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(m.rowCount == 3, s"recovery lost rows: $m")
+    assert(m.table == "mytable" && m.inputFingerprint == "fp-id",
+      s"identity fabricated instead of recovered: $m")
+    val back = spark.read.parquet(s"$dir/data").as[(String, String, String)].collect().toSet
+    assert(back == Set(("s00", "p", "o0"), ("s01", "p", "o1"), ("s02", "p", "o2")))
+    // fragmented 3-file dir binpacked to one; all remnants (incl. the
+    // parked manifest) cleared
+    assert(Option(new java.io.File(root, "data").listFiles())
+      .get.count(_.getName.endsWith(".parquet")) == 1)
+    assert(!root.listFiles().exists(f => f.getName.startsWith(".old-") ||
+      f.getName.startsWith(".compact-") || f.getName.endsWith(".compacting")),
+      root.listFiles().map(_.getName).mkString(","))
+  }
+
   test("S1: readDocs applies the explicit schema (never inferred)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_docs").toString
