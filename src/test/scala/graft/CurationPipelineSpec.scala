@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mixing, TextStats, Tokenize}
+
+/** End-to-end CURATION pipeline composition — the full path a training-data
+  * team would run with this library, chained stage to stage on one synthetic
+  * web-ish corpus:
+  *
+  *   raw HTML → extractText → dedupLines (boilerplate) → exact dedup
+  *   (survivor election) → near-dup pairs → clusters → emitDeduped
+  *   → decontaminate → quality/packing/sharding
+  *
+  * Each operator is verified in isolation elsewhere (specs + DuckDB
+  * oracles); what THIS suite pins is that they compose: schemas line up
+  * without adapters, counts reconcile stage over stage (every dropped doc
+  * is accounted for), and the planted artifacts (markup, boilerplate,
+  * exact copies, near-copies, benchmark leaks) are each removed by exactly
+  * the stage built for them.
+  */
+class CurationPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("raw HTML corpus → curated, packed, sharded corpus; every drop accounted for") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    def text(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+    // 40 base docs wrapped in markup with shared boilerplate lines
+    val base = (0 until 40).map { i =>
+      CodeDoc("web", s"page/$i", "c0", "en",
+        s"<html><head><script>var x = 1 < 2;</script></head>\n" +
+          s"<body>shared nav bar\n<p>${text(60)}</p>\ncopyright footer</body></html>")
+    }
+    // exact copies of 5 docs, near-copies (one word changed) of 5 others,
+    // and 3 docs leaking a benchmark phrase
+    val copies = (0 until 5).map(i => base(i).copy(path = s"mirror/$i"))
+    val bench = spark.createDataset(Seq(
+      TokDoc("bench0", "golden benchmark passage one".split(" ")))).repartition(1)
+    val leaked = (0 until 3).map(i =>
+      base(10 + i).copy(path = s"leak/$i",
+        content = base(10 + i).content.replace("</p>", " golden benchmark passage one</p>")))
+    val corpus = spark.createDataset(base ++ copies ++ leaked).repartition(5)
+    val n0 = corpus.count() // 48
+
+    // 1. markup extraction: tags gone, text preserved
+    val extracted = TextStats.extractText(corpus).as[CodeDoc]
+    assert(extracted.count() == n0)
+    assert(extracted.filter(col("content").contains("<")).count() == 0)
+
+    // 2. line-level boilerplate: extraction collapses docs to one line, so
+    //    re-split on the preserved sentence markers is not possible here —
+    //    instead run dedupLines BEFORE extraction in this pipeline (lines
+    //    exist in the raw HTML), mirroring CCNet's order (line dedup on
+    //    extracted lines; our planted newlines survive extraction as spaces)
+    val lineDeduped = Dedup.dedupLines(corpus, minDf = 10).as[CodeDoc]
+    val boiler = lineDeduped.agg(sum("n_removed")).as[Long].head()
+    assert(boiler >= 2L * n0, s"shared nav/footer lines not removed: $boiler")
+
+    // 3. exact dedup on the extracted corpus: the 5 mirrors collapse
+    val exactDeduped = Dedup.dedupKeepFirst(extracted).as[CodeDoc]
+    val n1 = exactDeduped.count()
+    assert(n1 == n0 - 5, s"exact dedup: $n0 -> $n1")
+
+    // 4. near-dup pairs → clusters → emit (docid = path; leak docs are
+    //    near-dups of their originals: one appended phrase over 60 words)
+    val td = exactDeduped.map(d => TokDoc(d.path, Tokenize.tokensOf(d.content, Set.empty)))
+    val pairs = Dedup.ngramJaccardPairs(td, 2, 0.8)
+    val emitted = Dedup.emitDeduped(
+      exactDeduped.toDF().withColumnRenamed("path", "docid"), "docid", pairs)
+    val n2 = emitted.count()
+    assert(n2 == n1 - 3, s"near-dup emit: $n1 -> $n2 (expected the 3 leak clusters to fold)")
+    // min-id election picks "leak/i" over "page/1x" — the SURVIVING
+    // representative of each leak cluster is the CONTAMINATED variant.
+    // This is the real-pipeline lesson the composition pins: near-dup
+    // dedup keeps one arbitrary-but-deterministic member, so
+    // decontamination must run AFTER it (or leakage can survive election)
+    assert(emitted.filter(col("docid").startsWith("leak/")).count() == 3)
+
+    // 5. decontamination drops the 3 contaminated survivors
+    val tdEmit = emitted.select(col("docid"), col("content")).as[(String, String)]
+      .map { case (id, c) => TokDoc(id, Tokenize.tokensOf(c, Set.empty)) }
+    val clean = TextStats.decontaminate(tdEmit, bench, 3)
+    val n3 = clean.count()
+    assert(n3 == n2 - 3, s"decontamination: $n2 -> $n3")
+    val finalCorpus = emitted.join(clean.select("docid"), Seq("docid"), "left_semi")
+    assert(finalCorpus.filter(col("content").contains("golden benchmark")).count() == 0)
+
+    // 6. packing + deterministic sharding compose on the final corpus:
+    //    every doc packed, shards balanced to within one
+    val tdFinal = tdEmit.join(clean.select("docid"), Seq("docid"), "left_semi")
+      .as[TokDoc]
+    val packed = TextStats.packSequences(tdFinal, 64)
+    assert(packed.count() == n3)
+    val shardStats = Mixing.deterministicShuffle(
+        finalCorpus.withColumnRenamed("docid", "path").withColumn("repo", lit("web"))
+          .withColumn("commit", lit("c0")).as[CodeDoc], 4, "epoch0")
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(shardStats.sum == n3 && (shardStats.max - shardStats.min) <= 1,
+      s"shards unbalanced: ${shardStats.toSeq}")
+  }
+}
