@@ -152,6 +152,17 @@ object Bpe {
       .agg(count(lit(1)).as("ntok"), sum(col("n_subwords")).as("n_subwords"))
   }
 
+  /** Full SEGMENTATION under a learned table: like encodeWords but emits
+    * the subword array itself (`subwords`), not just its length — the
+    * per-word artifact a serving tokenizer ships. Same single column
+    * expression; the guard semantics ride in via encodeWords' count. */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seq = merges.foldLeft(seqOf(col("w"))) { case (acc, (l, r)) =>
+      replace(acc, lit(s"{$l}{$r}"), lit(s"{$l$r}"))
+    }
+    encodeWords(words, merges).withColumn("subwords", symsOf(seq))
+  }
+
   /** Reference single-machine merge application for one symbol array —
     * the left-to-right fold the string replace must equal; used by tests
     * and usable to tokenize new text with a learned table. */

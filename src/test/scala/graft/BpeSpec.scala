@@ -111,6 +111,22 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("segmentWords: subword arrays equal the reference fold chain, concatenation restores the word") {
+    import spark.implicits._
+    val words = Seq("low", "lower", "newest", "widest", "aaaa", "x")
+    val wc = words.map(_ -> 2L).toMap
+    val table = referenceMerges(wc, 5).map { case (_, l, r, _) => (l, r) }
+    val got = Bpe.segmentWords(words.toDF("w"), table).collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("subwords").toSeq).toMap
+    words.foreach { w =>
+      var syms: Array[String] = w.split("").filter(_.nonEmpty)
+      table.foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+      assert(got(w) == syms.toSeq, s"$w: got ${got(w)} want ${syms.toSeq}")
+      assert(got(w).mkString == w, s"segmentation must concatenate back to '$w'")
+    }
+  }
+
   test("brace-bearing terms fail loudly instead of corrupting the merge table") {
     val td = tdOf(Seq("okay", "ba{d", "fine"))
     val e1 = intercept[IllegalArgumentException] { Bpe.merges(td, 2) }

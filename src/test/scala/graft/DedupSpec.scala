@@ -319,6 +319,42 @@ class DedupSpec extends SparkTestBase {
     assert(rows("e") == (("unique a1 not quite\nsolo e", 2L, 0L)))
   }
 
+  test("dedupLines matches a driver-side reference on 8 random corpora (seeded sweep)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 8).foreach { trial =>
+      // small line vocabulary forces heavy cross-doc duplication; random
+      // case and padding exercise the lowercase-trim normalization; blank
+      // lines appear and must be exempt
+      val lineVocab = (0 until 6 + rnd.nextInt(6)).map(i => s"line $i words")
+      val docs = (0 until 10 + rnd.nextInt(10)).map { d =>
+        val lines = (0 until 1 + rnd.nextInt(8)).map { _ =>
+          if (rnd.nextInt(8) == 0) (if (rnd.nextBoolean()) "" else "   ")
+          else {
+            val l = lineVocab(rnd.nextInt(lineVocab.length))
+            val cased = if (rnd.nextBoolean()) l.toUpperCase else l
+            if (rnd.nextBoolean()) s"  $cased " else cased
+          }
+        }
+        CodeDoc("r", s"d$d", "c", "en", lines.mkString("\n"))
+      }
+      // reference: per-line normalized df over distinct docs, rebuild
+      val norm = (s: String) => s.trim.toLowerCase
+      val df = docs.flatMap(d => d.content.split("\n", -1).map(norm).filter(_.nonEmpty)
+        .distinct.map(_ -> d.path))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val dup = df.collect { case (l, n) if n >= 2 => l }.toSet
+      val want = docs.map { d =>
+        val ls = d.content.split("\n", -1)
+        val kept = ls.filterNot(l => norm(l).nonEmpty && dup(norm(l)))
+        d.path -> ((kept.mkString("\n"), ls.length.toLong, (ls.length - kept.length).toLong))
+      }.toMap
+      val got = Dedup.dedupLines(spark.createDataset(docs).repartition(3), 2).collect()
+        .map(r => r.getString(1) -> ((r.getAs[String]("content"),
+          r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed")))).toMap
+      assert(got == want, s"trial $trial:\ngot=$got\nwant=$want")
+    }
+  }
+
   test("emitDeduped: survivors + singletons, corpus columns and provenance intact") {
     // corpus of 6 docs; pairs chain {a,b,c} plus {x,y}; q unpaired
     val corpus = Seq(("a", 10L), ("b", 11L), ("c", 12L), ("x", 20L), ("y", 21L), ("q", 30L))
