@@ -46,4 +46,15 @@ final case class WsidConfig(
     broadcastDictMaxRows: Long = 2000000L,
     descriptorFallback: Boolean = true,
     modelBytesBudget: Long = 512L * 1024 * 1024
-)
+) {
+
+  /** Canonical, ORDER-INDEPENDENT rendering for cache keys and checkpoint
+    * fingerprints. `Set#toString` renders in hash/insertion order, so a raw
+    * `cfg.toString` can fingerprint two semantically equal configs
+    * differently (same stopwords assembled in different order) — every
+    * checkpoint stage would then miss and the model store would grow a
+    * duplicate entry. All key/fingerprint construction goes through this. */
+  def canonicalId: String =
+    this.copy(stopwords = Set.empty).toString +
+      s"|stopwords=${stopwords.toSeq.sorted.mkString(",")}"
+}

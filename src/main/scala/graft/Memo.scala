@@ -95,6 +95,7 @@ object Memo {
   private val tokdocsMemo = new BoundedMemo[Dataset[TokDoc]](_.unpersist(false))
   private val costatsMemo = new BoundedMemo[Pipeline.CoStats]({ cs =>
     cs.coverage.unpersist(false); cs.scored.unpersist(false)
+    cs.internal.foreach(_.unpersist(false)) // the chain's cooc/marg caches
   })
   private val modelMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (d, s) =>
     d.unpersist(false); s.unpersist(false)
@@ -164,7 +165,7 @@ object Memo {
   /** The E2 chain over the shared projection, with its two reused frames
     * (coverage feeds A3/A4/L3, scored feeds C1/C2/C3/L3) persisted once. */
   def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats =
-    costatsMemo.getOrBuild((spark, s"$sfDir|$cfg")) {
+    costatsMemo.getOrBuild((spark, s"$sfDir|${cfg.canonicalId}")) {
       val cs = Pipeline.coStatsFrom(tokDocsOf(spark, sfDir, cfg), cfg)
       cs.coverage.persist(StorageLevel.MEMORY_AND_DISK)
       cs.scored.persist(StorageLevel.MEMORY_AND_DISK)
@@ -177,8 +178,8 @@ object Memo {
     * re-running the ML. E3's contract is "disambiguate against an EXISTING
     * model"; building the model is E1's job and is benchmarked there. */
   def modelOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) =
-    modelMemo.getOrBuild((spark, s"$sfDir|$cfg")) {
-      val key = sha256Hex(s"$sfDir|$cfg|$ModelVersion").take(16)
+    modelMemo.getOrBuild((spark, s"$sfDir|${cfg.canonicalId}")) {
+      val key = sha256Hex(s"$sfDir|${cfg.canonicalId}|$ModelVersion").take(16)
       val store = new Path(modelStoreRoot)
       val conf = spark.sessionState.newHadoopConf()
       val fs = store.getFileSystem(conf)

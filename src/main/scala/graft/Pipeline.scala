@@ -23,7 +23,11 @@ object Pipeline {
       contingency: DataFrame, // (entity, term, k, n, bigk, bign)
       scored: DataFrame, // + logp
       significant: DataFrame, // Bonferroni-filtered
-      top: DataFrame) // + rank, capped at cfg.topK
+      top: DataFrame, // + rank, capped at cfg.topK
+      /** vocab-bounded frames the chain persisted internally (cooc,
+        * marginals) — owners (Memo eviction, callers) unpersist these
+        * together with coverage/scored. */
+      internal: Seq[DataFrame] = Nil)
 
   def coStats(docs: Dataset[CodeDoc], cfg: WsidConfig): CoStats =
     coStatsFrom(Tokenize.tokDocs(guard(docs, cfg), cfg), cfg)
@@ -35,11 +39,11 @@ object Pipeline {
     val spark = tokdocs.sparkSession
     val toks = Tokenize.tokensFrom(tokdocs)
     val cov = Tokenize.coverageFrom(tokdocs, cfg)
-    val cont = Cooc.contingency(spark, toks, cov, cfg)
+    val (cont, caches) = Cooc.contingency(spark, toks, cov, cfg)
     val scored = Significance.withLogp(cont)
     val sig = Significance.significant(scored, cfg)
     val top = Significance.topK(sig, cfg)
-    CoStats(toks, cov, cont, scored, sig, top)
+    CoStats(toks, cov, cont, scored, sig, top, caches)
   }
 
   /** P2 doc guard. */
@@ -67,7 +71,7 @@ object Pipeline {
                     ckptRoot: Option[String] = None, corpusId: String = "",
                     sharedTokDocs: Option[Dataset[TokDoc]] = None): E1Result = {
     val ck = ckptRoot.map(new Checkpoint(spark, _))
-    val cfgId = s"$corpusId|${cfg.toString}"
+    val cfgId = s"$corpusId|${cfg.canonicalId}"
     val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     // checkpoint parquet doubles as stage materialization; without it,
     // persist each reused stage so downstream actions don't re-run the
@@ -105,7 +109,8 @@ object Pipeline {
     val sigcooc = staged("sigcooc", Seq("coverage")) {
       import spark.implicits._
       val toks = Tokenize.tokensFrom(tokdocs)
-      val cont = Cooc.contingency(spark, toks, cov.as[CovTok], cfg)
+      val (cont, caches) = Cooc.contingency(spark, toks, cov.as[CovTok], cfg)
+      caches.foreach(persisted += _) // cleanup() owns the chain's caches
       // Bonferroni filter + top-k cap, with a pure-dataflow per-entity
       // fallback for corpora where nothing clears the cut
       Significance.descriptors(Significance.withLogp(cont), cfg)
@@ -206,9 +211,10 @@ object Pipeline {
   /** coOccursWith triples from the top significant (entity, term) pairs:
     * one triple per (entity@repo/path, term) where the term occurs inside a
     * window of the entity in that doc (SURVEY.md §2.7 L2/L3, SQL-expressible
-    * part; hasSense triples are added by the ML stage in E1). NOT deduped —
-    * E1 dedups once (A5) after the union; standalone consumers add their own
-    * distinct. */
+    * part; hasSense triples are added by the ML stage in E1). DEDUPED here
+    * (A5) on the compact pre-concatenation keys — E1's union then needs no
+    * further distinct because the two triple branches carry disjoint
+    * predicates. */
   def coocTriples(cov: Dataset[CovTok], topTerms: DataFrame): DataFrame = {
     cov.toDF()
       .join(broadcast(topTerms.select("entity", "term")), Seq("entity", "term"))

@@ -42,7 +42,7 @@ object Profile {
     val cov = operators.Tokenize.coverage(docs, cfg).persist(st)
     time("coverage")(cov.count())
     val toks = operators.Tokenize.tokens(docs, cfg)
-    val cont = time("contingency")(operators.Cooc.contingency(spark, toks, cov, cfg))
+    val cont = time("contingency")(operators.Cooc.contingency(spark, toks, cov, cfg)._1)
     val scored = operators.Significance.withLogp(cont).persist(st)
     time("scored")(scored.count())
     val sig = operators.Significance.significant(scored, cfg)

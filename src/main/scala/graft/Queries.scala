@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooc, Tokenize}
+import graft.operators.{Cooc, Significance, Tokenize}
 import graft.sources.CorpusSynth
 
 /** Driver-contract query registry (SURVEY.md §2 inventory → SparkEntry).
@@ -37,6 +37,12 @@ object Queries {
     Tokenize.tokensFrom(tokDocsOf(spark, sfDir))
   private def coStatsOf(spark: SparkSession, sfDir: String): Pipeline.CoStats =
     Memo.coStatsOf(spark, sfDir, cfg)
+  // NOTE (accepted tradeoff): coverage-only queries (q_t4/q_a3/q_a4) route
+  // through the full memoized E2 chain, whose contingency runs one eager
+  // driver action they don't strictly need. A separate coverage-only memo
+  // entry would spare a fresh session that one job at the cost of caching
+  // coverage twice whenever the scoring chain IS also used (every bench and
+  // mixed-workload session) — the shared-entry form is the better default.
   private def covOf(spark: SparkSession, sfDir: String) =
     coStatsOf(spark, sfDir).coverage
 
@@ -131,19 +137,17 @@ object Queries {
         .orderBy("entity")
     }),
 
-    "q_c3_topk" -> ((s, d) => {
-      val w = Window.partitionBy("entity").orderBy(e4(col("logp")).asc, col("term").asc)
-      coStatsOf(s, d).scored
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 20)
-        .select("entity", "term", "rnk")
-        .orderBy("entity", "rnk")
-    }),
+    // both rank via the PRODUCTION Significance.topK (quantized-logp asc,
+    // term tiebreak) — a hand-copied window here would keep passing the
+    // oracle while production ordering silently drifted
+    "q_c3_topk" -> ((s, d) =>
+      Significance.topK(coStatsOf(s, d).scored, cfg.copy(topK = 20))
+        .select(col("entity"), col("term"), col("rank").as("rnk"))
+        .orderBy("entity", "rnk")),
 
     "q_l3_cooc_triples" -> ((s, d) => {
       val cs = coStatsOf(s, d)
-      val w = Window.partitionBy("entity").orderBy(e4(col("logp")).asc, col("term").asc)
-      val top20 = cs.scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
       Pipeline.coocTriples(cs.coverage, top20).orderBy("subj", "obj")
     })
   )
@@ -269,7 +273,7 @@ object Queries {
       s"""$base
          |SELECT entity,
          |       CAST(sum(CASE WHEN CAST(round(logp * 10000) AS BIGINT)
-         |                        < CAST(round((ln(0.01) - ln(m)) * 10000) AS BIGINT)
+         |                        < CAST(round((ln(${cfg.alpha}) - ln(m)) * 10000) AS BIGINT)
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
          |       count(*) AS n_candidates
          |FROM (SELECT entity, logp, count(*) OVER (PARTITION BY entity) AS m FROM scored)

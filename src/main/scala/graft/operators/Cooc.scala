@@ -43,19 +43,24 @@ object Cooc {
     * vocabulary first, then broadcast when small enough
     * (BASELINE.json:6 "broadcast joins carry the term-statistics dictionary");
     * it falls back to a shuffle join past cfg.broadcastDictMaxRows.
-    */
+    *
+    * Returns the contingency frame PLUS the vocab-bounded frames this call
+    * persisted (cooc, marginals) — the CALLER owns their lifetime
+    * (E1Result.cleanup / the Memo's eviction hook unpersist them), so a
+    * long-lived session sweeping many (sfDir, cfg) combinations cannot
+    * accumulate orphaned caches (the r2 bounded-memo contract). */
   def contingency(spark: SparkSession, tokens: Dataset[Token], cov: Dataset[CovTok],
-                  cfg: WsidConfig): DataFrame = {
+                  cfg: WsidConfig): (DataFrame, Seq[DataFrame]) = {
     // exactly two full-data traversals: cov -> cooc and tokens -> marginals;
-    // everything after operates on the small cached aggregates. These caches
-    // are VOCAB-bounded (one row per term / per entity-term pair), never
-    // data-proportional, and the E2 chain is built once per (session, input)
-    // via Memo — so the footprint of not unpersisting here stays bounded.
+    // everything after operates on the small cached aggregates (one row per
+    // term / per entity-term pair, never data-proportional)
     val cooc = coocCounts(cov, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val marg = marginals(tokens, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one driver action for both N and the broadcast decision (vocab size
-    // bounds the dictionary, which is a subset of the marginals)
-    val totals = marg.agg(sum(col("n")), count(lit(1))).head()
+    // bounds the dictionary, which is a subset of the marginals); the sum
+    // coalesces so an EMPTY corpus (everything guarded away) yields an
+    // empty contingency frame instead of an NPE on the null aggregate
+    val totals = marg.agg(coalesce(sum(col("n")), lit(0L)), count(lit(1))).head()
     val bigN = totals.getLong(0)
     val vocabSize = totals.getLong(1)
     val mass = windowMass(cov, cfg)
@@ -66,9 +71,10 @@ object Cooc {
       if (vocabSize <= cfg.broadcastDictMaxRows) cooc.join(broadcast(dict), Seq("term"))
       else cooc.join(dict, Seq("term"))
 
-    margJoined
+    val cont = margJoined
       .join(broadcast(mass), Seq("entity")) // one row per entity: always tiny
       .withColumn("bign", lit(bigN))
       .select(col("entity"), col("term"), col("k"), col("n"), col("bigk"), col("bign"))
+    (cont, Seq(cooc, marg))
   }
 }

@@ -27,6 +27,35 @@ class CoStatsSpec extends SparkTestBase {
       assert(!sig.contains(("java", t)), s"cross-entity leak: (java, $t)")
   }
 
+  test("E2 on a fully guarded-away corpus yields empty frames, never an NPE") {
+    import spark.implicits._
+    // every doc falls to the P2 guard (empty or over maxDocChars): the
+    // marginals sum aggregates NULL, which must coalesce to an empty
+    // contingency frame instead of crashing the whole chain
+    val cfg = WsidConfig(entities = Seq("python"), maxDocChars = 10)
+    val docs = Seq(
+      CodeDoc("r", "a", "c", "en", ""),
+      CodeDoc("r", "b", "c", "en", "x" * 11)).toDS()
+    val cs = Pipeline.coStats(docs, cfg)
+    assert(cs.scored.count() == 0)
+    assert(cs.top.count() == 0)
+  }
+
+  test("WsidConfig.canonicalId is stopword-order-independent") {
+    import scala.collection.immutable.ListSet
+    val a = WsidConfig(entities = Seq("x"),
+      stopwords = ListSet("the", "and", "of", "a", "in"))
+    val b = WsidConfig(entities = Seq("x"),
+      stopwords = ListSet("in", "a", "of", "and", "the"))
+    // toString renders Sets in iteration order and CAN differ; the cache/
+    // fingerprint key must not
+    assert(a.canonicalId == b.canonicalId)
+    assert(a.canonicalId.contains("stopwords=a,and,in,of,the"))
+    // distinct stopword SETS still key differently
+    val c = a.copy(stopwords = a.stopwords + "it")
+    assert(a.canonicalId != c.canonicalId)
+  }
+
   test("E2 native expression: plan uses codegen'd LogHypergeomTail, not ScalaUDF") {
     val docs = CorpusSynth.plantedDocs(spark, docsPerEntity = 10)
     val cfg = WsidConfig(entities = Seq("python"), window = 8)

@@ -60,7 +60,7 @@ class MemoSpec extends SparkTestBase {
     // another principal now owns THIS cfg's cached model dir (same key
     // derivation as Memo.modelOf) -> load must refuse
     val keyHex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$sfDir|$cfg|${Memo.ModelVersion}".getBytes("UTF-8"))
+      .digest(s"$sfDir|${cfg.canonicalId}|${Memo.ModelVersion}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val key = new java.io.File(Memo.modelStoreRoot, keyHex)
     assert(key.isDirectory, s"model dir missing at $key")
