@@ -61,4 +61,19 @@ class PinnedSpec extends SparkTestBase {
     assert(Pinned.durableDir(spark).isEmpty)
     assert(ccSet(pairs) == ccLocal)
   }
+
+  test("durable pin evaluates the plan ONCE (persist before reliable checkpoint)") {
+    // without the persist, Spark's checkpoint-write job recomputes the whole
+    // plan from lineage after the eager count already ran it — the
+    // accumulator would read 2x the partition count
+    withDurableDir { _ =>
+      val acc = spark.sparkContext.longAccumulator("pin-evals")
+      val df = spark.range(0, 100, 1, 5).mapPartitions { it => acc.add(1); it }.toDF("v")
+      val pinned = Pinned.pin(df)
+      assert(pinned.count() == 100)
+      assert(acc.value == 5L,
+        s"plan partitions evaluated ${acc.value} times for 5 partitions — " +
+          "durable pin must not recompute in the checkpoint-write job")
+    }
+  }
 }
