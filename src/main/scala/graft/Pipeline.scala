@@ -221,7 +221,10 @@ object Pipeline {
       // dedup (A5) on compact columns BEFORE building the subject string:
       // the distinct exchange then carries (entity, docpath, term), not
       // pre-concatenated triple strings
-      .select(col("entity"), substring_index(col("docid"), "@", 1).as("docpath"), col("term"))
+      // LAST-'@' strip: the commit suffix goes, a path containing '@'
+      // survives intact (mirrored in the q_l3 oracle)
+      .select(col("entity"), regexp_replace(col("docid"), "@[^@]*$", "").as("docpath"),
+        col("term"))
       .distinct()
       .select(
         concat(col("entity"), lit("@"), col("docpath")).as("subj"),

@@ -298,7 +298,7 @@ object Queries {
          |    FROM scored)
          |  WHERE rnk <= 20
          |)
-         |SELECT DISTINCT w.entity || '@' || split_part(w.docid, '@', 1) AS subj,
+         |SELECT DISTINCT w.entity || '@' || regexp_replace(w.docid, '@[^@]*$$', '') AS subj,
          |       'coOccursWith' AS pred, w.term AS obj
          |FROM win w JOIN top20 s ON w.entity = s.entity AND w.term = s.term
          |ORDER BY subj, obj""".stripMargin

@@ -31,9 +31,15 @@ object HyperGeom {
     * Streaming log-sum-exp over i = k .. min(n, K). The summand is unimodal
     * in i with mode near (K+1)(n+1)/(N+2); once past the mode we stop as soon
     * as the current term falls 80 nats below the running max — the truncated
-    * mass is < e^-80 * (#remaining terms), invisible at any useful precision,
-    * and it bounds the loop to O(stddev) iterations instead of O(min(n,K))
-    * at 10^12-token scale.
+    * mass is < e^-80 * (#remaining terms), invisible at any useful precision.
+    *
+    * SIDE SELECTION keeps the loop short on BOTH flanks: the direct upper
+    * sum costs ~(mode - k) + O(stddev) iterations, so for k far BELOW the
+    * mode (frequent term, tiny observed k — p ≈ 1, common in the candidate
+    * frame) it would walk all the way up to the mode at 6 logGamma calls per
+    * step. When the complement's lower tail lo..k-1 is the shorter span, we
+    * sum THAT and return log1p(-exp(logLower)) — well-conditioned precisely
+    * in this branch because k below the mode means the lower tail is < 1/2.
     *
     * Returns 0.0 (p = 1) when k <= max(0, n + K - N); never returns > 0.
     */
@@ -46,24 +52,35 @@ object HyperGeom {
 
     val logDenom = logChoose(bigN, n)
     val mode = ((bigK + 1.0) * (n + 1.0) / (bigN + 2.0)).toLong
-    var maxLog = Double.NegativeInfinity
-    var sumExp = 0.0 // sum of exp(term - maxLog)
-    var i = k
-    var continue = true
-    while (continue && i <= hi) {
-      val lt = logChoose(bigK, i) + logChoose(bigN - bigK, n - i) - logDenom
-      if (lt > maxLog) {
-        // rescale the running sum to the new max
-        sumExp = sumExp * math.exp(maxLog - lt) + 1.0
-        maxLog = lt
-      } else {
-        sumExp += math.exp(lt - maxLog)
-        // strictly decreasing past the mode: safe to truncate
-        if (i > mode && lt < maxLog - 80.0) continue = false
+
+    // one unimodal-summand log-sum-exp pass over [from, to], truncating
+    // only when `truncPast` is set (safe only once past the mode)
+    def sumRange(from: Long, to: Long, truncPast: Boolean): Double = {
+      var maxLog = Double.NegativeInfinity
+      var sumExp = 0.0
+      var i = from
+      var continue = true
+      while (continue && i <= to) {
+        val lt = logChoose(bigK, i) + logChoose(bigN - bigK, n - i) - logDenom
+        if (lt > maxLog) {
+          sumExp = sumExp * math.exp(maxLog - lt) + 1.0
+          maxLog = lt
+        } else {
+          sumExp += math.exp(lt - maxLog)
+          if (truncPast && i > mode && lt < maxLog - 80.0) continue = false
+        }
+        i += 1
       }
-      i += 1
+      if (sumExp == 0.0) Double.NegativeInfinity else maxLog + math.log(sumExp)
     }
-    val lp = maxLog + math.log(sumExp)
+
+    val lp =
+      if (k <= mode && (k - lo) < (mode - k)) {
+        // complement side is strictly shorter; lower tail < 1/2 here
+        val logLower = sumRange(lo, k - 1, truncPast = false)
+        if (logLower == Double.NegativeInfinity) 0.0
+        else math.log1p(-math.exp(math.min(logLower, -java.lang.Double.MIN_VALUE)))
+      } else sumRange(k, hi, truncPast = true)
     if (lp > 0.0) 0.0 else lp // clamp tiny positive rounding noise
   }
 
@@ -82,7 +99,11 @@ object HyperGeom {
       }
     }
     val hi = math.min(n, bigK)
-    var s = BigDecimal(0)
+    // the accumulator (and therefore the final division, which takes its
+    // MathContext from the LEFT operand) must carry the requested scale —
+    // a default-context zero would silently cap the result at DECIMAL128's
+    // 34 digits no matter what `scale` asks for
+    var s = BigDecimal(0, mc)
     var i = math.max(k, math.max(0L, n + bigK - bigN))
     while (i <= hi) { s += c(bigK, i) * c(bigN - bigK, n - i); i += 1 }
     s / c(bigN, n)

@@ -59,11 +59,18 @@ object Linking {
   /** L2+L3: hasSense triples, deduped (A5) on the COMPACT key
     * (entity, docpath, senseid) BEFORE the subject string is materialized —
     * the distinct shuffle then moves short columns instead of pre-built
-    * triple strings. subj = entity@repo/path (ctxid = repo/path@commit#mpos). */
+    * triple strings. subj = entity@repo/path (ctxid = repo/path@commit#mpos).
+    *
+    * docpath parsing strips the LAST '#' segment (mpos) and then the LAST
+    * '@' segment (commit) — a first-occurrence split would truncate any
+    * repo/path that itself contains '#' or '@' (e.g. 'docs/a#1.md',
+    * 'src/@types/x.ts'), collapsing distinct documents under the dedup key
+    * and diverging from the docid-based coOccursWith parse. */
   def hasSenseTriples(assignments: DataFrame): DataFrame =
     assignments.select(
       col("entity"),
-      substring_index(substring_index(col("ctxid"), "#", 1), "@", 1).as("docpath"),
+      regexp_replace(regexp_replace(col("ctxid"), "#[^#]*$", ""), "@[^@]*$", "")
+        .as("docpath"),
       col("senseid"))
       .distinct()
       .select(

@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
+  /** salts < 1 makes pmod(x, salts) NULL for every row — each hot key then
+    * collapses back into ONE phase-1 shard, silently restoring the
+    * single-reducer plan this operator exists to prevent (results stay
+    * numerically correct, so nothing else fails loudly). */
+  private def requireSalts(salts: Int): Unit =
+    require(salts >= 1, s"salts must be >= 1, got $salts — " +
+      "0/negative silently collapses every hot key into one shard")
+
   /** count(*) grouped by `keys`, salted on `saltSource` (any column with
     * high cardinality within a hot key, e.g. docid). */
   def countBy(df: DataFrame, keys: Seq[String], saltSource: Column, salts: Int,
               countName: String = "cnt"): DataFrame = {
+    requireSalts(salts)
     val phase1Keys: Seq[Column] = keys.map(col) :+ pmod(xxhash64(saltSource), lit(salts)).as("_salt")
     df.groupBy(phase1Keys: _*)
       .agg(count(lit(1)).as("_partial"))
@@ -29,6 +38,7 @@ object SaltedAgg {
   /** sum(valueCol) grouped by `keys`, salted likewise. */
   def sumBy(df: DataFrame, keys: Seq[String], valueCol: Column, saltSource: Column,
             salts: Int, sumName: String = "total"): DataFrame = {
+    requireSalts(salts)
     val phase1Keys: Seq[Column] = keys.map(col) :+ pmod(xxhash64(saltSource), lit(salts)).as("_salt")
     df.groupBy(phase1Keys: _*)
       .agg(sum(valueCol).as("_partial"))

@@ -61,9 +61,16 @@ object StreamingOps {
     * reorderings and boilerplate with the identical term multiset collapse
     * (Hamming 0); for banded Hamming<=k matching run the batch
     * simhashNearDups over the deduped sink — banded candidate generation
-    * needs a bucket aggregation no append-mode stream can express. */
+    * needs a bucket aggregation no append-mode stream can express.
+    *
+    * `stopwords` MUST match the batch pipeline's (the TokDoc projection the
+    * batch simhash hashes is stopword-filtered): with mismatched sets the
+    * streaming and batch signatures disagree, and the documented workflow
+    * (batch near-dup pass over the deduped sink) would operate on
+    * signatures inconsistent with the ones that governed streaming
+    * eviction. */
   def nearDedupStream(docs: Dataset[TimedDoc], watermark: String = "10 minutes",
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, stopwords: Set[String] = Set.empty): DataFrame = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
       // per-PARTITION digest + hex table: a per-record
@@ -72,7 +79,7 @@ object StreamingOps {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val hex = "0123456789abcdef"
       it.map { d =>
-        val terms = Tokenize.tokensOf(d.content, Set.empty)
+        val terms = Tokenize.tokensOf(d.content, stopwords)
         // token-free documents all hash to SimHash 0 — near-dup semantics
         // are undefined without tokens, so key them by exact content hash
         // instead of collapsing every non-textual payload to one survivor

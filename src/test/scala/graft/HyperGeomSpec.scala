@@ -50,6 +50,24 @@ class HyperGeomSpec extends AnyFunSuite {
     assert(ms < 2000.0, s"logTail too slow at 1e12 scale: $ms ms")
   }
 
+  test("C1: complement path (k far below the mode) matches exact and the direct sum") {
+    // mode = (K+1)(n+1)/(N+2) ~ 20 for (n=100, K=200, N=1000); k in 1..9
+    // takes the complement branch ((k - lo) < (mode - k)); its result must
+    // agree with the BigDecimal oracle to the same precision as the direct
+    // side — the pre-fix direct sum walked (mode - k) steps for p ~ 1 rows
+    for (k <- 1L to 9L) {
+      val lp = graft.functions.HyperGeom.logTail(k, 100, 200, 1000)
+      val exact = graft.functions.HyperGeom.exactTail(k, 100, 200, 1000)
+      val want = math.log(exact.toDouble)
+      assert(math.abs(lp - want) <= 1e-11 * math.max(1.0, math.abs(want)),
+        s"k=$k: got $lp want $want")
+    }
+    // large-N shape that motivated the branch: tiny k, huge mode — must
+    // return ~log(1) without walking to the mode
+    val big = graft.functions.HyperGeom.logTail(1, 1000000000L, 100000000L, 1000000000000L)
+    assert(big <= 0.0 && big > -1e-6, s"p should be ~1: $big")
+  }
+
   test("C1: p = 1 at/below the lower support bound") {
     assert(HyperGeom.logTail(0L, 10L, 20L, 100L) == 0.0)
     assert(HyperGeom.logTail(5L, 50L, 55L, 100L) == 0.0) // n+K-N = 5

@@ -7,6 +7,18 @@ import graft.operators.{SaltedAgg, Tokenize}
 class SkewAndSelectKSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("I1: salts < 1 fails fast (0 would silently un-shard every hot key)") {
+    import spark.implicits._
+    val df = Seq(("a", "d1")).toDF("term", "docid")
+    intercept[IllegalArgumentException] {
+      SaltedAgg.countBy(df, Seq("term"), org.apache.spark.sql.functions.col("docid"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      SaltedAgg.sumBy(df, Seq("term"), org.apache.spark.sql.functions.lit(1L),
+        org.apache.spark.sql.functions.col("docid"), -3)
+    }
+  }
+
   test("I1 skew: 'hot' token in every window — salted counts exact, hot key sharded") {
     // 10k docs; 'hot' appears in every doc next to the mention (100x any
     // other term's frequency) — FIXTURES.md §3

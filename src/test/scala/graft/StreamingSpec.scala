@@ -116,6 +116,29 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dedup honors the batch stopword set (signature parity)") {
+    // with stopwords filtered exactly like the batch TokDoc projection,
+    // docs differing only by a stopword share a signature and collapse
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedDoc]
+    val out = StreamingOps.nearDedupStream(stream.toDS(), "10 minutes",
+      stopwords = Set("the"))
+    val query = out.writeStream.format("memory").queryName("neardedup_sw_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData(
+        StreamingOps.TimedDoc(t(0), "r", "a", "the import foo"),
+        StreamingOps.TimedDoc(t(1), "r", "b", "import foo"), // stopword-only delta
+        StreamingOps.TimedDoc(t(2), "r", "c", "import bar"))
+      query.processAllAvailable()
+      val kept = spark.table("neardedup_sw_stream").select("path").as[String].collect().toSet
+      assert(kept.size == 2 && kept.contains("c"), s"kept=$kept")
+      assert(!(kept.contains("a") && kept.contains("b")),
+        s"stopword-delta docs must share a signature: $kept")
+    } finally query.stop()
+  }
+
   test("windowed sense counts: watermark + tumbling window aggregation") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedAssignment]
