@@ -45,7 +45,10 @@ final case class WsidConfig(
     nmfRegParam: Double = 0.01,
     broadcastDictMaxRows: Long = 2000000L,
     descriptorFallback: Boolean = true,
-    modelBytesBudget: Long = 512L * 1024 * 1024
+    modelBytesBudget: Long = 512L * 1024 * 1024,
+    /** Lloyd iterations per bisecting split (method = "hclust") — the
+      * hclust analogue of nmfMaxIter, previously a hardcoded 10. */
+    hclustIters: Int = 10
 ) {
 
   /** Canonical, ORDER-INDEPENDENT rendering for cache keys and checkpoint

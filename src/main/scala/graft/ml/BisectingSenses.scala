@@ -55,6 +55,11 @@ object BisectingSenses {
   def fit(grouped: RDD[ThinNMF.Ctx], spark: SparkSession, k: Int,
           lloydIters: Int, seed: Long,
           msOpt: Option[Map[String, Int]] = None): Map[String, ThinNMF.H] = {
+    // node ids double down a split chain (children of n are 2n/2n+1), so a
+    // worst-case k-1 one-sided chain reaches ~2^k — past k=30 the Int ids
+    // would wrap negative and rows route to arbitrary leaves silently
+    require(k >= 1 && k <= 30,
+      s"kSenses must be in 1..30 for the Int binary-tree node encoding, got $k")
     val sc = spark.sparkContext
 
     // per-entity term dimension (one cheap pass, as in ThinNMF.fit)
@@ -71,17 +76,25 @@ object BisectingSenses {
     var leaves: Map[String, Vector[Int]] = centers.map { case (e, _) => e -> Vector(1) }
     var sizes: Map[(String, Int), Long] = rootAgg.map { case ((e, _), (_, n)) => (e, 1) -> n }.toMap
 
+    // leaves whose 2-means degenerated (one empty child) — never re-target
+    // them: committing such a split would install an empty leaf with a
+    // near-duplicate center, and re-trying it burns the round budget on the
+    // same outcome (Spark ML's BisectingKMeans likewise declines splits
+    // that produce an empty child)
+    var unsplittable: Set[(String, Int)] = Set.empty
+
     var round = 0
     while (round < k - 1 && centers.exists { case (e, _) => leaves(e).size < k }) {
       // split target per entity: largest splittable leaf (ties: lowest node)
       val targets: Map[String, Int] = centers.collect {
         case (e, _) if leaves(e).size < k =>
-          val splittable = leaves(e).filter(n => sizes.getOrElse((e, n), 0L) >= 2)
+          val splittable = leaves(e).filter(n =>
+            sizes.getOrElse((e, n), 0L) >= 2 && !unsplittable((e, n)))
           e -> splittable
       }.collect { case (e, s) if s.nonEmpty =>
         e -> s.maxBy(n => (sizes((e, n)), -n))
       }.toMap
-      if (targets.isEmpty) return result(centers, leaves)
+      if (targets.isEmpty) { bcMs.destroy(); return result(centers, leaves) }
 
       // seeded deterministic child init: target center ± epsilon * unit noise
       var children: Map[String, (Center, Center)] = targets.map { case (e, n) =>
@@ -90,14 +103,19 @@ object BisectingSenses {
         val p = Array.fill(c.length)((rnd.nextDouble() - 0.5) * 1e-3)
         e -> ((c.zip(p).map { case (x, d) => x + d }, c.zip(p).map { case (x, d) => x - d }))
       }
+      // the tree and targets are invariant for the whole round — broadcast
+      // them ONCE; only the two tiny child centers change per iteration
+      // (re-shipping the full E x (2k-1) x m tree every Lloyd pass was the
+      // bulk of the round's broadcast traffic)
+      val bcRound = sc.broadcast((centers, targets))
       var lastAgg: Map[(String, Int), (Center, Long)] = Map.empty
       var it = 0
       while (it < lloydIters) {
         // one pass: rows inside each entity's target leaf assign to the
         // nearer child; per-(entity, side) mean partials combined map-side
-        val bcState = sc.broadcast((centers, targets, children))
-        lastAgg = lloydPass(grouped, bcState, bcMs)
-        bcState.destroy()
+        val bcChildren = sc.broadcast(children)
+        lastAgg = lloydPass(grouped, bcRound, bcChildren, bcMs)
+        bcChildren.destroy()
         children = targets.map { case (e, _) =>
           val (a, b) = children(e)
           val na = lastAgg.get((e, 0)).filter(_._2 > 0).map(x => scale(x._1, 1.0 / x._2)).getOrElse(a)
@@ -106,10 +124,17 @@ object BisectingSenses {
         }
         it += 1
       }
-      // commit the split: children become leaves 2n/2n+1 (parent center is
-      // kept as the routing node); sizes from the final assignment pass
+      bcRound.destroy()
+      // commit only HEALTHY splits (both children non-empty in the final
+      // pass); degenerate targets become unsplittable and keep their leaf
+      val healthy = targets.filter { case (e, _) =>
+        lastAgg.get((e, 0)).exists(_._2 > 0) && lastAgg.get((e, 1)).exists(_._2 > 0)
+      }
+      unsplittable ++= (targets.toSet -- healthy.toSet).map { case (e, n) => (e, n) }
+      // children become leaves 2n/2n+1 (parent center stays as the routing
+      // node); sizes from the final assignment pass
       centers = centers.map { case (e, cm) =>
-        targets.get(e) match {
+        healthy.get(e) match {
           case Some(n) =>
             val (a, b) = children(e)
             e -> (cm + (2 * n -> a) + (2 * n + 1 -> b))
@@ -117,17 +142,18 @@ object BisectingSenses {
         }
       }
       leaves = leaves.map { case (e, ls) =>
-        targets.get(e) match {
+        healthy.get(e) match {
           case Some(n) => e -> (ls.filterNot(_ == n) :+ (2 * n) :+ (2 * n + 1)).sorted
           case None => e -> ls
         }
       }
-      sizes = sizes ++ targets.flatMap { case (e, n) =>
+      sizes = sizes ++ healthy.flatMap { case (e, n) =>
         Seq((e, 2 * n) -> lastAgg.get((e, 0)).map(_._2).getOrElse(0L),
           (e, 2 * n + 1) -> lastAgg.get((e, 1)).map(_._2).getOrElse(0L))
       }
       round += 1
     }
+    bcMs.destroy()
     result(centers, leaves)
   }
 
@@ -139,21 +165,24 @@ object BisectingSenses {
 
   private def scale(a: Center, f: Double): Center = a.map(_ * f)
 
-  /** Walk the tree from the root to the nearest leaf (row-local). */
-  private def leafOf(cm: Map[Int, Center], termids: Array[Int], ws: Array[Double],
-                     invNorm: Double): Int = {
+  /** Walk the tree from the root to the nearest leaf (row-local); center
+    * squared norms come precomputed per task (`cn`), not per row. */
+  private def leafOf(cm: Map[Int, Center], cn: Map[Int, Double],
+                     termids: Array[Int], ws: Array[Double], invNorm: Double): Int = {
     var node = 1
     while (cm.contains(2 * node)) {
       val l = cm(2 * node)
       val r = cm(2 * node + 1)
-      node = if (distSq(l, termids, ws, invNorm) <= distSq(r, termids, ws, invNorm))
-        2 * node else 2 * node + 1
+      node = if (distSq(l, cn(2 * node), termids, ws, invNorm) <=
+        distSq(r, cn(2 * node + 1), termids, ws, invNorm)) 2 * node else 2 * node + 1
     }
     node
   }
 
-  /** ||x - c||^2 for L2-normalized sparse x: 1 - 2 x·c + |c|^2. */
-  private def distSq(c: Center, termids: Array[Int], ws: Array[Double],
+  /** ||x - c||^2 for L2-normalized sparse x: 1 - 2 x·c + |c|^2, with |c|^2
+    * passed in — recomputing the dense O(m) sum per ROW per tree level was
+    * the dominant cost of the assignment walk. */
+  private def distSq(c: Center, c2: Double, termids: Array[Int], ws: Array[Double],
                      invNorm: Double): Double = {
     var dot = 0.0
     var i = 0
@@ -161,10 +190,14 @@ object BisectingSenses {
       if (termids(i) < c.length) dot += ws(i) * invNorm * c(termids(i))
       i += 1
     }
-    var c2 = 0.0
-    i = 0
-    while (i < c.length) { c2 += c(i) * c(i); i += 1 }
     1.0 - 2.0 * dot + c2
+  }
+
+  private def sumSq(c: Center): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
   }
 
   /** Root-init pass: mean of normalized rows per entity (side key fixed 0
@@ -194,23 +227,34 @@ object BisectingSenses {
   }
 
   /** One Lloyd pass: per-(entity, side∈{0,1}) sum + count of the normalized
-    * rows currently inside the entity's split-target leaf. */
+    * rows currently inside the entity's split-target leaf. The round state
+    * (tree + targets) and the per-iteration children arrive as SEPARATE
+    * broadcasts so the invariant tree ships once per round, not per pass;
+    * center norms are precomputed once per task. */
   private def lloydPass(grouped: RDD[ThinNMF.Ctx],
-                        bcState: org.apache.spark.broadcast.Broadcast[(Map[String, Map[Int, Center]], Map[String, Int], Map[String, (Center, Center)])],
+                        bcRound: org.apache.spark.broadcast.Broadcast[(Map[String, Map[Int, Center]], Map[String, Int])],
+                        bcChildren: org.apache.spark.broadcast.Broadcast[Map[String, (Center, Center)]],
                         bcMs: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
   : Map[(String, Int), (Center, Long)] = {
     grouped.mapPartitions { rows =>
-      val (centers, targets, children) = bcState.value
+      val (centers, targets) = bcRound.value
+      val children = bcChildren.value
       val ms = bcMs.value
+      val cnorms: Map[String, Map[Int, Double]] =
+        centers.map { case (e, cm) => e -> cm.map { case (n, c) => n -> sumSq(c) } }
+      val childNorms: Map[String, (Double, Double)] =
+        children.map { case (e, (a, b)) => e -> ((sumSq(a), sumSq(b))) }
       val acc = scala.collection.mutable.Map.empty[(String, Int), (Center, Long)]
       rows.foreach { c =>
         targets.get(c.entity).foreach { tgt =>
           val m = ms(c.entity)
           val inv = invNormOf(c.ws)
-          if (inv > 0 && leafOf(centers(c.entity), c.termids, c.ws, inv) == tgt) {
+          if (inv > 0 &&
+            leafOf(centers(c.entity), cnorms(c.entity), c.termids, c.ws, inv) == tgt) {
             val (ca, cb) = children(c.entity)
-            val side = if (distSq(ca, c.termids, c.ws, inv) <=
-              distSq(cb, c.termids, c.ws, inv)) 0 else 1
+            val (na, nb) = childNorms(c.entity)
+            val side = if (distSq(ca, na, c.termids, c.ws, inv) <=
+              distSq(cb, nb, c.termids, c.ws, inv)) 0 else 1
             val (sum, n) = acc.getOrElseUpdate((c.entity, side), (new Array[Double](m), 0L))
             var i = 0
             while (i < c.termids.length) {

@@ -47,8 +47,8 @@ object SenseInduction {
     val h: Map[String, ThinNMF.H] = cfg.method match {
       case "als" => alsH(spark, longForm(spark, grouped), cfg)
       case "hclust" =>
-        BisectingSenses.fitSharded(grouped, spark, cfg.kSenses, 10, cfg.seed,
-          cfg.modelBytesBudget)
+        BisectingSenses.fitSharded(grouped, spark, cfg.kSenses, cfg.hclustIters,
+          cfg.seed, cfg.modelBytesBudget)
       case _ =>
         ThinNMF.fitSharded(grouped, spark, cfg.kSenses, cfg.nmfMaxIter, cfg.seed,
           cfg.modelBytesBudget)
@@ -100,14 +100,18 @@ object SenseInduction {
     val offArr = offLong.map(_.toInt).toArray
     val offsetDF = entities.zip(offArr).toDF("entity", "off")
 
-    // dense Int user ids over (entity, ctxid); zipWithUniqueId needs no
-    // extra count job and ids stay < rowCount * numPartitions (Int-safe)
-    val users = ctxvec.select("entity", "ctxid").distinct().rdd
-      .map(r => (r.getString(0), r.getString(1))).zipWithUniqueId()
-      .map { case ((e, c), i) =>
-        require(i <= Int.MaxValue, "context id space exceeds Int — shard entities")
-        (e, c, i.toInt)
-      }.toDF("entity", "ctxid", "cid")
+    // dense Int user ids over (entity, ctxid), DETERMINISTIC under
+    // recompute: ids come from the checkpoint-pinned two-phase global
+    // position scan over the (entity, ctxid) total order. The previous
+    // zipWithUniqueId form depended on within-partition element order,
+    // which a task retry / cache-evicted recompute of the distinct() can
+    // permute — the same context would then enter different ALS rating
+    // blocks under different cids, silently corrupting the factorization.
+    val (posDF, total) = graft.operators.Mixing.withGlobalPositions(
+      ctxvec.select("entity", "ctxid").distinct(), Seq("entity", "ctxid"))
+    require(total <= Int.MaxValue, "context id space exceeds Int — shard entities")
+    val users = posDF
+      .select(col("entity"), col("ctxid"), (col("pos") - 1).cast("int").as("cid"))
     val ratings = ctxvec.join(users, Seq("entity", "ctxid"))
       .join(broadcast(offsetDF), Seq("entity"))
       .select(col("cid"), (col("off") + col("termid")).cast("int").as("item"),

@@ -102,7 +102,11 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val out = Array.tabulate[Byte](targetBytes)(i => r.payload(i % r.payload.length))
+      // empty payloads tile to zeros — the schema forbids null, not empty,
+      // and i % 0 would kill the task with an ArithmeticException
+      val out =
+        if (r.payload.isEmpty) new Array[Byte](targetBytes)
+        else Array.tabulate[Byte](targetBytes)(i => r.payload(i % r.payload.length))
       r.copy(payload = out, meta = r.meta + ("bytes" -> targetBytes.toString))
     }
   }

@@ -63,7 +63,13 @@ final class Checkpoint(spark: SparkSession, root: String) {
         // data. Manifest-after-data is the commit point in both directions.
         val mPath = new Path(s"$dir/_manifest.json")
         val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(mPath)) fs.delete(mPath, false)
+        // the delete MUST succeed before the rewrite starts: a silently
+        // failed delete (object-store/permission hiccup returns false, not
+        // throw) would leave the old manifest next to partial new data, and
+        // a later run with the old config would resume from it
+        if (fs.exists(mPath) && !fs.delete(mPath, false))
+          throw new java.io.IOException(
+            s"could not remove stale manifest $mPath before stage rewrite")
         val t0 = System.nanoTime()
         // I3: counters ride the write itself via Dataset.observe — no extra
         // pass; harvested after the action and persisted in the manifest

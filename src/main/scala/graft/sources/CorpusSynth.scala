@@ -94,8 +94,11 @@ object CorpusSynth {
       senseVocabs.map { case (k, v) => k -> v.toSet }, noiseVocab.toSet)
   }
 
-  def plantedDocs(spark: SparkSession, docsPerEntity: Int = 400, window: Int = 64): Dataset[CodeDoc] = {
+  /** Docs only (the window parameter would be DEAD here: it shapes only the
+    * ground-truth expectations `planted` computes, which this discards —
+    * offering it would invite fixtures that believe they are window-X). */
+  def plantedDocs(spark: SparkSession, docsPerEntity: Int = 400): Dataset[CodeDoc] = {
     import spark.implicits._
-    spark.createDataset(planted(docsPerEntity, window).docs).repartition(8)
+    spark.createDataset(planted(docsPerEntity).docs).repartition(8)
   }
 }

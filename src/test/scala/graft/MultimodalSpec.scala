@@ -50,4 +50,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(resized.forall(_.meta("bytes") == "128"))
     assert(resized.map(_.doc_id).toSet == (0L until 9L).toSet)
   }
+
+  test("resize: empty payload tiles to zeros instead of crashing") {
+    import spark.implicits._
+    val row = Multimodal.MediaRow(99L, "image", Array.emptyByteArray, Map.empty)
+    val out = Multimodal.resize(Seq(row).toDS(), 16).head()
+    assert(out.payload.length == 16 && out.payload.forall(_ == 0.toByte))
+  }
 }

@@ -54,6 +54,26 @@ class SenseSpec extends SparkTestBase {
     checkPR("hclust")
   }
 
+  test("BisectingSenses: identical rows decline the split (no empty leaf, no duplicate centers)") {
+    // every context identical -> the 2-means can never populate both
+    // children; the split must be DECLINED (leaf marked unsplittable), not
+    // committed as (N, 0) with a near-duplicate center that future rounds
+    // re-split forever
+    val rows = (0 until 20).map(i =>
+      ml.ThinNMF.Ctx("e", s"d$i", Array(0, 1), Array(1.0, 2.0)))
+    val ctx = spark.sparkContext.parallelize(rows, 4)
+    val h = ml.BisectingSenses.fit(ctx, spark, k = 3, lloydIters = 4, seed = 42L)
+    assert(h("e").length == 1, s"degenerate data must stay ONE sense, got ${h("e").length}")
+  }
+
+  test("BisectingSenses: k outside the Int-safe tree bound fails fast") {
+    val ctx = spark.sparkContext.parallelize(
+      Seq(ml.ThinNMF.Ctx("e", "d0", Array(0), Array(1.0))), 1)
+    intercept[IllegalArgumentException] {
+      ml.BisectingSenses.fit(ctx, spark, k = 31, lloydIters = 1, seed = 42L)
+    }
+  }
+
   test("E3 disambiguate: held-out docs link to the right sense") {
     val corpus = CorpusSynth.planted(docsPerEntity = 200)
     import spark.implicits._
