@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 import graft.functions.{ArrayDot, HyperGeom, LogHypergeomTail}
 
@@ -12,20 +13,41 @@ import graft.functions.{ArrayDot, HyperGeom, LogHypergeomTail}
   * (Verify/Bench/tests do; SURVEY.md §4.1).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Insert an explicit Cast when the child's type differs from the
+    * expression's expected input — int literals and array<float> columns
+    * then analyze identically under the native registration and under the
+    * ScalaUDF fallback (whose inputs Spark coerces implicitly); the
+    * sql-private AbstractDataType keeps ImplicitCastInputTypes out of reach
+    * for external expressions, so the builder does the coercion. */
+  private def castTo(e: Expression, t: DataType): Expression =
+    if (e.resolved && e.dataType == t) e else Cast(e, t)
+  // (redundant Casts on already-typed children are removed by SimplifyCasts;
+  // the e.resolved guard avoids touching dataType on a not-yet-resolved
+  // child during analysis)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.LogHypergeomName),
       new ExpressionInfo(classOf[LogHypergeomTail].getName, GraftFunctions.LogHypergeomName),
       (children: Seq[Expression]) => {
         require(children.size == 4, s"${GraftFunctions.LogHypergeomName} expects 4 arguments")
-        LogHypergeomTail(children(0), children(1), children(2), children(3))
+        val c = children.map(castTo(_, LongType))
+        LogHypergeomTail(c(0), c(1), c(2), c(3))
       }))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.ArrayDotName),
       new ExpressionInfo(classOf[ArrayDot].getName, GraftFunctions.ArrayDotName),
       (children: Seq[Expression]) => {
         require(children.size == 2, s"${GraftFunctions.ArrayDotName} expects 2 arguments")
-        ArrayDot(children(0), children(1))
+        val c = children.map { e =>
+          if (e.resolved && (e.dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })) e
+          else Cast(e, ArrayType(DoubleType))
+        }
+        ArrayDot(c(0), c(1))
       }))
   }
 }
@@ -45,15 +67,26 @@ object GraftFunctions {
     }
     if (!spark.catalog.functionExists(GraftFunctions.ArrayDotName)) {
       spark.udf.register(GraftFunctions.ArrayDotName,
-        // boxed return: dimension mismatch -> null, same as the native
-        // expression (and as aggregate(zip_with(...)) on padded nulls)
-        (a: Seq[Double], b: Seq[Double]) => {
-          if (a.length != b.length) null.asInstanceOf[java.lang.Double]
+        // boxed return: NULL input or dimension mismatch -> null, matching
+        // the native expression (a BinaryExpression is null-intolerant and
+        // returns NULL on a null child; dereferencing here would instead
+        // NPE the whole job on fallback sessions — the exact sessions this
+        // registration path serves)
+        // boxed element type: a null SLOT must null the dot (matching the
+        // native expression and the HOF form) — Seq[Double] would NPE on
+        // unboxing it instead
+        (a: Seq[java.lang.Double], b: Seq[java.lang.Double]) => {
+          if (a == null || b == null || a.length != b.length)
+            null.asInstanceOf[java.lang.Double]
           else {
             var s = 0.0
             var i = 0
-            while (i < a.length) { s += a(i) * b(i); i += 1 }
-            java.lang.Double.valueOf(s)
+            var ok = true
+            while (ok && i < a.length) {
+              if (a(i) == null || b(i) == null) ok = false
+              else { s += a(i) * b(i); i += 1 }
+            }
+            if (ok) java.lang.Double.valueOf(s) else null.asInstanceOf[java.lang.Double]
           }
         })
     }

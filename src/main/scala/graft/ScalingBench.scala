@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * replica) so the job is compute-bound rather than overhead-bound — the
   * honest stand-in for "same job, bigger cluster, proportional data math".
   *
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), GRAFT_BENCH_N (default 8),
-  *      GRAFT_BENCH_REPS (default 20).
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), GRAFT_BENCH_N (default 1 — the
+  * pair with genuine 4x hardware on this host, see below), GRAFT_BENCH_REPS
+  * (default 60, the amplification factor), GRAFT_BENCH_PARTS (default 48,
+  * input splits AND shuffle partitions, fixed across levels),
+  * GRAFT_BENCH_ONLY (single-level mode for the bin/scaling.sh wrapper),
+  * GRAFT_LOCAL_DIR (tmpfs shuffle dir), GRAFT_DEBUG_JOBS (per-job
+  * profiling listener — NOT for measured runs; its bus thread shares the
+  * pinned CPU).
   */
 object ScalingBench {
 
@@ -41,6 +47,10 @@ object ScalingBench {
 
     val (tSmall, cSmall) = runOnce(n, sfDir, reps)
     val (tBig, cBig) = runOnce(4 * n, sfDir, reps)
+    // an empty corpus would make the divergence ratio NaN and fail with a
+    // misleading "0 vs 0 diverge" — name the real problem instead
+    require(cSmall > 0 && cBig > 0,
+      s"E1 emitted no triples ($cSmall / $cBig) — empty or misconfigured corpus at $sfDir")
     // ALS factor init depends on rating partitioning, so borderline sense
     // assignments may flip across parallelism levels; counts must agree to 1%
     require(math.abs(cSmall - cBig).toDouble / cSmall < 0.01,
@@ -95,18 +105,20 @@ object ScalingBench {
       // serial task — the single-task crossJoin was a constant ~30 s serial
       // phase that swamped the cluster-size comparison
       val base = sources.CorpusSynth.fromDocuments(spark, sfDir)
-        .repartition(sys.env.getOrElse("GRAFT_BENCH_PARTS", "48").toInt)
+        .repartition(parts)
       val replicas = spark.range(reps).select(col("id").cast("int").as("rep"))
       val docs = base.crossJoin(broadcast(replicas))
         .select(concat(col("repo"), lit("_r"), col("rep")).as("repo"),
           col("path"), col("commit"), col("lang"), col("content"))
         .as[CodeDoc]
-      // warm the FS cache with a cheap action, then run a SHORT full E1 on a
-      // reps/10 slice untimed: the operator code paths JIT-compile during
-      // the warmup, not inside the measurement. On the 1-core level the C2
-      // compiler shares the single pinned CPU with the workload, so unwarmed
-      // runs measured up to ±13% trial-to-trial drift from compilation alone.
-      docs.count()
+      // warm the FS cache with a cheap action (counting the UN-amplified
+      // base reads the identical file bytes at 1/reps the compute), then run
+      // a SHORT full E1 on a reps/10 slice untimed: the operator code paths
+      // JIT-compile during the warmup, not inside the measurement. On the
+      // 1-core level the C2 compiler shares the single pinned CPU with the
+      // workload, so unwarmed runs measured up to ±13% trial-to-trial drift
+      // from compilation alone.
+      base.count()
       val warmReps = math.max(1, reps / 10)
       val warmDocs = base.crossJoin(broadcast(
           spark.range(warmReps).select(col("id").cast("int").as("rep"))))

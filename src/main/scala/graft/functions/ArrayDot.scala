@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (aggregate ∘ zip_with) pays an interpreted lambda dispatch per element,
   * which dominated the dedup verifier's runtime. This expression keeps the
   * pair loop inside whole-stage codegen: one generated call into a static
-  * tight loop over the unsafe array data, no boxing. Assumes non-null array
-  * elements (the operators build them by casting parquet floats).
+  * tight loop over the unsafe array data, no boxing on the non-null path.
+  * Null array ELEMENTS null the whole dot (HOF-identical null propagation).
   *
   * Mismatched dimensions yield NULL, exactly like the HOF form (zip_with
   * pads the shorter array with nulls, which nulls the aggregate) — a
@@ -38,18 +38,26 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    if (aa.numElements() != bb.numElements()) null else ArrayDot.dot(aa, bb)
+    if (aa.numElements() != bb.numElements()) null
+    else {
+      val r = ArrayDot.dot(aa, bb)
+      if (r == null) null else r.doubleValue()
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.ArrayDot.dot($a, $b);
+         |  java.lang.Double $tmp = graft.functions.ArrayDot.dot($a, $b);
+         |  if ($tmp == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $tmp.doubleValue(); }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -58,12 +66,18 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 object ArrayDot {
   /** Sequential-order sum, bit-identical to aggregate(zip_with(a,b,*),0,+)
     * on equal-length arrays (the expression returns NULL before calling this
-    * when lengths differ). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+    * when lengths differ). A null ELEMENT on either side nulls the whole dot
+    * (boxed null return) — the HOF form null-propagates identically, and
+    * reading a null slot as 0.0 would silently mis-score the pair. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 }

@@ -62,7 +62,15 @@ object CorpusSynth {
   val noiseVocab: Vector[String] = Vector("the", "a", "of", "and", "code", "data", "world", "time")
 
   /** Deterministic generator: seed=42, D docs per entity, 50/50 sense split,
-    * 1 mention + 20 sense tokens + 10 noise tokens per doc, shuffled. */
+    * 1 mention + 20 sense tokens + 10 noise tokens per doc, shuffled.
+    *
+    * CONTRACT for the ground-truth expectations: `window` membership is
+    * computed over RAW token positions, whereas the pipeline's Token.pos is
+    * stopword-FILTERED — the expectations are ground truth only for configs
+    * with EMPTY stopwords, and for windows that either cover the whole
+    * 31-token doc (the fixtures' window=64) or are read as raw-position
+    * windows. A test pairing `planted(window = small)` with a stopword-ful
+    * cfg would silently assert against the wrong truth. */
   def planted(docsPerEntity: Int = 400, window: Int = 64, seed: Long = 42L): PlantedCorpus = {
     val rnd = new scala.util.Random(seed)
     val docs = Vector.newBuilder[CodeDoc]

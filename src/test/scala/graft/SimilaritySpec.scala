@@ -25,6 +25,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(diffs == 0, s"$diffs rows diverge between native and HOF dot")
   }
 
+  test("ArrayDot: null array and null ELEMENT yield NULL (HOF null propagation), both paths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (3L, null, Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "x", "y")
+    val out = df.select(col("id"),
+        call_function(GraftFunctions.ArrayDotName, col("x"), col("y")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L) == Some(11.0))
+    assert(out(2L).isEmpty, s"null element must null the dot: ${out(2L)}")
+    assert(out(3L).isEmpty, "null array must null the dot")
+  }
+
   test("ArrayDot: mismatched dimensions yield NULL, matching the HOF form") {
     GraftFunctions.ensureRegistered(spark)
     val rows = Seq(
