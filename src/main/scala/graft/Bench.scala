@@ -57,6 +57,9 @@ object Bench {
     // the code-derived ModelVersion changed) is warm-phase work — charged
     // here, visibly, instead of to whichever E3 query runs first
     Memo.modelOf(spark, sfDir, ExtraQueries.e3Cfg)
+    // the memoized BPE training likewise (VERDICT r4 #3): ~3 s of one-time
+    // deterministic training used to land inside q_vocab_bpe_encode
+    ExtraQueries.warmBpe(spark, sfDir)
     val memoWarmSec = (System.nanoTime() - tWarm) / 1e9
 
     // test hook for the loud-failure contract: GRAFT_BENCH_INJECT_FAIL adds a
@@ -67,22 +70,55 @@ object Bench {
           throw new RuntimeException("injected failure (GRAFT_BENCH_INJECT_FAIL)")))
       else Map.empty)
 
+    // STALL-ROBUST timing (VERDICT r4 #2): this host stalls for tens of
+    // seconds at a time (documented G1/host-drift pathology) and a one-shot
+    // timing cannot tell code from environment — in round 4 a single ~80 s
+    // stall landed on three consecutive queries and tripled the official
+    // artifact. Each query therefore runs `reps` times; `queries` reports the
+    // MIN (steady state, the code's number), `queries_max` the max, and any
+    // query whose max/min exceeds 3x (with an absolute floor so micro-queries
+    // don't flag on scheduling jitter) is listed in `stall_suspects`.
+    // Per-query start timestamps (`queries_t0`, epoch seconds) make a stall
+    // attributable to its wall-clock window after the fact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = registry.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-      name -> (System.nanoTime() - t0) / 1e9
+    val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val runsOf = registry.map { case (name, fn) =>
+      startedAt(name) = System.currentTimeMillis() / 1000
+      val runs = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq // a failing query is not retried
+      name -> (if (runs.isEmpty) Seq(0.0) else runs)
     }
+    val results = runsOf.map { case (n, rs) => n -> rs.min }
+    val resultsMax = runsOf.map { case (n, rs) => n -> rs.max }
+    val stallSuspects = runsOf.collect {
+      case (n, rs) if rs.max > rs.min * 3 && rs.max - rs.min > 1.0 => n
+    }.toSeq
 
-    // flagship E1 end-to-end: triples/sec is the headline metric (BASELINE.md)
+    // flagship E1 end-to-end: triples/sec is the headline metric (BASELINE.md).
+    // Also run `reps` times: the first run additionally pays E1-specific plan
+    // compilation/codegen (the registry warms different plans), and the
+    // round-5 bisect showed host-window drift alone spans ±25% at sf0.1 —
+    // the steady-state MIN is the code's number, every run is reported.
     val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
-    val t0 = System.nanoTime()
-    val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
-    val triples = r.triples.count()
-    val e1Sec = (System.nanoTime() - t0) / 1e9
+    var triples = 0L
+    val e1Runs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
+      triples = r.triples.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      r.cleanup()
+      sec
+    }
+    val e1Sec = e1Runs.min
     val tps = triples / e1Sec
-    r.cleanup()
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -92,12 +128,19 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qsMax = resultsMax.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qsT0 = startedAt.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val stallJson = stallSuspects.map(jstr).mkString("[", ",", "]")
+    val e1RunsJson = e1Runs.mkString("[", ",", "]")
     // memo_warm is charged to the TOTAL (it used to hide inside whichever
-    // query ran first) — only the per-query attribution changed in round 3
+    // query ran first); the total sums STEADY-STATE (min) numbers — a host
+    // stall shows up in queries_max/stall_suspects, never in the total
     val total = results.values.sum + e1Sec + memoWarmSec
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""e1_sec":$e1Sec,"e1_triples":$triples,"e1_triples_per_sec":$tps,""" +
+      s""""queries_max":$qsMax,"queries_t0":$qsT0,"stall_suspects":$stallJson,""" +
+      s""""reps":$reps,"e1_sec":$e1Sec,"e1_runs":$e1RunsJson,""" +
+      s""""e1_triples":$triples,"e1_triples_per_sec":$tps,""" +
       s""""memo_warm_sec":$memoWarmSec,""" +
       s""""cpus":$cpus,"sf":${jstr(sfDir)},"n_errors":${errors.size},"errors":$errJson}"""
     println(json)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only same-JVM A/B for the docpath-strip expression on the triple
+  * emission paths (round-5 E1 bisect): times the regexp_replace form vs the
+  * codegen string-primitive form (Linking.stripLastSegment) over the same
+  * cached sf0.1 occurrence frame, alternating, so host drift cancels. */
+object E1AB {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.muteCheckpointWarns()
+    val cs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
+    val cov = cs.coverage.toDF().persist()
+    println(s"[ab] occurrence rows: ${cov.count()}")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[ab] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    (1 to reps).foreach { _ =>
+      time("regex ") {
+        cov.select(col("entity"), regexp_replace(col("docid"), "@[^@]*$", "").as("d"),
+          col("term")).distinct().count()
+      }
+      time("strseg") {
+        cov.select(col("entity"), operators.Linking.stripLastSegment(col("docid"), "@").as("d"),
+          col("term")).distinct().count()
+      }
+    }
+    // semantic equivalence on the real corpus
+    val diff = cov.select(
+      regexp_replace(col("docid"), "@[^@]*$", "").as("a"),
+      operators.Linking.stripLastSegment(col("docid"), "@").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    println(s"[ab] disagreement rows: $diff")
+    spark.stop()
+  }
+}

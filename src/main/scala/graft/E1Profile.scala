@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only E1 profiler (not part of the driver contract): runs the flagship
+  * E1 pipeline (exactly the Bench configuration: raw sfDir corpus,
+  * cfg.topK = 50) N times in one session so JVM/codegen warmup separates
+  * from the steady-state cost, printing wall + triples per rep. Used for the
+  * round-5 regression bisect (VERDICT r4 "Next" #1). */
+object E1Profile {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.muteCheckpointWarns()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
+      val triples = r.triples.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      r.cleanup()
+      println(f"[e1] run $i: $sec%.2f s, $triples triples, ${triples / sec}%.0f tps")
+    }
+    spark.stop()
+  }
+}

@@ -222,8 +222,10 @@ object Pipeline {
       // the distinct exchange then carries (entity, docpath, term), not
       // pre-concatenated triple strings
       // LAST-'@' strip: the commit suffix goes, a path containing '@'
-      // survives intact (mirrored in the q_l3 oracle)
-      .select(col("entity"), regexp_replace(col("docid"), "@[^@]*$", "").as("docpath"),
+      // survives intact (mirrored in the q_l3 oracle); codegen'd string
+      // primitives, not a per-row regex — this projection runs per
+      // occurrence row BEFORE the dedup exchange
+      .select(col("entity"), Linking.stripLastSegment(col("docid"), "@").as("docpath"),
         col("term"))
       .distinct()
       .select(

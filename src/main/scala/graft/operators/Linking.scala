@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,16 @@ object Linking {
     (a2, s2)
   }
 
+  /** Strip the LAST `sep`-separated segment of `c` (the separator included);
+    * a string without `sep` passes through unchanged. Equivalent to
+    * regexp_replace(c, sep + "[^" + sep + "]*$", "") but built from codegen'd
+    * string primitives (reverse/locate/left) — this runs per PRE-dedup
+    * occurrence row on the triple-emission paths, where a per-row java.util
+    * .regex matcher measurably drags the whole E1 chain (round-5 bisect:
+    * the regexp form cost ~1s of E1 steady-state wall at sf0.1). */
+  private[graft] def stripLastSegment(c: Column, sep: String): Column =
+    left(c, length(c) - locate(sep, reverse(c)))
+
   /** L2+L3: hasSense triples, deduped (A5) on the COMPACT key
     * (entity, docpath, senseid) BEFORE the subject string is materialized —
     * the distinct shuffle then moves short columns instead of pre-built
@@ -69,7 +79,7 @@ object Linking {
   def hasSenseTriples(assignments: DataFrame): DataFrame =
     assignments.select(
       col("entity"),
-      regexp_replace(regexp_replace(col("ctxid"), "#[^#]*$", ""), "@[^@]*$", "")
+      stripLastSegment(stripLastSegment(col("ctxid"), "#"), "@")
         .as("docpath"),
       col("senseid"))
       .distinct()
