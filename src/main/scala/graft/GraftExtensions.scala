@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, NullType, ShortType}
 
 import graft.functions.{ArrayDot, HyperGeom, LogHypergeomTail}
 
@@ -19,9 +19,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * then analyze identically under the native registration and under the
     * ScalaUDF fallback (whose inputs Spark coerces implicitly); the
     * sql-private AbstractDataType keeps ImplicitCastInputTypes out of reach
-    * for external expressions, so the builder does the coercion. */
-  private def castTo(e: Expression, t: DataType): Expression =
-    if (e.resolved && e.dataType == t) e else Cast(e, t)
+    * for external expressions, so the builder does the coercion.
+    *
+    * The LONG coercion accepts only INTEGRAL children (and NullType):
+    * a fractional or non-numeric argument — e.g. a probability column
+    * passed where a count belongs — fails analysis loudly instead of
+    * silently truncating in non-ANSI mode. */
+  private def castToLong(e: Expression, arg: Int): Expression =
+    if (!e.resolved) Cast(e, LongType)
+    else e.dataType match {
+      case LongType => e
+      case ByteType | ShortType | IntegerType | NullType => Cast(e, LongType)
+      case other => throw new IllegalArgumentException(
+        s"${GraftFunctions.LogHypergeomName} expects integral counts; argument $arg " +
+          s"has type ${other.sql} — cast to BIGINT explicitly if truncation is intended")
+    }
   // (redundant Casts on already-typed children are removed by SimplifyCasts;
   // the e.resolved guard avoids touching dataType on a not-yet-resolved
   // child during analysis)
@@ -32,7 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LogHypergeomTail].getName, GraftFunctions.LogHypergeomName),
       (children: Seq[Expression]) => {
         require(children.size == 4, s"${GraftFunctions.LogHypergeomName} expects 4 arguments")
-        val c = children.map(castTo(_, LongType))
+        val c = children.zipWithIndex.map { case (e, i) => castToLong(e, i + 1) }
         LogHypergeomTail(c(0), c(1), c(2), c(3))
       }))
     ext.injectFunction((

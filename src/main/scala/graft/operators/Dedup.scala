@@ -357,15 +357,24 @@ object Dedup {
     // RELIABLE checkpoint on durable storage when graft.checkpoint.dir is
     // configured (executor loss then re-reads instead of failing mid-CC),
     // with superseded rounds' blocks freed deterministically (see Pinned).
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    def checkpointTracked(df: DataFrame): (DataFrame, graft.plans.Pinned.Handle) =
       graft.plans.Pinned.pinTracked(df)
-    def free(ids: Set[Int]): Unit =
-      graft.plans.Pinned.free(pairs.sparkSession, ids)
-    var (edges, edgeIds) = checkpointTracked(pairs
+    def free(h: graft.plans.Pinned.Handle): Unit =
+      graft.plans.Pinned.free(pairs.sparkSession, h)
+    // ONE scan of `pairs` (often an expensive candidate chain): the pinned
+    // base keeps degenerate self-pairs (lo == hi) alongside the normalized
+    // edges, so the singleton rescue at the end reads node-sized pinned
+    // rows instead of re-executing the whole pair plan a second time. The
+    // self-node frame is pinned separately (node-sized, held to the end)
+    // and the base is freed as soon as both derivations are materialized.
+    val (base, baseIds) = checkpointTracked(pairs
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
       .distinct())
+    val (selfNodes, selfIds) = checkpointTracked(
+      base.filter(col("lo") === col("hi")).select(col("lo").as("docid")))
+    var (edges, edgeIds) = checkpointTracked(base.filter(col("lo") =!= col("hi")))
+    free(baseIds)
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
@@ -414,6 +423,7 @@ object Dedup {
     }
     if (!converged) {
       free(edgeIds)
+      free(selfIds)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "partial components would be silently wrong; raise maxIter")
@@ -429,19 +439,19 @@ object Dedup {
     // unioned back as singleton clusters — the contract is "every node
     // appearing in pairs", and a caller driving keep/drop from
     // nearDupClusters would silently lose self-pair-only docs otherwise.
-    // The FINAL union is pinned too: the self-pair branch re-reads `pairs`
-    // (often an expensive candidate chain), and callers like
-    // nearDupClusters reference the result more than once — the returned
-    // frame must be a frozen node-sized assignment, never a plan that
-    // recomputes the pair input per action. Every intermediate is freed;
-    // what remains cached is exactly the returned assignment (reclaimed by
-    // ContextCleaner once the caller drops it).
-    val selfOnly = pairs.filter(col("a") === col("b"))
-      .select(col("a").as("docid")).distinct()
-      .join(out, Seq("docid"), "left_anti")
+    // The self-node frame was split out of the SINGLE pinned first scan of
+    // `pairs` up top, so this branch costs a node-sized anti-join, never a
+    // second execution of the candidate chain. The FINAL union is pinned
+    // too: callers like nearDupClusters reference the result more than
+    // once — the returned frame must be a frozen node-sized assignment,
+    // never a plan that recomputes the pair input per action. Every
+    // intermediate is freed; what remains cached is exactly the returned
+    // assignment (reclaimed by ContextCleaner once the caller drops it).
+    val selfOnly = selfNodes.join(out, Seq("docid"), "left_anti")
     val (res, _) = checkpointTracked(
       out.unionByName(selfOnly.select(col("docid"), col("docid").as("cluster"))))
     free(outIds)
+    free(selfIds)
     res
   }
 
@@ -476,11 +486,30 @@ object Dedup {
     * Provenance columns OVERWRITE same-named corpus columns (`cluster`,
     * `cluster_size`) — e.g. when a prior pass's output is fed back in; the
     * join itself runs on collision-proof internal names so a corpus
-    * carrying those columns can never make the join ambiguous. */
+    * carrying those columns can never make the join ambiguous.
+    *
+    * Survivor election is corpus-aware: the survivor of each cluster is the
+    * minimum id AMONG MEMBERS PRESENT IN `corpus`, not the raw pair-graph
+    * minimum — when `pairs` carries ids the corpus no longer has (a stale
+    * candidate table, a pre-filtered corpus), the cluster still emits a
+    * survivor instead of silently losing every present member. When pairs'
+    * ids ⊆ corpus ids (the normal pipeline), this equals the pair-graph
+    * minimum exactly. Clusters with NO member in the corpus emit nothing,
+    * by construction. The election costs one id-pruned corpus scan
+    * semi-joined against the node-sized cluster frame plus one node-sized
+    * aggregation — `cluster_size` keeps counting the FULL pair-graph
+    * cluster (it reports how much duplication the survivor stands for). */
   def emitDeduped(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val clusters = nearDupClusters(pairs).select(
-      col("docid").as(idCol), col("cluster").as("__graft_c"),
-      col("cluster_size").as("__graft_cs"), col("is_kept").as("__graft_k"))
+    val cc = nearDupClusters(pairs)
+    // members present in the corpus (id-pruned scan; the node-sized cc
+    // frame broadcasts under AQE), then the per-cluster minimum present id
+    val present = cc.join(
+      corpus.select(col(idCol).as("docid")), Seq("docid"), "left_semi")
+    val survivors = present.groupBy("cluster").agg(min(col("docid")).as("__graft_s"))
+    val clusters = cc.join(survivors, Seq("cluster"))
+      .select(col("docid").as(idCol), col("cluster").as("__graft_c"),
+        col("cluster_size").as("__graft_cs"),
+        when(col("docid") === col("__graft_s"), 1L).otherwise(0L).as("__graft_k"))
     corpus.join(clusters, Seq(idCol), "left")
       .filter(col("__graft_k").isNull || col("__graft_k") === 1L)
       .withColumn("cluster", coalesce(col("__graft_c"), col(idCol)))

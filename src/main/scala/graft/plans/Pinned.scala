@@ -20,12 +20,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * offset/window agreement holds either way; the swap changes fault
   * behavior only, never results (PinnedSpec asserts equality).
   *
-  * Durable-mode note: checkpoint files accumulate one snapshot per pin
-  * until the context stops (Spark's `ReliableCheckpointRDD` lifecycle);
-  * enable `spark.cleaner.referenceTracking.cleanCheckpoints` for eager
-  * cleanup on long-running drivers.
+  * Durable-mode retention: Spark's own `ReliableCheckpointRDD` lifecycle
+  * keeps one snapshot per pin until the context stops (GC-driven cleanup
+  * via `spark.cleaner.referenceTracking.cleanCheckpoints` is opt-in and
+  * nondeterministic), so `pinTracked` additionally records the `rdd-*`
+  * checkpoint directories each durable pin wrote and `free` DELETES a
+  * superseded pin's directories eagerly — a long-lived driver running many
+  * CC/BPE/scan jobs against one checkpoint root stays bounded at the live
+  * pins, not the pin history (PinnedSpec asserts superseded dirs are
+  * removed while the final pin survives and stays readable).
   */
 object Pinned {
+
+  /** What one pinTracked call materialized: persisted block ids
+    * (localCheckpoint mode) and/or reliable-checkpoint directories
+    * (durable mode). free() releases both. */
+  final case class Handle(blocks: Set[Int], ckptDirs: Set[String])
 
   val ConfKey = "graft.checkpoint.dir"
 
@@ -51,10 +61,19 @@ object Pinned {
         // pin, and an externally-set foreign dir is corrected. Comparing
         // the subdir's PARENT against the configured root (per context,
         // not via JVM-global state) keeps this correct when multiple
-        // sessions configure different roots.
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        val underRoot = sc.getCheckpointDir.exists(cur =>
-          new org.apache.hadoop.fs.Path(cur).getParent.toUri.getPath == want)
+        // sessions configure different roots. Both sides are fully
+        // QUALIFIED (scheme + authority + path) before comparing —
+        // a path-only compare would treat file:/ckpt and hdfs://nn/ckpt
+        // as the same root and keep pinning to the old filesystem after
+        // a cross-filesystem reconfiguration.
+        val hconf = sc.hadoopConfiguration
+        def qualified(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+          p.getFileSystem(hconf).makeQualified(p)
+        val want = qualified(new org.apache.hadoop.fs.Path(dir))
+        val underRoot = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && qualified(parent) == want
+        }
         if (!underRoot) sc.setCheckpointDir(dir)
         // persist before the reliable checkpoint: Spark's checkpoint-write
         // job otherwise RECOMPUTES the whole plan from lineage after the
@@ -73,22 +92,56 @@ object Pinned {
     }
   }
 
-  /** pin() plus the ids of any storage blocks the pin persisted — the
+  /** pin() plus a Handle for everything the pin materialized — the
     * iterative operators (CC star rounds, BPE merge rounds) free superseded
     * rounds DETERMINISTICALLY with free() instead of waiting on driver GC,
-    * so at most two round-state copies are ever live. localCheckpoint
-    * registers its persisted RDDs; reliable checkpoints persist no blocks
-    * (free() then no-ops and the durable files follow Spark's checkpoint
-    * lifecycle). Single-driver loops only: the registry diff is not meant
-    * to be raced by concurrent checkpointing jobs. */
-  def pinTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    * so at most two round-state copies are ever live in EITHER mode:
+    * localCheckpoint registers persisted RDDs (tracked by registry diff);
+    * a durable pin writes `rdd-*` directories under the checkpoint dir
+    * (tracked by directory-listing diff — correct even when pin() just
+    * minted a fresh per-app subdir, since that subdir starts empty).
+    * Single-driver loops only: neither diff is meant to be raced by
+    * concurrent checkpointing jobs. free() is a superseded-state contract:
+    * the caller promises the pinned frame is never referenced again
+    * (re-reading a freed durable pin fails exactly like recomputing a freed
+    * localCheckpoint does). */
+  def pinTracked(df: DataFrame): (DataFrame, Handle) = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val blocksBefore = sc.getPersistentRDDs.keySet
+    val dirsBefore = listCkptDirs(spark)
     val pinned = pin(df)
-    (pinned, (sc.getPersistentRDDs.keySet -- before).toSet)
+    (pinned, Handle(
+      (sc.getPersistentRDDs.keySet -- blocksBefore).toSet,
+      listCkptDirs(spark) -- dirsBefore))
   }
 
-  /** Unpersist blocks recorded by pinTracked (non-blocking). */
-  def free(spark: SparkSession, ids: Set[Int]): Unit =
-    ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  /** Release everything a pinTracked Handle recorded: unpersist blocks
+    * (non-blocking) and delete the pin's reliable-checkpoint directories. */
+  def free(spark: SparkSession, h: Handle): Unit = {
+    h.blocks.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    if (h.ckptDirs.nonEmpty) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      h.ckptDirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try p.getFileSystem(hconf).delete(p, true)
+        catch { case _: java.io.IOException => () } // best-effort sweep
+      }
+    }
+  }
+
+  /** `rdd-*` snapshot dirs under the context's CURRENT checkpoint subdir
+    * (durable mode only; empty otherwise — no fs round-trips in the
+    * default localCheckpoint mode). */
+  private def listCkptDirs(spark: SparkSession): Set[String] =
+    if (durableDir(spark).isEmpty) Set.empty
+    else spark.sparkContext.getCheckpointDir.fold(Set.empty[String]) { cur =>
+      val p = new org.apache.hadoop.fs.Path(cur)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+        .map(_.getPath.toString).toSet
+    }
 }

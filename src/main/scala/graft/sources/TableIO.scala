@@ -95,15 +95,51 @@ object TableIO {
     * Manifest regeneration opens footers ONLY for files not already in the
     * prior manifest with matching size — a no-op compact of a huge
     * well-compacted table costs one directory listing, not O(files) footer
-    * reads; swapped partitions and post-manifest appends are re-read. */
+    * reads; swapped partitions and post-manifest appends are re-read.
+    *
+    * Writer fencing, best-effort: a create-exclusive `_compact.lock` (age
+    * expiry `lockTtlMs` so a crashed holder cannot fence the table forever)
+    * rejects a second concurrent compact, and each partition is RE-LISTED
+    * immediately before its swap — if the file set changed since planning
+    * (a concurrent append landed), that partition's swap is ABORTED and its
+    * staging discarded rather than silently deleting the new files; the
+    * count lands in the `skipped_partitions` manifest counter. Renames are
+    * still not jointly atomic with external writers — compaction remains an
+    * offline maintenance job; the fencing turns a silent-data-loss race
+    * into a skipped partition or a loud lock failure. */
   def compact(spark: SparkSession, uri: String, targetFileBytes: Long,
-              sortCols: Seq[String] = Seq("subj", "obj")): TableManifest = {
+              sortCols: Seq[String] = Seq("subj", "obj"),
+              lockTtlMs: Long = 3600000L): TableManifest = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val conf = spark.sessionState.newHadoopConf()
     val data = new Path(s"$uri/data")
     val fs = data.getFileSystem(conf)
     val mPath = new Path(s"$uri/_manifest.json")
     val t0 = System.nanoTime()
+
+    // best-effort mutual exclusion: create-exclusive lock, age-based expiry
+    val lockPath = new Path(s"$uri/_compact.lock")
+    def tryLock(): Boolean =
+      try { fs.create(lockPath, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryLock()) {
+      val stale = try {
+        System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime > lockTtlMs
+      } catch { case _: java.io.FileNotFoundException => true }
+      if (stale) fs.delete(lockPath, false)
+      if (!tryLock())
+        throw new IllegalStateException(
+          s"another compaction holds $lockPath (younger than ${lockTtlMs}ms) — " +
+            "aborting; delete the lock only if the holder is known dead")
+    }
+    try compactLocked(spark, uri, targetFileBytes, sortCols, conf, data, fs, mPath, t0)
+    finally fs.delete(lockPath, false)
+  }
+
+  private def compactLocked(spark: SparkSession, uri: String, targetFileBytes: Long,
+                            sortCols: Seq[String], conf: Configuration, data: Path,
+                            fs: org.apache.hadoop.fs.FileSystem, mPath: Path,
+                            t0: Long): TableManifest = {
 
     // self-heal a crashed predecessor BEFORE planning: restore a partition
     // that vanished mid-swap, then clear every staging/trash remnant so the
@@ -137,7 +173,10 @@ object TableIO {
       val files = listParquet(p, conf)
       val bytes = files.map(_._2).sum
       val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      if (files.size > want) Some((p, want)) else None
+      // the planned (name, size) set is captured so the swap can detect a
+      // concurrent append and abort instead of deleting the new files
+      if (files.size > want) Some((p, want, files.map { case (f, b) => (f.toString, b) }.toSet))
+      else None
     }
 
     // identity fields survive compaction (it rewrites layout, not content)
@@ -152,22 +191,32 @@ object TableIO {
       if (fs.exists(parkedPath)) fs.delete(parkedPath, false)
       fs.rename(mPath, parkedPath)
     }
-    plans.foreach { case (p, want) =>
+    var skipped = 0L
+    plans.foreach { case (p, want, planned) =>
       val staging = new Path(p.getParent, s".compact-${p.getName}")
       if (fs.exists(staging)) fs.delete(staging, true)
       spark.read.parquet(p.toString)
         .coalesce(want)
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val trash = new Path(p.getParent, s".old-${p.getName}")
-      if (fs.exists(trash)) fs.delete(trash, true)
-      if (!fs.rename(p, trash))
-        throw new java.io.IOException(s"compaction swap failed for $p (park rename)")
-      if (!fs.rename(staging, p)) {
-        fs.rename(trash, p) // roll back: the partition must never stay missing
-        throw new java.io.IOException(s"compaction swap failed for $p (promote rename)")
+      // fence: the rewrite above read the PLANNED file set; if the live set
+      // changed since (concurrent append), swapping would delete the new
+      // files — abort this partition, discard staging, count it
+      val now = listParquet(p, conf).map { case (f, b) => (f.toString, b) }.toSet
+      if (now != planned) {
+        fs.delete(staging, true)
+        skipped += 1
+      } else {
+        val trash = new Path(p.getParent, s".old-${p.getName}")
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (!fs.rename(p, trash))
+          throw new java.io.IOException(s"compaction swap failed for $p (park rename)")
+        if (!fs.rename(staging, p)) {
+          fs.rename(trash, p) // roll back: the partition must never stay missing
+          throw new java.io.IOException(s"compaction swap failed for $p (promote rename)")
+        }
+        fs.delete(trash, true)
       }
-      fs.delete(trash, true)
     }
 
     // lineage: reuse prior-manifest rows for files unchanged in name+size,
@@ -184,7 +233,9 @@ object TableIO {
     val m = TableManifest(prior.map(_.table).getOrElse("table"),
       files.map(_.rows).sum, files,
       prior.map(_.inputFingerprint).getOrElse(""),
-      Map("files" -> files.size.toLong, "compacted_partitions" -> plans.size.toLong),
+      Map("files" -> files.size.toLong,
+        "compacted_partitions" -> (plans.size.toLong - skipped),
+        "skipped_partitions" -> skipped),
       (System.nanoTime() - t0) / 1000000)
     writeManifest(spark, mPath.toString, m)
     if (fs.exists(parkedPath)) fs.delete(parkedPath, false)

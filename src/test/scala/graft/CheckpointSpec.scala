@@ -211,6 +211,27 @@ class CheckpointSpec extends SparkTestBase {
       root.listFiles().map(_.getName).mkString(","))
   }
 
+  test("compact: writer fencing — a live lock rejects a second compact, a stale lock expires") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_lock").toString
+    Seq(("s0", "p", "o0")).toDF("subj", "pred", "obj")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    // a fresh lock (another compaction live) must abort loudly
+    val lock = new java.io.File(s"$dir/_compact.lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    }
+    assert(lock.exists(), "a foreign live lock must not be deleted on abort")
+    // an EXPIRED lock (crashed holder) is swept and compaction proceeds,
+    // releasing its own lock afterwards
+    assert(lock.setLastModified(System.currentTimeMillis() - 7200000L))
+    val m = TableIO.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(m.rowCount == 1, s"$m")
+    assert(m.counters("skipped_partitions") == 0L)
+    assert(!lock.exists(), "lock must be released after compaction")
+  }
+
   test("S1: readDocs applies the explicit schema (never inferred)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_docs").toString

@@ -65,6 +65,20 @@ class CoStatsSpec extends SparkTestBase {
     assert(!plan.contains("UDF"), "expected the native Catalyst expression, found a ScalaUDF")
   }
 
+  test("E2 native expression: fractional argument fails analysis instead of silently truncating") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(lit(0.9).as("p"), lit(10L).as("n"))
+    // integral + null-literal children still coerce fine
+    df.select(call_function(GraftFunctions.LogHypergeomName,
+      lit(1), col("n"), lit(5L), lit(20L))).collect()
+    // a DOUBLE where a count belongs (e.g. a probability) must be loud
+    val err = intercept[Exception] {
+      df.select(call_function(GraftFunctions.LogHypergeomName,
+        col("p"), col("n"), lit(5L), lit(20L))).collect()
+    }
+    assert(err.getMessage.contains("integral counts"), err.getMessage)
+  }
+
   test("entry() smoke: flagship returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.limit(5).count() > 0)

@@ -370,6 +370,19 @@ class DedupSpec extends SparkTestBase {
     assert(rows("q") == ((30L, "q", 1L)))
   }
 
+  test("emitDeduped: survivor elected among corpus-present members when the pair-graph minimum is absent") {
+    // cluster {a,b,c} but 'a' (the raw min) is NOT in the corpus — the
+    // cluster must still emit a survivor (b, the min PRESENT id) instead of
+    // silently dropping b and c; cluster_size keeps the full graph size
+    val corpus = Seq(("b", 11L), ("c", 12L), ("q", 30L)).toDF("docid", "ntok")
+    val pairs = spark.createDataset(Seq(("b", "a"), ("b", "c"))).toDF("a", "b")
+    val rows = Dedup.emitDeduped(corpus, "docid", pairs).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getAs[Long]("cluster_size")))).toMap
+    assert(rows.keySet == Set("b", "q"), s"${rows.keySet}")
+    assert(rows("b") == (("a", 3L)), s"${rows("b")}") // cluster id stays the graph id
+    assert(rows("q") == (("q", 1L)))
+  }
+
   test("nearDupClusters: sizes and survivor election on a known graph") {
     // two components: {a,b,c} via chain a-b, b-c; {x,y} direct
     val df = spark.createDataset(Seq(("b", "a"), ("b", "c"), ("y", "x"))).toDF("a", "b")

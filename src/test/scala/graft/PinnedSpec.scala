@@ -62,6 +62,53 @@ class PinnedSpec extends SparkTestBase {
     assert(ccSet(pairs) == ccLocal)
   }
 
+  test("durable retention: free() deletes a superseded pin's checkpoint dirs, the live pin survives") {
+    withDurableDir { dir =>
+      def rddDirs(): Set[String] = {
+        def files(f: java.io.File): Seq[java.io.File] =
+          Option(f.listFiles()).map(_.toSeq.flatMap(c => c +: files(c))).getOrElse(Nil)
+        files(dir).filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+          .map(_.getAbsolutePath).toSet
+      }
+      val (a, ha) = Pinned.pinTracked((0 until 50).map(i => (i, i * 3)).toDF("k", "v"))
+      assert(ha.ckptDirs.nonEmpty, "durable pin recorded no checkpoint dirs")
+      val (b, hb) = Pinned.pinTracked(a.withColumn("v", $"v" + 1))
+      assert(hb.ckptDirs.nonEmpty && hb.ckptDirs.intersect(ha.ckptDirs).isEmpty,
+        s"handle dirs must be disjoint per pin: $ha vs $hb")
+      assert(rddDirs().size >= 2)
+      // supersede A: its snapshot dirs vanish, B's stay and B still reads
+      // (handles carry Hadoop URIs like file:/…; normalize to local paths)
+      def norm(d: String): String = new org.apache.hadoop.fs.Path(d).toUri.getPath
+      Pinned.free(spark, ha)
+      val left = rddDirs()
+      assert(ha.ckptDirs.forall(d => !left.contains(norm(d))),
+        s"superseded dirs not swept: ${ha.ckptDirs} still in $left")
+      assert(hb.ckptDirs.forall(d => left.contains(norm(d))),
+        s"live pin's dirs must survive the sweep: ${hb.ckptDirs} vs $left")
+      assert(b.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+        (0 until 50).map(_ * 3 + 1).sum.toLong, "live pin unreadable after sweep")
+      Pinned.free(spark, hb)
+      assert(rddDirs().isEmpty, "final free left snapshot dirs behind")
+    }
+  }
+
+  test("iterative CC under a durable dir leaves only the RESULT pin's snapshots behind") {
+    // the star rounds pin every round; with tracked free(), the checkpoint
+    // root must end bounded at the returned assignment, not O(rounds)
+    withDurableDir { dir =>
+      val pairs = (0 until 200).map(i => (f"n$i%03d", f"n${(i + 1) % 200}%03d"))
+      val df = spark.createDataset(pairs).toDF("a", "b").repartition(4)
+      val cc = Dedup.connectedComponents(df)
+      assert(cc.select("cluster").distinct().count() == 1L)
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).map(_.toSeq.flatMap(c => c +: files(c))).getOrElse(Nil)
+      val rddDirs = files(dir).filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+      assert(rddDirs.size == 1,
+        s"expected exactly the result pin's snapshot, found ${rddDirs.size}: " +
+          rddDirs.map(_.getName).mkString(","))
+    }
+  }
+
   test("durable pin evaluates the plan ONCE (persist before reliable checkpoint)") {
     // without the persist, Spark's checkpoint-write job recomputes the whole
     // plan from lineage after the eager count already ran it — the
