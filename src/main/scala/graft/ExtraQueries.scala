@@ -279,6 +279,30 @@ object ExtraQueries {
       Bpe.encode(tokdocsWhere(s, d, lit(true)),
         bpeTable(s, d).map(t => (t._2, t._3))).orderBy("docid")),
 
+    // the EXACT-batched trainer (VERDICT r4 #4) against the identical
+    // 8-round sequential oracle: batching provably replays the sequential
+    // choices, so the same SQL replay hash-checks the batched path end to
+    // end (BpeSpec covers the adversarial cases; this pins it on the
+    // corpus). Trained fresh (not memoized) — the point is the batched
+    // code path, and 8 rounds of vocabulary-sized aggs are cheap.
+    "q_vocab_bpe_batched" -> ((s, d) => {
+      import s.implicits._
+      Bpe.mergesBatched(tokdocsWhere(s, d, lit(true)), 8, maxBatch = 8)
+        .orderBy("step")
+    }),
+
+    // practical-scale tokenizer training: 64 greedy-batched merges (the
+    // standard top-M disjoint-pairs-per-round trick; sequential order may
+    // locally differ, BpeSpec proves the rule against a driver replay).
+    // Emits the merge table plus the constant round count — the round
+    // count ≪ 64 is the scale claim, hash-pinned by the self-check.
+    "q_vocab_bpe64" -> ((s, d) => {
+      import s.implicits._
+      val (table, rounds) = Bpe.mergesBatchedWithRounds(
+        tokdocsWhere(s, d, lit(true)), 64, maxBatch = 16, exact = false)
+      table.withColumn("rounds", lit(rounds.toLong)).orderBy("step")
+    }),
+
     // CCNet-style line-level boilerplate dedup: the corpus has no natural
     // newlines, so line structure is PLANTED identically in both engines —
     // a shared generated-file header, the text chunked into 6-word lines,
@@ -1669,6 +1693,10 @@ object ExtraQueries {
     // BPE encode: the same 8 training rounds, then the terminal round's
     // per-word subword counts joined back onto the token stream
     "q_vocab_bpe_encode" -> bpeOracleSql(8, bpeEncodeSelect(8)),
+
+    // the batched trainer is EXACT: the sequential 8-round replay is its
+    // oracle too — same table, bit for bit
+    "q_vocab_bpe_batched" -> bpeOracleSql(8, bpeMergeTableSelect(8)),
 
     // duplicate spans: the 5-gram FNV-1a hash is replayed exactly as in the
     // fingerprint oracle (64-bit wraparound via HUGEINT mod 2^64 over the

@@ -111,6 +111,126 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("mergesBatched == sequential reference on 16 random corpora × batch widths (seeded sweep)") {
+    // the batched trainer must replay the EXACT sequential merge table —
+    // same pairs, same order, same counts — under heavy pair interference
+    // (tiny alphabets), ties, exhaustion, and concat-collision rounds
+    // (merged symbols like 'ab' re-appearing as pair members)
+    val rnd = new scala.util.Random(777)
+    (1 to 16).foreach { trial =>
+      val alpha = "ab_c1".take(2 + rnd.nextInt(4))
+      val words = (0 until 12 + rnd.nextInt(24)).map { _ =>
+        (0 until 1 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val nm = 3 + rnd.nextInt(8)
+      val mb = 1 + rnd.nextInt(6)
+      val want = referenceMerges(wc, nm)
+      val got = Bpe.mergesBatched(tdOf(words), nm, maxBatch = mb).orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == want,
+        s"trial $trial (alpha=$alpha, nm=$nm, maxBatch=$mb, words=$words):\ngot=$got\nwant=$want")
+    }
+  }
+
+  /** Driver-side reference for GREEDY batching: per round, recount pairs,
+    * take up to maxBatch ranked pairwise symbol-disjoint pairs (skipping
+    * conflicts), apply, repeat — the rule mergesBatched(exact=false)
+    * distributes. */
+  private def referenceGreedy(wordCounts: Map[String, Long], nMerges: Int,
+                              maxBatch: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[Array[String], Long] =
+      wordCounts.map { case (w, n) => w.split("").filter(_.nonEmpty) -> n }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var go = true
+    while (step <= nMerges && go) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { pr =>
+          val k = (pr(0), pr(1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val want = math.min(maxBatch, nMerges - step + 1)
+        // mirror the distributed trainer's BOUNDED candidate scan (it
+        // collects want*4+16 ranked rows, never the whole pair table)
+        val ranked = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+          .take(want * 4 + 16)
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        ranked.foreach { case ((l, r), c) =>
+          if (batch.length < want && !used(l) && !used(r) && !used(l + r)) {
+            batch += ((l, r, c)); used ++= Seq(l, r, l + r)
+          }
+        }
+        batch.foreach { case (l, r, c) =>
+          out += ((step.toLong, l, r, c))
+          vocab = vocab.map { case (syms, n) => Bpe.applyMerge(syms, l, r) -> n }
+          step += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("mergesBatched greedy: 64 merges in few rounds, table equals the greedy reference") {
+    // heavy-interference regime (small alphabet): the exact mode provably
+    // cannot batch here, greedy is the practical-scale path — its table
+    // must match a driver-side replay of the same greedy rule, and the
+    // round count must be a small fraction of the merge count
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghij"
+    val words = (0 until 400).map { _ =>
+      (0 until 3 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = referenceGreedy(wc, 64, 16)
+    val (table, rounds) = Bpe.mergesBatchedWithRounds(tdOf(words), 64, maxBatch = 16, exact = false)
+    val got = table.orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.size == 64, s"expected 64 merges, got ${got.size}")
+    // early rounds are capped by the alphabet's disjoint-pair capacity
+    // (~|alphabet|/2), not maxBatch — 12 rounds here vs 64 sequential
+    assert(rounds <= 16, s"greedy batching bought nothing: $rounds rounds for 64 merges")
+  }
+
+  test("mergesBatched greedy == greedy reference on 10 random corpora (seeded sweep)") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 10).foreach { trial =>
+      val alpha = "ab_c1x".take(2 + rnd.nextInt(5))
+      val words = (0 until 12 + rnd.nextInt(24)).map { _ =>
+        (0 until 1 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val nm = 3 + rnd.nextInt(10)
+      val mb = 2 + rnd.nextInt(5)
+      val want = referenceGreedy(wc, nm, mb)
+      val got = Bpe.mergesBatched(tdOf(words), nm, maxBatch = mb, exact = false)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == want,
+        s"trial $trial (alpha=$alpha, nm=$nm, mb=$mb, words=$words):\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("mergesBatched: batch ends at a concat collision (merged symbol re-entering the race)") {
+    // 'abab' corpora force merge (a,b) -> ab, then (ab,ab) whose concat
+    // 'abab' collides with nothing, but ('a','b') after an earlier 'ab'
+    // inventory entry must stop the batch — exactness over batch width
+    val words = Seq.fill(8)("abab") ++ Seq.fill(3)("ab") ++ Seq.fill(2)("ba")
+    val wc = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    (1 to 4).foreach { mb =>
+      val want = referenceMerges(wc, 5)
+      val got = Bpe.mergesBatched(tdOf(words), 5, maxBatch = mb).orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == want, s"maxBatch=$mb:\ngot=$got\nwant=$want")
+    }
+  }
+
   test("segmentWords: subword arrays equal the reference fold chain, concatenation restores the word") {
     import spark.implicits._
     val words = Seq("low", "lower", "newest", "widest", "aaaa", "x")
