@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Same-window DRAM-copy ceiling control for the scaling campaign.
+
+Measures the host's P -> 4P scale-up ceiling for memory-COPY work (the
+read+write blend that dominates shuffle spill / persist / serialization),
+pinned to the same CPU ranges bin/scaling.sh uses, so every 2v8 (or 1v4)
+Spark efficiency number can be read against what the box physically allows
+for copy-heavy work IN THE SAME WINDOW (VERDICT r4 next #6: noise must be
+measured, not assumed).
+
+Each process does FIXED work (copies a 400 MB array K times); with perfect
+scaling wall time is flat in P, so ceiling = t_P / t_4P inverted:
+  ceiling = t_small / t_big   (1.0 = perfect, lower = contention)
+
+Usage: python3 bin/copy_ceiling.py [P_small] [trials]   (default 2, 3)
+Prints one JSON line per trial plus a summary.
+"""
+import sys, os, time, json, multiprocessing as mp
+
+try:
+    import numpy as np
+except ImportError:
+    print(json.dumps({"error": "numpy unavailable"}))
+    sys.exit(1)
+
+MB = 400
+COPIES = 12
+
+
+def worker(cpu, q):
+    os.sched_setaffinity(0, {cpu})
+    a = np.ones(MB * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(COPIES):
+        np.copyto(b, a)
+        np.copyto(a, b)
+    q.put(time.perf_counter() - t0)
+
+
+def run_level(nprocs):
+    # same pinning scheme as bin/scaling.sh: CPUs 2..(2+n-1)
+    q = mp.Queue()
+    procs = [mp.Process(target=worker, args=(2 + i, q)) for i in range(nprocs)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    per = sorted(q.get() for _ in procs)
+    return wall, per
+
+
+def main():
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    big = 4 * small
+    ceilings = []
+    for t in range(trials):
+        ws, _ = run_level(small)
+        wb, _ = run_level(big)
+        c = ws / wb
+        ceilings.append(c)
+        print(json.dumps({
+            "metric": "copy_ceiling", "trial": t + 1,
+            "p_small": small, "p_big": big,
+            "sec_small": round(ws, 2), "sec_big": round(wb, 2),
+            "ceiling": round(c, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }), flush=True)
+    ceilings.sort()
+    print(json.dumps({
+        "metric": "copy_ceiling_summary", "p_small": small, "p_big": big,
+        "median": round(ceilings[len(ceilings) // 2], 3),
+        "min": round(ceilings[0], 3), "max": round(ceilings[-1], 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -259,7 +259,13 @@ object ExtraQueries {
     "q_dedup_emit" -> ((s, d) => {
       import s.implicits._
       val td = tdWithPlantedNearDups(s, d)
-      val corpus = td.map(t => (t.docid, t.terms.length.toLong)).toDF("docid", "ntok")
+      // pin the tiny fixture corpus: emitDeduped's corpus-aware survivor
+      // election reads the corpus twice (an id-pruned scan + the final
+      // join) — free on a real column-pruned table read, but THIS corpus
+      // is a typed-map chain Catalyst cannot prune, so an unpinned frame
+      // would tokenize the fixture once per pass
+      val corpus = graft.plans.Pinned.pin(
+        td.map(t => (t.docid, t.terms.length.toLong)).toDF("docid", "ntok"))
       val pairs = Dedup.ngramJaccardPairs(td, 2, 0.85)
       Dedup.emitDeduped(corpus, "docid", pairs).orderBy("docid")
     }),
