@@ -48,19 +48,33 @@ object Bench {
     // query happens to run first in map order — per-query numbers are then
     // comparable across rounds (VERDICT r2 #5); the prefix cost is reported
     // as memo_warm_sec
+    val benchSteal0 = HostStat.stealJiffies()
+    val benchWall0 = System.nanoTime()
+
+    // each warm component timed separately: when memo_warm_sec moves
+    // round-over-round, the artifact itself must say WHICH build moved
+    // (r5: the total jumped 10 → 25 s with no code change to two of the
+    // three components — attribution cannot be an after-the-fact guess)
     val tWarm = System.nanoTime()
     val warmCs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
     warmCs.coverage.count()
     warmCs.scored.count()
+    val tWarmCs = System.nanoTime()
     // E3's version-keyed sense model: loading an EXISTING model is the
     // operator's contract, so populating the store (one induction whenever
     // the code-derived ModelVersion changed) is warm-phase work — charged
     // here, visibly, instead of to whichever E3 query runs first
     Memo.modelOf(spark, sfDir, ExtraQueries.e3Cfg)
+    val tWarmModel = System.nanoTime()
     // the memoized BPE training likewise (VERDICT r4 #3): ~3 s of one-time
     // deterministic training used to land inside q_vocab_bpe_encode
     ExtraQueries.warmBpe(spark, sfDir)
-    val memoWarmSec = (System.nanoTime() - tWarm) / 1e9
+    val tWarmEnd = System.nanoTime()
+    val memoWarmSec = (tWarmEnd - tWarm) / 1e9
+    val warmParts = Seq(
+      "costats" -> (tWarmCs - tWarm) / 1e9,
+      "e3_model" -> (tWarmModel - tWarmCs) / 1e9,
+      "bpe" -> (tWarmEnd - tWarmModel) / 1e9)
 
     // test hook for the loud-failure contract: GRAFT_BENCH_INJECT_FAIL adds a
     // query that throws, and the run must exit nonzero with it in `errors`
@@ -83,8 +97,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // per-query hypervisor-steal accounting (HostStat): steal CPU-seconds
+    // accumulated across the query's full reps window, so a flagged stall
+    // suspect carries kernel-level evidence of interference, not just a
+    // suspicious max/min ratio
+    val stealOf = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
     val runsOf = registry.map { case (name, fn) =>
       startedAt(name) = System.currentTimeMillis() / 1000
+      val steal0 = HostStat.stealJiffies()
       val runs = (1 to reps).iterator.map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -94,6 +114,7 @@ object Bench {
             None
         }
       }.takeWhile(_.isDefined).flatten.toSeq // a failing query is not retried
+      stealOf(name) = HostStat.stealSecSince(steal0)
       name -> (if (runs.isEmpty) Seq(0.0) else runs)
     }
     val results = runsOf.map { case (n, rs) => n -> rs.min }
@@ -109,11 +130,14 @@ object Bench {
     // the steady-state MIN is the code's number, every run is reported.
     val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
     var triples = 0L
+    val e1Steals = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
     val e1Runs = (1 to reps).map { _ =>
+      val steal0 = HostStat.stealJiffies()
       val t0 = System.nanoTime()
       val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
       triples = r.triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      e1Steals += HostStat.stealSecSince(steal0)
       r.cleanup()
       sec
     }
@@ -133,6 +157,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val stallJson = stallSuspects.map(jstr).mkString("[", ",", "]")
     val e1RunsJson = e1Runs.mkString("[", ",", "]")
+    val qsSteal = stealOf.map { case (k, v) => s"${jstr(k)}:${HostStat.json(v)}" }
+      .mkString("{", ",", "}")
+    val e1StealJson = e1Steals.map(HostStat.json).mkString("[", ",", "]")
+    val benchWallSec = (System.nanoTime() - benchWall0) / 1e9
+    val benchStealSec = HostStat.stealSecSince(benchSteal0)
+    // average hypervisor-stolen cores across the whole bench window: the
+    // one-number interference summary a reader checks first
+    val stealCoresAvg = benchStealSec.map(_ / benchWallSec)
     // memo_warm is charged to the TOTAL (it used to hide inside whichever
     // query ran first); the total sums STEADY-STATE (min) numbers — a host
     // stall shows up in queries_max/stall_suspects, never in the total
@@ -142,6 +174,10 @@ object Bench {
       s""""reps":$reps,"e1_sec":$e1Sec,"e1_runs":$e1RunsJson,""" +
       s""""e1_triples":$triples,"e1_triples_per_sec":$tps,""" +
       s""""memo_warm_sec":$memoWarmSec,""" +
+      warmParts.map { case (k, v) => s""""memo_warm_${k}_sec":$v""" }.mkString("", ",", ",") +
+      s""""queries_steal_sec":$qsSteal,"e1_steal_sec":$e1StealJson,""" +
+      s""""steal_total_sec":${HostStat.json(benchStealSec)},""" +
+      s""""steal_cores_avg":${HostStat.json(stealCoresAvg)},""" +
       s""""cpus":$cpus,"sf":${jstr(sfDir)},"n_errors":${errors.size},"errors":$errJson}"""
     println(json)
     val p = java.nio.file.Paths.get(outPath)

@@ -1,0 +1,78 @@
+package graft
+
+/** Hypervisor-interference probe for bench artifacts.
+  *
+  * Round 4's official bench (155 s vs a true ~60 s) and the round-5 E1
+  * bisect both traced to host-level interference that is invisible in
+  * process listings: the hypervisor steals CPU from this guest (~4000
+  * CPU-seconds since boot when measured, with live stalls of 30+ s landing
+  * inside individual runs). `/proc/stat`'s per-CPU `steal` counter is the
+  * kernel's own account of that time, so sampling it around each measured
+  * region turns "the number looks slow" into "the number looks slow AND the
+  * hypervisor stole N CPU-seconds during it" — attribution instead of
+  * suspicion (VERDICT r4 next-steps #1/#2/#6).
+  *
+  * Steal is summed over the CPUs this process is ALLOWED to run on
+  * (`/proc/self/status` `Cpus_allowed_list`), not the whole box: the
+  * scaling campaign taskset-pins its JVMs, and steal on CPUs we cannot
+  * schedule onto is irrelevant to our wall clock.
+  *
+  * All reads are best-effort: off Linux (or on a kernel without steal
+  * accounting) every probe returns None and callers emit `null` fields.
+  */
+object HostStat {
+
+  /** proc(5): /proc/stat times are in USER_HZ units, 1/100 s on every
+    * mainstream architecture; the value is part of the kernel ABI. */
+  val JiffiesPerSec = 100.0
+
+  /** Kernel cpu-list syntax, e.g. "0-3,8" -> [0,1,2,3,8]. */
+  private[graft] def parseCpuList(s: String): Seq[Int] =
+    s.trim.split(",").toSeq.filter(_.nonEmpty).flatMap { range =>
+      range.split("-") match {
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case Array(a) => Seq(a.trim.toInt)
+        case _ => Seq.empty
+      }
+    }
+
+  /** CPUs this process may be scheduled on (taskset-aware). */
+  private[graft] def allowedCpus(): Option[Seq[Int]] = try {
+    val src = scala.io.Source.fromFile("/proc/self/status")
+    try {
+      src.getLines().find(_.startsWith("Cpus_allowed_list:"))
+        .map(line => parseCpuList(line.split(":")(1)))
+    } finally src.close()
+  } catch { case _: Throwable => None }
+
+  /** Cumulative steal jiffies since boot, summed over the allowed CPUs
+    * (falls back to the all-CPU aggregate line if the mask is unreadable). */
+  def stealJiffies(): Option[Long] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val lines = src.getLines().filter(_.startsWith("cpu")).toVector
+      def stealOf(line: String): Option[Long] = {
+        val f = line.trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        if (f.length > 8) Some(f(8).toLong) else None
+      }
+      allowedCpus() match {
+        case Some(cpus) =>
+          val wanted = cpus.map(i => s"cpu$i").toSet
+          val per = lines.filter(l => wanted.contains(l.takeWhile(!_.isWhitespace)))
+            .flatMap(stealOf)
+          if (per.nonEmpty) Some(per.sum)
+          else lines.find(_.startsWith("cpu ")).flatMap(stealOf)
+        case None =>
+          lines.find(_.startsWith("cpu ")).flatMap(stealOf)
+      }
+    } finally src.close()
+  } catch { case _: Throwable => None }
+
+  /** Steal seconds accumulated since a prior stealJiffies() snapshot. */
+  def stealSecSince(start: Option[Long]): Option[Double] =
+    for (s <- start; e <- stealJiffies()) yield (e - s) / JiffiesPerSec
+
+  /** Render an optional metric for a raw JSON artifact. */
+  def json(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+}

@@ -40,13 +40,14 @@ object ScalingBench {
 
     // single-run mode (one JVM per cluster size; a wrapper compares)
     sys.env.get("GRAFT_BENCH_ONLY").foreach { c =>
-      val (t, cnt) = runOnce(c.toInt, sfDir, reps)
-      println(f"""{"metric":"e1_run","cores":$c,"sec":$t%.2f,"triples":$cnt,"sf":"$sfDir"}""")
+      val (t, cnt, steal) = runOnce(c.toInt, sfDir, reps)
+      println(f"""{"metric":"e1_run","cores":$c,"sec":$t%.2f,"triples":$cnt,""" +
+        s""""steal_sec":${HostStat.json(steal)},"sf":"$sfDir"}""")
       return
     }
 
-    val (tSmall, cSmall) = runOnce(n, sfDir, reps)
-    val (tBig, cBig) = runOnce(4 * n, sfDir, reps)
+    val (tSmall, cSmall, stealSmall) = runOnce(n, sfDir, reps)
+    val (tBig, cBig, stealBig) = runOnce(4 * n, sfDir, reps)
     // an empty corpus would make the divergence ratio NaN and fail with a
     // misleading "0 vs 0 diverge" — name the real problem instead
     require(cSmall > 0 && cBig > 0,
@@ -62,16 +63,21 @@ object ScalingBench {
     println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_cores":$n,""" +
       f""""4n_cores":${4 * n},"reps":$reps,"triples":$cSmall,""" +
       f""""sec_n":$tSmall%.2f,"sec_4n":$tBig%.2f,""" +
-      f""""tps_n":$tpsSmall%.1f,"tps_4n":$tpsBig%.1f,"sf":"$sfDir"}""")
+      f""""tps_n":$tpsSmall%.1f,"tps_4n":$tpsBig%.1f,""" +
+      s""""steal_sec_n":${HostStat.json(stealSmall)},""" +
+      s""""steal_sec_4n":${HostStat.json(stealBig)},"sf":"$sfDir"}""")
   }
 
-  /** One full E1 run in a fresh session at the given core count.
+  /** One full E1 run in a fresh session at the given core count; returns
+    * (wall seconds, triples, hypervisor steal-seconds on this JVM's pinned
+    * CPUs during the timed region — the interference evidence VERDICT r4
+    * next-step #6 asks every scaling trial to carry).
     *
     * Partitioning (input splits AND shuffle partitions) is FIXED across
     * cluster sizes — exactly like a spark-submit N-vs-4N-executor run, where
     * the dataset and the plan are identical and only resources scale. Sizing
     * partitions to each run's core count would compare two different plans. */
-  def runOnce(cores: Int, sfDir: String, reps: Int): (Double, Long) = {
+  def runOnce(cores: Int, sfDir: String, reps: Int): (Double, Long, Option[Double]) = {
     val parts = sys.env.getOrElse("GRAFT_BENCH_PARTS", "48").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -129,10 +135,11 @@ object ScalingBench {
         None, s"$sfDir warm x$warmReps")
       warm.triples.count()
       warm.cleanup() // drop the warmup's cached stages before measuring
+      val steal0 = HostStat.stealJiffies()
       val t0 = System.nanoTime()
       val triples = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50),
         None, s"$sfDir x$reps").triples.count()
-      ((System.nanoTime() - t0) / 1e9, triples)
+      ((System.nanoTime() - t0) / 1e9, triples, HostStat.stealSecSince(steal0))
     } finally spark.stop()
   }
 }

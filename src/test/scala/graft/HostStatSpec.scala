@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The steal probe feeds every bench artifact's interference evidence, so
+  * its parsing must be trustworthy — and it must never throw, because a
+  * probe that can crash a measured run is worse than no probe. */
+class HostStatSpec extends AnyFunSuite with Matchers {
+
+  test("parseCpuList handles singletons, ranges, and mixes") {
+    HostStat.parseCpuList("0") shouldBe Seq(0)
+    HostStat.parseCpuList("0-3") shouldBe Seq(0, 1, 2, 3)
+    HostStat.parseCpuList("0-3,8") shouldBe Seq(0, 1, 2, 3, 8)
+    HostStat.parseCpuList(" 1 , 4-6 ") shouldBe Seq(1, 4, 5, 6)
+    HostStat.parseCpuList("") shouldBe Seq.empty
+  }
+
+  test("allowedCpus reads this process's affinity mask (Linux)") {
+    // the sandbox is Linux; if this ever runs elsewhere, None is the contract
+    val cpus = HostStat.allowedCpus()
+    assume(cpus.isDefined, "no /proc/self/status — not Linux")
+    cpus.get should not be empty
+    all(cpus.get) should be >= 0
+    cpus.get.distinct.length shouldBe cpus.get.length
+  }
+
+  test("stealJiffies is available and monotonic on this host") {
+    val a = HostStat.stealJiffies()
+    assume(a.isDefined, "no steal accounting on this kernel")
+    val b = HostStat.stealJiffies()
+    b.get should be >= a.get
+  }
+
+  test("stealSecSince composes and is non-negative; None propagates") {
+    val snap = HostStat.stealJiffies()
+    assume(snap.isDefined)
+    val d = HostStat.stealSecSince(snap)
+    d.isDefined shouldBe true
+    d.get should be >= 0.0
+    HostStat.stealSecSince(None) shouldBe None
+  }
+
+  test("json renders Some as a bare number and None as null") {
+    HostStat.json(Some(1.25)) shouldBe "1.25"
+    HostStat.json(None) shouldBe "null"
+  }
+}
