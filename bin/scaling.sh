@@ -23,7 +23,7 @@ run() { # cores
   taskset -c "$cpus" env \
     SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     GRAFT_BENCH_ONLY="$cores" GRAFT_BENCH_REPS="$REPS" SPARK_DRIVER_MEM=20g \
-    sbt -batch 'runMain graft.ScalingBench' 2>&1 | grep -o '"cores":[0-9]*,"sec":[0-9.]*,"triples":[0-9]*'
+    sbt -batch 'runMain graft.ScalingBench' 2>&1 | grep -o '{"metric":"e1_run".*}'
 }
 
 echo "# trial results (cores, sec, triples)"

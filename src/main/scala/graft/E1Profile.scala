@@ -24,12 +24,14 @@ object E1Profile {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
     (1 to reps).foreach { i =>
+      val steal0 = HostStat.stealJiffies()
       val t0 = System.nanoTime()
       val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
       val triples = r.triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
       r.cleanup()
-      println(f"[e1] run $i: $sec%.2f s, $triples triples, ${triples / sec}%.0f tps")
+      val steal = HostStat.stealSecSince(steal0).map(s => f"$s%.2f").getOrElse("n/a")
+      println(f"[e1] run $i: $sec%.2f s, $triples triples, ${triples / sec}%.0f tps, steal ${steal} cpu-s")
     }
     spark.stop()
   }
