@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooc, Graph}
+
+/** Round-5 KG-analytics registry entries: graph consumers of the pipeline's
+  * adjacency structure (degrees, scaled-integer PageRank, bounded-hop
+  * reachability) plus incremental co-occurrence count maintenance.
+  *
+  * PageRank is EXACT integer arithmetic (see operators.Graph) so its DuckDB
+  * oracle replays all 8 iterations bit-for-bit — same discipline as the
+  * 8-round BPE training replay. The incremental query's oracle is the plain
+  * full-recompute A3 SQL: the Spark side answers it by splitting the corpus
+  * into a "standing" and a "delta" batch, counting each separately, and
+  * merging — proving delta maintenance is exact, not approximate.
+  */
+object KgQueries {
+
+  private def toksDf(s: SparkSession, d: String): DataFrame =
+    operators.Tokenize.tokensFrom(Memo.tokDocsOf(s, d, Queries.cfg)).toDF()
+
+  private def edgesOf(s: SparkSession, d: String): DataFrame =
+    Graph.bigramEdges(toksDf(s, d))
+
+  val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kg_degrees" -> ((s, d) =>
+      Graph.degrees(edgesOf(s, d)).orderBy("node")),
+
+    "q_kg_pagerank" -> ((s, d) =>
+      Graph.pageRank(edgesOf(s, d), iters = 8).orderBy("node")),
+
+    "q_kg_reach" -> ((s, d) =>
+      Graph.reach(edgesOf(s, d), maxHops = 3).orderBy("node")),
+
+    // standing/delta split is Spark-side only (the oracle recomputes from
+    // scratch); the split predicate is arbitrary but deterministic — any
+    // doc-level partition must merge back to the full-corpus counts
+    "q_a3_incremental" -> ((s, d) => {
+      val cov = Memo.coStatsOf(s, d, Queries.cfg).coverage
+      val isDelta = crc32(col("docid")) % 4 === 0
+      Cooc.mergeCounts(
+        Cooc.coocCounts(cov.filter(!isDelta), Queries.cfg),
+        Cooc.coocCounts(cov.filter(isDelta), Queries.cfg))
+        .orderBy("entity", "term")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Directed bigram adjacency over the shared `toks` CTE — the SQL twin of
+    * Graph.bigramEdges. */
+  private val edgesCte: String =
+    """edges AS MATERIALIZED (
+      |  SELECT src, dst, count(*) AS w FROM (
+      |    SELECT term AS src, lead(term) OVER (PARTITION BY docid ORDER BY pos) AS dst
+      |    FROM toks)
+      |  WHERE dst IS NOT NULL AND dst <> src
+      |  GROUP BY src, dst
+      |)""".stripMargin
+
+  /** Full iteration-by-iteration replay of Graph.pageRank's integer
+    * lattice: seed = scale // N, teleport = (seed * 15) // 100, and per
+    * round r'(v) = tp + ((inflow(v) + dangling_share) * 85) // 100 with
+    * truncating division everywhere — every intermediate is an integer, so
+    * the final ranks are bit-equal across engines. */
+  private def pageRankOracle(iters: Int): String = {
+    val consts =
+      """nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        |consts AS MATERIALIZED (
+        |  SELECT n, 1000000000000 // n AS seed, ((1000000000000 // n) * 15) // 100 AS tp
+        |  FROM (SELECT count(*) AS n FROM nodes)),
+        |r0 AS MATERIALIZED (SELECT node, (SELECT seed FROM consts) AS rank FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""dang$p AS MATERIALIZED (
+         |  SELECT COALESCE(sum(r.rank), 0) // (SELECT n FROM consts) AS ds
+         |  FROM r$p r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+         |),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST((SELECT tp FROM consts)
+         |           + ((COALESCE(i.inflow, 0) + (SELECT ds FROM dang$p)) * 85) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS inflow
+         |    FROM edges e JOIN r$p r ON e.src = r.node JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) i ON n.node = i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$consts,
+       |$rounds
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_kg_degrees" ->
+      s"""${Queries.base},
+         |$edgesCte
+         |SELECT COALESCE(o.node, i.node) AS node,
+         |       COALESCE(o.out_deg, 0) AS out_deg, COALESCE(o.out_w, 0) AS out_w,
+         |       COALESCE(i.in_deg, 0) AS in_deg, COALESCE(i.in_w, 0) AS in_w
+         |FROM (SELECT src AS node, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w
+         |      FROM edges GROUP BY src) o
+         |FULL OUTER JOIN
+         |     (SELECT dst AS node, count(*) AS in_deg, CAST(sum(w) AS BIGINT) AS in_w
+         |      FROM edges GROUP BY dst) i
+         |  ON o.node = i.node
+         |ORDER BY node""".stripMargin,
+
+    "q_kg_pagerank" -> pageRankOracle(8),
+
+    "q_kg_reach" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |p1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |p2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM p1
+         |  UNION ALL SELECT p.src, e.dst FROM p1 p JOIN p1 e ON p.dst = e.src)),
+         |p3 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM p2
+         |  UNION ALL SELECT p.src, e.dst FROM p2 p JOIN p1 e ON p.dst = e.src))
+         |SELECT src AS node, count(*) AS n_reach
+         |FROM (SELECT DISTINCT src, dst FROM p3 WHERE dst <> src)
+         |GROUP BY src ORDER BY node""".stripMargin,
+
+    "q_a3_incremental" ->
+      s"""${Queries.base}
+         |SELECT entity, term, k FROM cooc ORDER BY entity, term""".stripMargin
+  )
+}

@@ -159,8 +159,9 @@ object Queries {
   private val entitiesSql = entities.map(e => s"'$e'").mkString(", ")
 
   /** Shared CTE chain mirroring the pipeline. Unused CTEs are pruned by the
-    * optimizer, so every oracle query carries the full prefix. */
-  private val base: String =
+    * optimizer, so every oracle query carries the full prefix (KgQueries
+    * reuses it so the tokenizer SQL has exactly one source of truth). */
+  private[graft] val base: String =
     s"""WITH ${CorpusSynth.docsSqlCte},
        |toks AS (
        |  SELECT docid, unnest(generate_series(1, len(arr))) - 1 AS pos, unnest(arr) AS term

@@ -20,9 +20,10 @@ object SparkEntry {
   /** One entry per implemented operator: SURVEY.md §2 inventory (Queries)
     * plus the training-data-pipeline extras (ExtraQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.sparkQueries ++ ExtraQueries.sparkQueries
+    Queries.sparkQueries ++ ExtraQueries.sparkQueries ++ KgQueries.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Queries.oracle ++ ExtraQueries.oracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ ExtraQueries.oracle ++ KgQueries.oracle
 }

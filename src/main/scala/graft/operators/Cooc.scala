@@ -37,6 +37,21 @@ object Cooc {
   def windowMass(cov: Dataset[CovTok], cfg: WsidConfig): DataFrame =
     SaltedAgg.countBy(cov.toDF(), Seq("entity"), col("docid"), cfg.salts, "bigk")
 
+  /** Incremental maintenance of A3 counts: merge per-batch co-occurrence
+    * counts into one standing table. Counts are additive over disjoint doc
+    * sets (windows are doc-local), so a nightly delta batch folds into the
+    * standing counts with ONE vocabulary-sized aggregation — never a
+    * recount of the historical corpus. Map-side combinable (plain sum), and
+    * each input is already vocab-bounded, so the merge is cheap at any
+    * corpus scale. */
+  def mergeCounts(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "mergeCounts needs at least one batch")
+    parts.map(_.select(col("entity"), col("term"), col("k")))
+      .reduce(_ unionAll _)
+      .groupBy(col("entity"), col("term"))
+      .agg(sum(col("k")).as("k"))
+  }
+
   /** Assemble the full contingency inputs (entity, term, k, n, bigk, bign).
     *
     * The term-marginals dictionary is semi-join-reduced to the candidate

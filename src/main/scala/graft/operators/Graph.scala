@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.Pinned
+
+/** Knowledge-graph analytics over an edge frame `(src, dst, w)` — the
+  * graph-side consumers of the triple/co-occurrence outputs the pipeline
+  * emits (spec: BASELINE.json north rule; the kg_construct tier's
+  * "construct, then analyze" loop).
+  *
+  * Everything here is EXACT INTEGER arithmetic end-to-end — PageRank runs on
+  * a scaled-integer lattice (`scale` units of total mass) with truncating
+  * division, so a DuckDB oracle replays every iteration bit-for-bit and the
+  * driver's hash compare is meaningful (float PageRank would drift across
+  * engines in the last ulps and flip quantized hashes nondeterministically).
+  *
+  * Scale notes (100 TB):
+  *  - `bigramEdges` is doc-local (window partitioned by docid; skew bounded
+  *    by `maxDocChars`), then one hash aggregation on (src, dst) — the
+  *    standard two-phase count with map-side combine.
+  *  - `pageRank` iterates rank-join-aggregate with the edge set and
+  *    out-weight frame pinned ONCE (read per round, never recomputed) and
+  *    each round's node-sized rank frame pinned and the previous round
+  *    freed deterministically — at most two rank copies live, same
+  *    discipline as Dedup.connectedComponents. Work per round is one
+  *    shuffle on dst plus a node-sized join; rounds are a fixed constant.
+  *  - `reach` is the semi-naive bounded-hop frontier: each hop joins only
+  *    the FRESH pairs against the edge set (never the accumulated closure),
+  *    so a converged frontier costs nothing. Bounded-hop reachability over
+  *    a dense graph is inherently output-heavy; callers choose `maxHops`
+  *    small (typical KG neighborhood queries: 2–4).
+  */
+object Graph {
+
+  /** Directed term-adjacency edges from a token stream `(docid, pos, term)`:
+    * src = term at pos, dst = term at pos+1 within the same doc, self-loops
+    * dropped, weight = corpus-wide pair count. */
+  def bigramEdges(toks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("docid").orderBy("pos")
+    toks
+      .select(col("docid"), col("pos"), col("term"))
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("term"))
+      .groupBy(col("term").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Per-node degree/strength profile: out/in edge counts and weight sums,
+    * full-outer so pure sources and pure sinks both appear. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_w"))
+    out.join(in, Seq("node"), "full_outer")
+      .na.fill(0L, Seq("out_deg", "out_w", "in_deg", "in_w"))
+      .select(col("node"), col("out_deg"), col("out_w"), col("in_deg"), col("in_w"))
+  }
+
+  /** Weighted PageRank on a scaled-integer lattice, `iters` fixed rounds.
+    *
+    * All mass lives in `scale` integer units; every operation is Long
+    * arithmetic with truncating division (`div`), so results are exactly
+    * reproducible across engines and cluster sizes. Per round, with
+    * r = previous ranks, N = |nodes|, ow(u) = total out-weight of u:
+    *
+    *   inflow(v) = Σ over edges (u,v,w) of (r(u) * w) div ow(u)
+    *   dshare    = (Σ over dangling u of r(u)) div N
+    *   r'(v)     = teleport + ((inflow(v) + dshare) * dampNum) div dampDen
+    *
+    * with teleport = (seed * (dampDen - dampNum)) div dampDen and
+    * seed = scale div N (the uniform start). Truncation loses a few units
+    * of mass per round — identically in every engine, which is the point.
+    *
+    * Overflow envelope (documented precondition, not checked row-wise): a
+    * single rank is bounded by `scale`, so `rank * w` needs
+    * scale * max(w) < 2^63 — at the default scale 1e12, max edge weight
+    * 9.2e6. For heavier edge sets pass a smaller `scale` (the lattice just
+    * coarsens) or pre-bucket weights.
+    *
+    * Returns `(node, rank)` with rank in lattice units.
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    // pinned once, read every round
+    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
+    val (outw, owH) = Pinned.pinTracked(
+      e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
+    val (nodes, nodesH) = Pinned.pinTracked(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    // dangling = nodes with no out-edge (their mass redistributes uniformly)
+    val (dangling, dangH) = Pinned.pinTracked(
+      nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti"))
+
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty edge set")
+    val seed = scale / n
+    val teleport = seed * (dampDen - dampNum) / dampDen
+
+    var (ranks, ranksH) = Pinned.pinTracked(
+      nodes.select(col("node"), lit(seed).as("rank")))
+    var it = 0
+    while (it < iters) {
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val dshare = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+        .select(expr(s"dsum div ${n}L").as("dshare"))
+      val next = nodes
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(dshare)
+        .select(col("node"),
+          expr(s"${teleport}L + ((coalesce(inflow, 0L) + dshare) * ${dampNum}L) div ${dampDen}L")
+            .as("rank"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      freeH(ranksH)
+      ranks = pinnedNext
+      ranksH = nextH
+      it += 1
+    }
+    freeH(eH); freeH(owH); freeH(nodesH); freeH(dangH)
+    // the final pinned rank frame is the result (caller drops -> cleaner)
+    ranks
+  }
+
+  /** Nodes reachable within `maxHops` directed hops, excluding the node
+    * itself: returns `(node, n_reach)` for every node with at least one
+    * out-edge. Semi-naive expansion: hop i+1 joins only hop i's FRESH pairs
+    * with the edge set, and stops early once a frontier is empty. */
+  def reach(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "reach needs at least one hop")
+    val spark = edges.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst")).distinct())
+    val eRen = e.select(col("src").as("mid"), col("dst").as("d2"))
+    var (all, allH) = Pinned.pinTracked(e)
+    var (delta, deltaH) = Pinned.pinTracked(e)
+    var hop = 1
+    var drained = false
+    while (hop < maxHops && !drained) {
+      val stepped = delta.join(eRen, delta("dst") === eRen("mid"))
+        .select(col("src"), col("d2").as("dst")).distinct()
+      val (fresh, freshH) = Pinned.pinTracked(
+        stepped.join(all, Seq("src", "dst"), "left_anti"))
+      if (fresh.isEmpty) {
+        freeH(freshH)
+        drained = true
+      } else {
+        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
+        freeH(allH); freeH(deltaH)
+        all = nextAll; allH = nextAllH
+        delta = fresh; deltaH = freshH
+      }
+      hop += 1
+    }
+    freeH(eH)
+    if (deltaH ne allH) freeH(deltaH) // last frontier is folded into `all`
+    val out = all.filter(col("dst") =!= col("src"))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_reach"))
+    // result derives from the still-pinned closure; caller-held references
+    // stay valid (the pin is only reclaimed when the frame is dropped)
+    out
+  }
+}

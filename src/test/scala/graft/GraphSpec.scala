@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cooc, Graph}
+
+/** Graph operators vs driver-side reference implementations: the integer
+  * PageRank lattice must agree with a plain Scala loop EXACTLY (no epsilon —
+  * exactness is the operator's contract, it's what makes the DuckDB replay
+  * meaningful), and bounded-hop reach must agree with per-node BFS. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  /** Reference integer PageRank — same lattice, plain Scala Long math. */
+  private def refPageRank(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val seed = scale / n
+    val tp = seed * 15 / 100
+    var r = nodes.map(_ -> seed).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => inflow(d) += r(s) * w / ow(s) }
+      val ds = nodes.filterNot(ow.contains).map(r).sum / n
+      r = nodes.map(v => v -> (tp + (inflow(v) + ds) * 85 / 100)).toMap
+    }
+    r
+  }
+
+  /** Reference bounded-hop reach: BFS per node, depth <= k, self excluded. */
+  private def refReach(edges: Seq[(String, String, Long)], k: Int): Map[String, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    adj.keys.map { start =>
+      var frontier = Set(start)
+      var seen = Set.empty[String]
+      for (_ <- 1 to k) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)) -- seen
+        seen ++= frontier
+      }
+      start -> (seen - start).size.toLong
+    }.toMap
+  }
+
+  private def df(edges: Seq[(String, String, Long)]) = edges.toDF("src", "dst", "w")
+
+  private val hand: Seq[(String, String, Long)] = Seq(
+    ("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L), ("a", "c", 1L),
+    ("d", "a", 5L), ("b", "e", 2L)) // e: dangling sink
+
+  private def randomGraph(seed: Int): Seq[(String, String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = ('a' to 'h').map(_.toString)
+    (for {
+      s <- nodes; d <- nodes
+      if s != d && rnd.nextDouble() < 0.25
+    } yield (s, d, (rnd.nextInt(9) + 1).toLong)).toSeq
+  }
+
+  test("bigramEdges: doc-local adjacent pairs, self-loops dropped") {
+    val toks = Seq(
+      ("d1", 0, "a"), ("d1", 1, "b"), ("d1", 2, "b"), ("d1", 3, "c"),
+      ("d2", 0, "b"), ("d2", 1, "c"), ("d2", 2, "a")
+    ).toDF("docid", "pos", "term")
+    val got = Graph.bigramEdges(toks).as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L)))
+  }
+
+  test("degrees: out/in counts and strengths, sources and sinks both present") {
+    val got = Graph.degrees(df(hand))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((2L, 4L, 2L, 7L))) // out: b,c (3+1); in: c,d (2+5)
+    assert(got("d") == ((1L, 5L, 0L, 0L))) // pure source
+    assert(got("e") == ((0L, 0L, 1L, 2L))) // pure sink (dangling)
+    assert(got.keySet == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("pageRank == integer reference on the hand graph (8 iters, exact)") {
+    val got = Graph.pageRank(df(hand), iters = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got == refPageRank(hand, 8))
+  }
+
+  test("pageRank == integer reference on random graphs (exact)") {
+    for (seed <- Seq(7, 23)) {
+      val g = randomGraph(seed)
+      val got = Graph.pageRank(df(g), iters = 5).as[(String, Long)].collect().toMap
+      assert(got == refPageRank(g, 5), s"seed=$seed")
+    }
+  }
+
+  test("pageRank: total mass stays within truncation loss of the lattice") {
+    val got = Graph.pageRank(df(hand), iters = 8).as[(String, Long)].collect()
+    val total = got.map(_._2).sum
+    // truncating division can only LOSE mass, and at most a few units per
+    // node per round: the total must stay in (scale - iters*nodes*3, scale]
+    assert(total <= scale && total > scale - 8L * got.length * 3)
+  }
+
+  test("reach == per-node BFS on chain, cycle, and random graphs") {
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+    val cycle = Seq(("x", "y", 1L), ("y", "z", 1L), ("z", "x", 1L))
+    for ((g, name) <- Seq((chain, "chain"), (cycle, "cycle"),
+                          (randomGraph(5), "rnd5"), (hand, "hand"))) {
+      val got = Graph.reach(df(g), maxHops = 3).as[(String, Long)].collect().toMap
+      assert(got == refReach(g, 3), s"graph=$name")
+    }
+    // chain sanity by hand: a reaches b,c,d in <=3 hops; e reaches nothing
+    val chainGot = Graph.reach(df(chain), 3).as[(String, Long)].collect().toMap
+    assert(chainGot == Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("reach drains early: frontier empties before maxHops on a short chain") {
+    val short = Seq(("a", "b", 1L), ("b", "c", 1L))
+    val got = Graph.reach(df(short), maxHops = 10).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("mergeCounts: any doc-level split merges back to the full counts") {
+    val events = for {
+      e <- Seq("x", "y"); t <- Seq("p", "q", "r"); i <- 1 to (t.hashCode.abs % 5 + 1)
+    } yield (e, s"doc$i", i, t)
+    val cov = events.toDF("entity", "docid", "pos", "term")
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("entity", "term").agg(count(lit(1)).cast("long").as("k"))
+    val full = counts(cov).as[(String, String, Long)].collect().toSet
+    val isDelta = crc32(col("docid")) % 3 === 0
+    val merged = Cooc.mergeCounts(counts(cov.filter(!isDelta)), counts(cov.filter(isDelta)))
+      .as[(String, String, Long)].collect().toSet
+    assert(merged == full)
+  }
+}
