@@ -34,6 +34,12 @@ object KgQueries {
     "q_kg_reach" -> ((s, d) =>
       Graph.reach(edgesOf(s, d), maxHops = 3).orderBy("node")),
 
+    "q_kg_triangles" -> ((s, d) =>
+      Graph.triangles(edgesOf(s, d)).orderBy("node")),
+
+    "q_kg_labelprop" -> ((s, d) =>
+      Graph.labelPropagation(edgesOf(s, d), iters = 4).orderBy("node")),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -96,6 +102,59 @@ object KgQueries {
        |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Undirected simple pair set + (deg, node)-ordered orientation — the SQL
+    * twin of Graph.undirected / the orientation step of Graph.triangles. */
+  private val orientedCtes: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges WHERE src <> dst
+      |),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node
+      |),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+      |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+      |  FROM (SELECT u1.a, u1.b, d1.deg AS da, d2.deg AS db
+      |        FROM und u1 JOIN deg d1 ON u1.a = d1.node
+      |                    JOIN deg d2 ON u1.b = d2.node)
+      |)""".stripMargin
+
+  /** Round-by-round replay of Graph.labelPropagation: per round each node
+    * adopts the neighbor label with max total incident weight, ties to the
+    * smallest label — the same total order as the Spark window. */
+  private def labelPropOracle(iters: Int): String = {
+    val sym =
+      """undw AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2
+        |),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS nbr, w FROM undw
+        |  UNION ALL SELECT b AS v, a AS nbr, w FROM undw
+        |),
+        |lab0 AS MATERIALIZED (
+        |  SELECT node, node AS label FROM (SELECT DISTINCT v AS node FROM sym))""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""lab$k AS MATERIALIZED (
+         |  SELECT v AS node, l AS label FROM (
+         |    SELECT s.v, p.label AS l, sum(s.w) AS sw,
+         |           row_number() OVER (PARTITION BY s.v
+         |                              ORDER BY sum(s.w) DESC, p.label) AS rn
+         |    FROM sym s JOIN lab${k - 1} p ON s.nbr = p.node
+         |    GROUP BY s.v, p.label)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$sym,
+       |$rounds
+       |SELECT node, label FROM lab$iters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_kg_degrees" ->
       s"""${Queries.base},
@@ -112,6 +171,23 @@ object KgQueries {
          |ORDER BY node""".stripMargin,
 
     "q_kg_pagerank" -> pageRankOracle(8),
+
+    "q_kg_triangles" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |$orientedCtes,
+         |tri AS MATERIALIZED (
+         |  SELECT e1.u, e1.v, e2.v AS w2
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
+         |            JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+         |)
+         |SELECT node, count(*) AS n_tri FROM (
+         |  SELECT u AS node FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w2 FROM tri)
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_kg_labelprop" -> labelPropOracle(4),
 
     "q_kg_reach" ->
       s"""${Queries.base},

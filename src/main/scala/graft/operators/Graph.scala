@@ -172,4 +172,105 @@ object Graph {
     // stay valid (the pin is only reclaimed when the frame is dropped)
     out
   }
+
+  /** Undirected simple edge set underlying a directed weighted edge frame:
+    * one row per unordered pair `(a < b)`, weight = sum of both directions.
+    * Doc-local nothing — this is one hash aggregation on the (already
+    * vocabulary-sized) edge set. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"),
+              col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+
+  /** Per-node triangle participation count over the undirected simple graph.
+    *
+    * Compact-forward / degree orientation (Latapy 2008; the standard
+    * distributed-join formulation is Suri & Vassilvitskii, WWW'11): orient
+    * every undirected edge from the endpoint that is SMALLER under the total
+    * order (degree, node) toward the larger. The oriented graph is acyclic
+    * and every node's out-degree is O(sqrt(m)) regardless of its raw degree
+    * — so the wedge self-join below never explodes on a hub node, the
+    * classic skew bound that makes triangle join-plans survive social-graph
+    * degree distributions. Each triangle appears exactly once as an oriented
+    * wedge (u->v, u->w) closed by (v, w).
+    *
+    * Returns `(node, n_tri)` for nodes in at least one triangle. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).select(col("a"), col("b"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): u = smaller endpoint under the order
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+    // wedges (u->v, u->w) with v before w under the same order = distinct
+    // oriented pairs out of u; close each with the oriented edge (v, w)
+    val e1 = o.select(col("u"), col("v"))
+    val e2 = o.select(col("u"), col("v").as("w2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v") =!= col("w2"))
+    val closed = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w2")), Seq("v", "w2"))
+    // every triangle {u,v,w} surfaces exactly once per orientation of its
+    // closing edge; the v/w2 wedge pair double-counts (v,w2) vs (w2,v) only
+    // when BOTH orientations close — impossible in an acyclic orientation,
+    // but (v,w2) and (w2,v) wedges are distinct rows and only the one
+    // matching the oriented closing edge survives the join. Each surviving
+    // row is one triangle; credit all three corners.
+    closed.select(explode(array(col("u"), col("v"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Synchronous weighted label propagation, `iters` fixed rounds, exact.
+    *
+    * Labels start as the node id. Per round every node adopts the label
+    * carrying the maximum total incident edge weight among its neighbors,
+    * ties broken by the lexicographically SMALLEST label — a total order, so
+    * every round is a pure function of the previous labeling and the replay
+    * is engine-independent (the usual LPA nondeterminism is exactly what
+    * this pins down). Fixed rounds rather than convergence: synchronous LPA
+    * can 2-cycle on bipartite structures, so `iters` is part of the query
+    * contract, same as pageRank.
+    *
+    * Scale: per round one symmetric edge join against the node-sized label
+    * frame, one (node, label) aggregation (map-side combinable), one
+    * per-node argmax window partitioned by node (never global). Label
+    * frames are pinned per round with the previous round freed — at most
+    * two node-sized copies live, same discipline as pageRank/CC. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val spark = edges.sparkSession
+    val und = undirected(edges)
+    // symmetric adjacency: each undirected edge contributes both directions
+    val (sym, symH) = Pinned.pinTracked(
+      und.select(col("a").as("v"), col("b").as("nbr"), col("w"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("nbr"), col("w"))))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("s").desc, col("l").asc)
+    var (labels, labelsH) = Pinned.pinTracked(
+      sym.select(col("v").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    var it = 0
+    while (it < iters) {
+      val next = sym
+        .join(labels.select(col("node").as("nbr"), col("label").as("l")), Seq("nbr"))
+        .groupBy(col("v"), col("l")).agg(sum(col("w")).as("s"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("l").as("label"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      Pinned.free(spark, labelsH)
+      labels = pinnedNext
+      labelsH = nextH
+      it += 1
+    }
+    Pinned.free(spark, symH)
+    labels
+  }
 }

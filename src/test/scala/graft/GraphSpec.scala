@@ -119,6 +119,76 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  /** Reference triangle counts: brute-force over all node triples. */
+  private def refTriangles(edges: Seq[(String, String, Long)]): Map[String, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) (e._1, e._2) else (e._2, e._1)).toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } { counts(x) += 1; counts(y) += 1; counts(z) += 1 }
+    counts.toMap
+  }
+
+  /** Reference LPA: synchronous, neighbor-max-weight, min-label ties. */
+  private def refLabelProp(edges: Seq[(String, String, Long)], iters: Int): Map[String, String] = {
+    val undw = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) ((e._1, e._2), e._3) else ((e._2, e._1), e._3))
+      .groupBy(_._1).map { case (p, ws) => p -> ws.map(_._2).sum }
+    val sym = undw.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(e => (e._2, e._3)) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (v, nbrs) =>
+        val scores = nbrs.groupBy { case (u, _) => lab(u) }
+          .map { case (l, es) => l -> es.map(_._2).sum }
+        v -> scores.toSeq.minBy { case (l, s) => (-s, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("triangles == brute-force triple enumeration") {
+    val tri = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "d", 1L))
+    for ((g, name) <- Seq((tri, "one-tri"), (hand, "hand"),
+                          (randomGraph(11), "rnd11"), (randomGraph(29), "rnd29"))) {
+      val got = Graph.triangles(df(g)).as[(String, Long)].collect().toMap
+      assert(got == refTriangles(g), s"graph=$name")
+    }
+  }
+
+  test("triangles: directed reciprocal pair is NOT a triangle; K4 is 3 per node") {
+    assert(Graph.triangles(df(Seq(("a", "b", 1L), ("b", "a", 2L)))).count() == 0)
+    val k4 = for (x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d"); if x < y)
+      yield (x, y, 1L)
+    val got = Graph.triangles(df(k4)).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("labelPropagation == synchronous reference on hand and random graphs") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(3), "rnd3"),
+                          (randomGraph(17), "rnd17"))) {
+      for (iters <- Seq(1, 4)) {
+        val got = Graph.labelPropagation(df(g), iters).as[(String, String)].collect().toMap
+        assert(got == refLabelProp(g, iters), s"graph=$name iters=$iters")
+      }
+    }
+  }
+
+  test("labelPropagation: two heavy cliques with a light bridge converge to two communities") {
+    val clique = (ns: Seq[String], w: Long) =>
+      for (x <- ns; y <- ns; if x < y) yield (x, y, w)
+    val g = clique(Seq("a1", "a2", "a3"), 10L) ++ clique(Seq("b1", "b2", "b3"), 10L) ++
+      Seq(("a3", "b1", 1L))
+    val got = Graph.labelPropagation(df(g), iters = 4).as[(String, String)].collect().toMap
+    assert(Set("a1", "a2", "a3").map(got).size == 1, s"A-side split: $got")
+    assert(Set("b1", "b2", "b3").map(got).size == 1, s"B-side split: $got")
+    assert(got("a1") != got("b1"), s"communities merged: $got")
+  }
+
   test("mergeCounts: any doc-level split merges back to the full counts") {
     val events = for {
       e <- Seq("x", "y"); t <- Seq("p", "q", "r"); i <- 1 to (t.hashCode.abs % 5 + 1)
