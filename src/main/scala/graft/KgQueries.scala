@@ -40,6 +40,27 @@ object KgQueries {
     "q_kg_labelprop" -> ((s, d) =>
       Graph.labelPropagation(edgesOf(s, d), iters = 4).orderBy("node")),
 
+    "q_kg_wcc" -> ((s, d) =>
+      Graph.wcc(edgesOf(s, d)).orderBy("node")),
+
+    // thresholding the undirected weight to >= 65 sparsifies the
+    // near-complete co-occurrence graph so the core structure is
+    // non-trivial at test scale; 8 fixed peel rounds (converges in 6 at
+    // sf0.01 — exact k-core there)
+    "q_kg_kcore" -> ((s, d) =>
+      Graph.kcore(edgesOf(s, d), k = 6, rounds = 8, minW = 65L)
+        .orderBy("node")),
+
+    // single-source = lexicographically smallest node (deterministic);
+    // dist = min total edge weight over directed paths of <= 4 hops
+    "q_kg_sssp" -> ((s, d) => {
+      val edges = edgesOf(s, d)
+      val src = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .agg(min(col("node")).as("node"))
+      Graph.shortestPaths(edges, src, maxHops = 4).orderBy("node")
+    }),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -155,6 +176,68 @@ object KgQueries {
        |SELECT node, label FROM lab$iters ORDER BY node""".stripMargin
   }
 
+  /** Round-by-round replay of Graph.kcore over the w-thresholded simple
+    * graph: per round recompute degrees, keep nodes with deg >= k, keep
+    * edges with both endpoints kept. */
+  private def kcoreOracle(thr: Int, k: Int, rounds: Int): String = {
+    val e0 =
+      s"""e0 AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |           CAST(sum(w) AS BIGINT) AS w
+         |    FROM edges WHERE src <> dst GROUP BY 1, 2)
+         |  WHERE w >= $thr
+         |)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS deg FROM (
+         |      SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |    GROUP BY node)
+         |  WHERE deg >= $k
+         |),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$e0,
+       |$rs
+       |SELECT node, deg FROM (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |  GROUP BY node)
+       |WHERE deg >= $k ORDER BY node""".stripMargin
+  }
+
+  /** Round-by-round replay of Graph.shortestPaths: d0 = the minimum node at
+    * distance 0, then `maxHops` Bellman-Ford relaxations taking the min of
+    * (previous dists) union (previous dists + outgoing edge weight). */
+  private def ssspOracle(maxHops: Int): String = {
+    val d0 =
+      """d0 AS MATERIALIZED (
+        |  SELECT min(node) AS node, CAST(0 AS BIGINT) AS dist FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        |)""".stripMargin
+    val rs = (1 to maxHops).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM d${i - 1} p JOIN edges e ON e.src = p.node)
+         |  GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$d0,
+       |$rs
+       |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_kg_degrees" ->
       s"""${Queries.base},
@@ -188,6 +271,28 @@ object KgQueries {
          |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_kg_labelprop" -> labelPropOracle(4),
+
+    "q_kg_wcc" ->
+      s"""${Queries.base.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$edgesCte,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und
+         |),
+         |rch AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t0
+         |  UNION
+         |  SELECT s.u, r.r FROM sym s JOIN rch r ON r.u = s.v
+         |)
+         |SELECT u AS node, min(r) AS component FROM rch
+         |GROUP BY u ORDER BY node""".stripMargin,
+
+    "q_kg_kcore" -> kcoreOracle(thr = 65, k = 6, rounds = 8),
+
+    "q_kg_sssp" -> ssspOracle(4),
 
     "q_kg_reach" ->
       s"""${Queries.base},

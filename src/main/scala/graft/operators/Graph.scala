@@ -273,4 +273,94 @@ object Graph {
     Pinned.free(spark, symH)
     labels
   }
+
+  /** Weakly connected components of the directed edge frame: `(node,
+    * component)`, component = minimum node id reachable ignoring direction.
+    *
+    * Thin adapter over the production large-star/small-star implementation
+    * (`Dedup.connectedComponents`) — O(log n) rounds, ≤2 edge-set copies
+    * live, converge-or-throw, durable-pin routed. One operator, one
+    * battle-tested body, two registry surfaces (dedup clusters, KG
+    * components). */
+  def wcc(edges: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+      undirected(edges).select(col("a"), col("b")))
+      .select(col("docid").as("node"), col("cluster").as("component"))
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node with undirected-simple degree < k (and its edges)", then return
+    * the surviving nodes with their residual degree.
+    *
+    * Fixed rounds rather than peel-to-fixpoint for the same reason as
+    * pageRank/labelPropagation: the round count is part of the query
+    * contract, so an engine-independent oracle can replay every round
+    * exactly; on graphs where peeling converges within `rounds` (asserted
+    * on the test fixtures) the result IS the exact k-core.
+    *
+    * Scale: the edge set only ever shrinks; per round one degree
+    * aggregation (map-side combinable) and two semi-joins against the
+    * node-sized keep list (broadcastable — vocabulary-scale). Edge frames
+    * are pinned per round, previous freed: ≤2 copies live. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int, minW: Long = 0L): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kcore needs k >= 1 and rounds >= 1")
+    val spark = edges.sparkSession
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // minW thresholds the UNDIRECTED summed weight (both directions), the
+    // natural sparsifier for co-occurrence graphs whose raw simple graph is
+    // near-complete — thresholding the directed halves instead would be
+    // order-sensitive
+    var (e, eH) = Pinned.pinTracked(
+      undirected(edges).filter(col("w") >= minW).select(col("a"), col("b")))
+    var it = 0
+    while (it < rounds) {
+      val keep = degreesOf(e).filter(col("deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      Pinned.free(spark, eH)
+      e = pinnedNext
+      eH = nextH
+      it += 1
+    }
+    val out = degreesOf(e).filter(col("deg") >= k)
+    val (pinnedOut, _) = Pinned.pinTracked(out)
+    Pinned.free(spark, eH)
+    pinnedOut
+  }
+
+  /** Single/multi-source bounded-hop weighted shortest paths (directed):
+    * `maxHops` rounds of Bellman-Ford relaxation over integer edge weights,
+    * returning `(node, dist)` for every node reachable from `sources`
+    * (column `node`) within `maxHops` hops — dist = minimum total edge
+    * weight over such paths. Integer arithmetic end-to-end: the oracle
+    * replays every relaxation round bit-for-bit.
+    *
+    * Scale: per round one join of the frontier-accumulating distance frame
+    * (node-sized) against the edge set on its partition key plus one
+    * min-aggregation (map-side combinable). Distance frames pinned per
+    * round, previous freed: ≤2 node-sized copies live. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "shortestPaths needs at least one hop")
+    val spark = edges.sparkSession
+    var (dist, dH) = Pinned.pinTracked(
+      sources.select(col("node")).distinct().select(col("node"), lit(0L).as("dist")))
+    var it = 0
+    while (it < maxHops) {
+      val relaxed = dist
+        .join(edges.select(col("src").as("node"), col("dst"), col("w")), Seq("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      Pinned.free(spark, dH)
+      dist = pinnedNext
+      dH = nextH
+      it += 1
+    }
+    dist
+  }
 }

@@ -189,6 +189,90 @@ class GraphSpec extends SparkTestBase {
     assert(got("a1") != got("b1"), s"communities merged: $got")
   }
 
+  /** Reference WCC: BFS over the undirected simple graph, component = min
+    * reachable id — the same contract as Dedup.connectedComponents. */
+  private def refWcc(edges: Seq[(String, String, Long)]): Map[String, String] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    adj.keys.map { start =>
+      var frontier = Set(start)
+      var seen = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)) -- seen
+        seen ++= frontier
+      }
+      start -> seen.min
+    }.toMap
+  }
+
+  /** Reference bounded k-core peel: fixed synchronous rounds. */
+  private def refKcore(edges: Seq[(String, String, Long)], k: Int, rounds: Int): Map[String, Long] = {
+    var e = edges.filter(x => x._1 != x._2)
+      .map(x => if (x._1 < x._2) (x._1, x._2) else (x._2, x._1)).distinct
+    for (_ <- 1 to rounds) {
+      val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+    }
+    (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }.filter(_._2 >= k)
+  }
+
+  /** Reference bounded Bellman-Ford from the min node. */
+  private def refSssp(edges: Seq[(String, String, Long)], maxHops: Int): Map[String, Long] = {
+    val src = (edges.map(_._1) ++ edges.map(_._2)).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to maxHops) {
+      val relaxed = edges.flatMap { case (s, d, w) => dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  test("wcc == BFS min-reachable reference; two components stay separate") {
+    val twoComp = Seq(("a", "b", 1L), ("b", "c", 1L), ("x", "y", 2L))
+    for ((g, name) <- Seq((twoComp, "two-comp"), (hand, "hand"),
+                          (randomGraph(5), "rnd5"), (randomGraph(23), "rnd23"))) {
+      val got = Graph.wcc(df(g)).as[(String, String)].collect().toMap
+      assert(got == refWcc(g), s"graph=$name")
+    }
+  }
+
+  test("kcore == fixed-round peel reference; clique survives, pendant chain peels") {
+    // K4 plus a pendant chain: 3-core = exactly the K4, chain peels away
+    val k4 = for (x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d"); if x < y)
+      yield (x, y, 1L)
+    val g = k4 ++ Seq(("d", "e", 1L), ("e", "f", 1L))
+    val got = Graph.kcore(df(g), k = 3, rounds = 4).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    for ((rg, name) <- Seq((hand, "hand"), (randomGraph(7), "rnd7"), (randomGraph(31), "rnd31"));
+         k <- Seq(2, 3)) {
+      val want = refKcore(rg, k, 4)
+      val have = Graph.kcore(df(rg), k, rounds = 4).as[(String, Long)].collect().toMap
+      assert(have == want, s"graph=$name k=$k")
+    }
+  }
+
+  test("shortestPaths == bounded Bellman-Ford reference; respects hop bound") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(13), "rnd13"),
+                          (randomGraph(41), "rnd41")); hops <- Seq(1, 4)) {
+      val src = (g.map(_._1) ++ g.map(_._2)).min
+      val srcDf = Seq(src).toDF("node")
+      val got = Graph.shortestPaths(df(g), srcDf, hops).as[(String, Long)].collect().toMap
+      assert(got == refSssp(g, hops), s"graph=$name hops=$hops")
+    }
+    // weighted beats unweighted: a->b direct w=10 vs a->c->b w=2+3
+    val wg = Seq(("a", "b", 10L), ("a", "c", 2L), ("c", "b", 3L))
+    val d1 = Graph.shortestPaths(df(wg), Seq("a").toDF("node"), maxHops = 1)
+      .as[(String, Long)].collect().toMap
+    assert(d1("b") == 10L, "one hop must take the direct edge")
+    val d2 = Graph.shortestPaths(df(wg), Seq("a").toDF("node"), maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(d2("b") == 5L, "two hops must find the cheaper path")
+  }
+
   test("mergeCounts: any doc-level split merges back to the full counts") {
     val events = for {
       e <- Seq("x", "y"); t <- Seq("p", "q", "r"); i <- 1 to (t.hashCode.abs % 5 + 1)
