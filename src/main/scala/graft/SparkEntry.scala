@@ -20,10 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator: SURVEY.md §2 inventory (Queries)
     * plus the training-data-pipeline extras (ExtraQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.sparkQueries ++ ExtraQueries.sparkQueries ++ KgQueries.sparkQueries
+    Queries.sparkQueries ++ ExtraQueries.sparkQueries ++ KgQueries.sparkQueries ++
+      MmQueries.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ ExtraQueries.oracle ++ KgQueries.oracle
+    Queries.oracle ++ ExtraQueries.oracle ++ KgQueries.oracle ++ MmQueries.oracle
 }

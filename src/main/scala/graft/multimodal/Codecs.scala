@@ -1,0 +1,271 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL multimodal codecs over the JDK's own media stack — zero external
+  * dependencies. `java.desktop` ships lossless PNG and BMP codecs and a JPEG
+  * codec in every JDK 17 (`ImageIO`), and PCM WAV is a trivial RIFF container
+  * parsed by hand here (validated against `javax.sound.sampled` in
+  * MultimodalSpec). This replaces the round-1..4 `[DECODE-STUB]` for every
+  * format the JVM can actually decode; the stub remains only as the routed
+  * fallback for genuinely absent codecs (e.g. H.264) — see
+  * [[Multimodal.extractFeatures]].
+  *
+  * Everything synthesized here is a pure integer formula of (doc id, pixel /
+  * sample coordinates), so a DuckDB oracle can recompute the expected
+  * statistics via `generate_series` WITHOUT any image library: the oracle
+  * checks the full encode → real-decode → aggregate path end-to-end.
+  * Spec: BASELINE.json north_rule (reference tree empty, see SURVEY §0).
+  */
+object Codecs {
+
+  // ---------------------------------------------------------------- formulas
+
+  /** Image dims: 8..16 px a side — small enough that the oracle's
+    * per-pixel generate_series stays tiny at test scale. */
+  def imgW(id: Long): Int = (8 + (id % 9)).toInt
+  def imgH(id: Long): Int = (8 + ((id * 3) % 9)).toInt
+
+  def pxR(id: Long, x: Int, y: Int): Int = ((x * 7 + y * 3 + id * 13) % 256).toInt
+  def pxG(id: Long, x: Int, y: Int): Int = ((x * 11 + y * 5 + id * 17) % 256).toInt
+  def pxB(id: Long, x: Int, y: Int): Int = ((x * 13 + y * 7 + id * 19) % 256).toInt
+
+  /** Audio: 16-bit mono PCM at 8 kHz; sample values in ±2000. */
+  val sampleRate = 8000
+  def nSamples(id: Long): Int = (600 + (id % 50) * 8).toInt
+  def sampleAt(id: Long, i: Int): Int = ((i.toLong * ((id % 31) + 3)) % 4001).toInt - 2000
+
+  /** Video: 6..10 frames of fixed 8x8 images; frame f of doc id uses the
+    * pixel formula with effective id `id*100 + f + 1`. */
+  def nFrames(id: Long): Int = (6 + (id % 5)).toInt
+  def frameEffId(id: Long, f: Int): Long = id * 100L + f + 1L
+  val frameSide = 8
+
+  // ---------------------------------------------------------------- encoders
+
+  /** Lossless-encode the formula image for `effId`; even ids → PNG, odd →
+    * BMP, so both real JDK codecs are exercised under the same oracle. */
+  def encodeImage(effId: Long): Array[Byte] = encodeImageShift(effId, 0)
+
+  /** Same image as [[encodeImage]] with the red channel rotated by `rShift`
+    * — the deterministic "near-duplicate" perturbation for the aHash dedup
+    * fixture (still a pure formula, so the oracle replays it). */
+  def encodeImageShift(effId: Long, rShift: Int): Array[Byte] = {
+    val (w, h) = (imgW(effId), imgH(effId))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (pxR(effId, x, y) + rShift) % 256
+        img.setRGB(x, y, (r << 16) | (pxG(effId, x, y) << 8) | pxB(effId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (effId % 2 == 0) "png" else "bmp"
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def encodeFramePng(effId: Long): Array[Byte] = {
+    val img = new BufferedImage(frameSide, frameSide, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < frameSide) {
+      var x = 0
+      while (x < frameSide) {
+        img.setRGB(x, y, (pxR(effId, x, y) << 16) | (pxG(effId, x, y) << 8) | pxB(effId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Canonical RIFF/WAVE, PCM 16-bit mono little-endian, built byte-by-byte
+    * (deterministic across JVMs — no encoder library variance). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = nSamples(id)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sampleAt(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Tiny deterministic video container: "GVID" magic, int32-BE frame count,
+    * then per frame an int32-BE length + a real PNG payload. Demuxing it is
+    * real container parsing; decoding each frame is real PNG decode. */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val frames = (0 until nFrames(id)).map(f => encodeFramePng(frameEffId(id, f)))
+    val total = 8 + frames.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(total) // big-endian default
+    buf.put("GVID".getBytes("US-ASCII")).putInt(frames.size)
+    frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------- decoders
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  def isBmp(b: Array[Byte]): Boolean = b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+  def isImage(b: Array[Byte]): Boolean = isPng(b) || isBmp(b) || isJpeg(b)
+  def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+  def isGvid(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D'
+
+  /** Real image decode via the JDK codec; None when ImageIO has no reader
+    * for the payload. Returns (w, h, packed 0xRRGGBB rows-major). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+
+  /** Hand-rolled RIFF/WAVE PCM-16 mono parser (chunk walk, so extra chunks
+    * like LIST are skipped correctly). Validated against javax.sound in
+    * MultimodalSpec. Returns (sampleRate, samples). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (!isWav(bytes)) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(12)
+    var rate = -1
+    var ok = false
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val tag = new Array[Byte](4); buf.get(tag)
+      val len = buf.getInt
+      val name = new String(tag, "US-ASCII")
+      if (name == "fmt " && len >= 16) {
+        if (len + (len & 1) > buf.remaining()) return None // truncated fmt
+        val p0 = buf.position()
+        val fmt = buf.getShort; val ch = buf.getShort
+        rate = buf.getInt; buf.getInt; buf.getShort
+        val bits = buf.getShort
+        ok = fmt == 1 && ch == 1 && bits == 16
+        buf.position(p0 + len + (len & 1)) // chunks are word-aligned
+      } else if (name == "data" && ok) {
+        if (len > buf.remaining()) return None // truncated payload
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort; i += 1 }
+        samples = out
+      } else {
+        if (len + (len & 1) > buf.remaining()) return None
+        buf.position(buf.position() + len + (len & 1))
+      }
+    }
+    if (samples == null || rate < 0) None else Some((rate, samples))
+  }
+
+  /** Real container demux: (frameNo, encodedFrame) pairs. */
+  def demuxVideo(bytes: Array[Byte]): Option[IndexedSeq[(Int, Array[Byte])]] = {
+    if (!isGvid(bytes)) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian
+    buf.position(4)
+    val n = buf.getInt
+    if (n < 0 || n > (1 << 20)) return None
+    val out = IndexedSeq.newBuilder[(Int, Array[Byte])]
+    var f = 0
+    while (f < n) {
+      if (buf.remaining() < 4) return None
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val fb = new Array[Byte](len); buf.get(fb)
+      out += ((f, fb))
+      f += 1
+    }
+    Some(out.result())
+  }
+
+  // ------------------------------------------------------------------ stats
+
+  final case class ImageStats(width: Int, height: Int, sumR: Long, sumG: Long,
+                              sumB: Long, ahashHi: Long, ahashLo: Long)
+
+  /** Exact integer stats + a 64-bit average-hash. The hash samples an 8x8
+    * grid at (gx,gy) = ((2i+1)W//16, (2j+1)H//16), takes luma = r+g+b, and
+    * sets bit j*8+i iff 64*luma > sum(all 64 sampled lumas) — all integer
+    * arithmetic, so the oracle reproduces it bit-for-bit in SQL. Split into
+    * two 32-bit halves to keep the SQL in unsigned-safe BIGINT territory. */
+  def imageStats(w: Int, h: Int, px: Array[Int]): ImageStats = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val lumas = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      var ii = 0
+      while (ii < 8) {
+        val gx = (2 * ii + 1) * w / 16
+        val gy = (2 * j + 1) * h / 16
+        val p = px(gy * w + gx)
+        val l = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        lumas(j * 8 + ii) = l
+        total += l
+        ii += 1
+      }
+      j += 1
+    }
+    var (hi, lo) = (0L, 0L)
+    var k = 0
+    while (k < 64) {
+      if (64L * lumas(k) > total) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    ImageStats(w, h, sr, sg, sb, hi, lo)
+  }
+
+  final case class AudioStats(sampleRate: Int, nSamples: Int, sumAbs: Long,
+                              maxAbs: Int, zeroCross: Int)
+
+  def audioStats(rate: Int, s: Array[Short]): AudioStats = {
+    var sum = 0L; var mx = 0; var zc = 0
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toInt
+      val a = math.abs(v)
+      sum += a
+      if (a > mx) mx = a
+      if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+      i += 1
+    }
+    AudioStats(rate, s.length, sum, mx, zc)
+  }
+}

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * fixed batch shape, one model/codec init per partition, streaming hand-off
   * between batches).
   *
-  * The actual codec step is a STUB — no image/audio libraries ship in this
-  * container — marked [DECODE-STUB] below: it derives a deterministic fake
-  * feature vector from the payload bytes. Everything AROUND the stub (schema,
-  * partitioning, batch shape, per-partition init, frame sampling) is the real
-  * production plumbing and is tested.
+  * Since round 5 the decode step is REAL for every format the JDK itself can
+  * decode — PNG/BMP/JPEG via `ImageIO`, PCM WAV via a hand-rolled RIFF
+  * parser, and a length-prefixed frame container for video — see [[Codecs]].
+  * Routing is by payload magic bytes; only payloads no JVM codec can read
+  * fall through to the deterministic [DECODE-STUB] fallback (the honest
+  * stand-in for e.g. H.264, which genuinely has no codec in this container).
+  * All of it is doc-local: decode never shuffles, and at 100 TB the cost is
+  * one streaming pass with per-partition codec reuse.
   */
 object Multimodal {
 
@@ -50,10 +53,33 @@ object Multimodal {
     }
   }
 
-  /** [DECODE-STUB] stands in for image decode / audio resample / model
-    * inference: a deterministic 8-bin byte histogram, L1-normalized.
-    * Swap this single function for a real codec + encoder on a cluster with
-    * the native libraries installed; the surrounding batching is unchanged. */
+  /** Media table with REAL encoded payloads: image ids carry an actual
+    * PNG or BMP (both JDK codecs exercised), audio ids a canonical PCM-16
+    * WAV, video ids a GVID container of PNG frames — every byte a pure
+    * integer formula of the doc id (see [[Codecs]]), so DuckDB oracles can
+    * recompute decoded statistics independently of any image library. */
+  def synthReal(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          val b = Codecs.encodeImage(id)
+          MediaRow(id, "image", b,
+            Map("codec" -> (if (id % 2 == 0) "png" else "bmp"), "bytes" -> b.length.toString))
+        case 1 =>
+          val b = Codecs.encodeWav(id)
+          MediaRow(id, "audio", b, Map("codec" -> "pcm_s16le", "bytes" -> b.length.toString))
+        case _ =>
+          val b = Codecs.encodeVideo(id)
+          MediaRow(id, "video", b, Map("codec" -> "gvid+png", "bytes" -> b.length.toString))
+      }
+    }
+  }
+
+  /** [DECODE-STUB] — now only the routed FALLBACK for payloads no JVM codec
+    * can read (see [[extractFeatures]]): a deterministic 8-bin byte
+    * histogram, L1-normalized. Real images/audio/video take the [[Codecs]]
+    * path above it; the surrounding batching is identical for both. */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](8)
     var i = 0
@@ -66,39 +92,82 @@ object Multimodal {
     hist
   }
 
+  /** Real decode routed by payload magic; None when no JVM codec applies.
+    * Fixed dim-8 feature layout, last slot = codec family (1 image, 2 audio,
+    * 3 video), so mixed-modality batches stay schema-uniform. */
+  private[multimodal] def decodeReal(payload: Array[Byte]): Option[Array[Float]] =
+    if (Codecs.isImage(payload))
+      Codecs.decodeImage(payload).map { case (w, h, px) =>
+        val s = Codecs.imageStats(w, h, px)
+        val n = (w * h).toFloat
+        Array(w.toFloat, h.toFloat, s.sumR / n, s.sumG / n, s.sumB / n,
+          (java.lang.Long.bitCount(s.ahashHi) + java.lang.Long.bitCount(s.ahashLo)) / 64f,
+          0f, 1f)
+      }
+    else if (Codecs.isWav(payload))
+      Codecs.decodeWav(payload).map { case (rate, samples) =>
+        val a = Codecs.audioStats(rate, samples)
+        Array(rate / 1000f, a.nSamples.toFloat, a.sumAbs.toFloat / math.max(a.nSamples, 1),
+          a.maxAbs.toFloat, a.zeroCross.toFloat, 0f, 0f, 2f)
+      }
+    else if (Codecs.isGvid(payload))
+      Codecs.demuxVideo(payload).map { frames =>
+        var luma = 0L; var decoded = 0
+        frames.foreach { case (_, fb) =>
+          Codecs.decodeImage(fb).foreach { case (w, h, px) =>
+            val s = Codecs.imageStats(w, h, px)
+            luma += s.sumR + s.sumG + s.sumB; decoded += 1
+          }
+        }
+        Array(frames.size.toFloat, decoded.toFloat,
+          if (decoded > 0) luma.toFloat / decoded else 0f, 0f, 0f, 0f, 0f, 3f)
+      }
+    else None
+
   /** Batched feature extraction: partitions stream through fixed-size
     * batches (`grouped(batchSize)`), one "codec" init per partition — the
-    * exact execution shape a vectorized UDF gives you, minus Python. */
+    * exact execution shape a vectorized UDF gives you, minus Python.
+    * Decode is REAL (JDK codecs, routed by magic — [[decodeReal]]); only
+    * unrecognized payloads fall back to the deterministic stub histogram. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // [per-partition init] a real impl opens the codec/model ONCE here
+      // [per-partition init] codec instances are JVM-static (ImageIO); a
+      // model-backed encoder would be opened ONCE here
       var batchId = -1
       it.grouped(batchSize).flatMap { batch =>
         batchId += 1
         val bid = batchId
-        // a real impl would hand `batch` to the codec as one vectorized call
         batch.iterator.map { r =>
-          val f = decodeStub(r.payload)
+          val f = decodeReal(r.payload).getOrElse(decodeStub(r.payload))
           MediaFeature(r.doc_id, r.modality, f.length, f, bid, batch.size)
         }
       }
     }
   }
 
-  /** Frame sampling for video payloads: fixed-size frame windows over the
-    * byte stream (stub for container demuxing), every `everyNth` kept. */
+  /** Frame sampling for video payloads: REAL container demux when the
+    * payload is a GVID stream (every `everyNth` encoded frame kept, each a
+    * decodable PNG); fixed-size byte windows as the fallback for unknown
+    * containers. Doc-local either way — no shuffle at any scale. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
                    everyNth: Int = 4): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(col("modality") === "video").as[MediaRow].flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex
-        .collect { case (bytes, i) if i % everyNth == 0 => Frame(r.doc_id, i, bytes) }
+      Codecs.demuxVideo(r.payload) match {
+        case Some(frames) =>
+          frames.collect { case (i, bytes) if i % everyNth == 0 => Frame(r.doc_id, i, bytes) }
+        case None =>
+          r.payload.grouped(frameBytes).zipWithIndex
+            .collect { case (bytes, i) if i % everyNth == 0 => Frame(r.doc_id, i, bytes) }
+            .toSeq
+      }
     }
   }
 
   /** "Resize" stub: truncate/tile payload to a target size, preserving the
-    * (doc_id, modality) key — the shape of a thumbnailing pass. */
+    * (doc_id, modality) key — the shape of a thumbnailing pass. Kept for
+    * opaque payloads; decodable images get [[resizeImages]]. */
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
@@ -108,6 +177,98 @@ object Multimodal {
         if (r.payload.isEmpty) new Array[Byte](targetBytes)
         else Array.tabulate[Byte](targetBytes)(i => r.payload(i % r.payload.length))
       r.copy(payload = out, meta = r.meta + ("bytes" -> targetBytes.toString))
+    }
+  }
+
+  final case class AudioFrame(doc_id: Long, frame_no: Int, n_in_frame: Int,
+                              sum_abs: Long, sum_sq: Long)
+
+  /** Frame-level audio energy (REAL WAV decode → fixed-width sample frames
+    * → per-frame Σ|s| and Σs² — the doc-local shape a VAD / energy-gating
+    * pass needs; the audio analogue of [[sampleFrames]]). The trailing
+    * partial frame is kept with its true width. Non-WAV payloads are
+    * dropped — featurization of opaque bytes stays in extractFeatures. */
+  def audioFrameEnergy(media: Dataset[MediaRow], frameSamples: Int = 160): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow].flatMap { r =>
+      Codecs.decodeWav(r.payload).toSeq.flatMap { case (_, samples) =>
+        samples.grouped(frameSamples).zipWithIndex.map { case (frame, f) =>
+          var (sa, sq) = (0L, 0L)
+          var i = 0
+          while (i < frame.length) {
+            val v = frame(i).toLong
+            sa += math.abs(v); sq += v * v
+            i += 1
+          }
+          AudioFrame(r.doc_id, f, frame.length, sa, sq)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs via the 64-bit average-hash:
+    * REAL decode → doc-local aHash (node-sized frame, content never moves
+    * again) → candidate pairs by 4x16-bit band buckets → exact Hamming
+    * verify `bit_count(xor)`. With 4 bands, any pair at Hamming <= 3 shares
+    * at least one exact band (pigeonhole), so for maxHamming <= 3 the result
+    * is EXACTLY the brute-force Hamming join — which is what the DuckDB
+    * oracle computes. Same scale shape as SimHash dedup: bucket sizes are
+    * bounded by hash diversity, the verify touches candidates only. */
+  def imageNearDupPairs(images: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is only complete for Hamming <= 3")
+    import images.sparkSession.implicits._
+    val hashes = images.flatMap { r =>
+      Codecs.decodeImage(r.payload).map { case (w, h, px) =>
+        val s = Codecs.imageStats(w, h, px)
+        (r.doc_id, s.ahashHi, s.ahashLo)
+      }
+    }.toDF("id", "hi", "lo")
+    val bands = hashes.select(col("id"), col("hi"), col("lo"),
+      explode(array(
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)).+(lit(0x10000L)),
+        col("hi").bitwiseAND(lit(0xffffL)).+(lit(0x20000L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)).+(lit(0x30000L))
+      )).as("band"))
+    val a = bands.select(col("band"), col("id").as("id_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = bands.select(col("band"), col("id").as("id_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** REAL thumbnailing: decode, deterministic nearest-neighbor resample to
+    * `side` x `side` (source pixel (x*W//side, y*H//side) — our own loop, not
+    * Graphics2D interpolation, so output pixels are portable-exact), PNG
+    * re-encode. Non-image payloads pass through untouched. */
+  def resizeImages(media: Dataset[MediaRow], side: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (!Codecs.isImage(r.payload)) r
+      else Codecs.decodeImage(r.payload) match {
+        case None => r
+        case Some((w, h, px)) =>
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              img.setRGB(x, y, px((y * h / side) * w + (x * w / side)))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val out = bos.toByteArray
+          r.copy(payload = out,
+            meta = r.meta + ("codec" -> "png", "bytes" -> out.length.toString,
+              "thumb" -> s"${side}x$side"))
+      }
     }
   }
 }

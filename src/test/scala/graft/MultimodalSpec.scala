@@ -57,4 +57,208 @@ class MultimodalSpec extends SparkTestBase {
     val out = Multimodal.resize(Seq(row).toDS(), 16).head()
     assert(out.payload.length == 16 && out.payload.forall(_ == 0.toByte))
   }
+
+  // ------------------------------------------------------- real JDK codecs
+
+  import graft.multimodal.Codecs
+
+  test("real image decode: PNG and BMP round-trip the pixel formula exactly") {
+    for (id <- 0L to 9L) { // even ids encode PNG, odd BMP
+      val Some((w, h, px)) = Codecs.decodeImage(Codecs.encodeImage(id))
+      assert(w == Codecs.imgW(id) && h == Codecs.imgH(id))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x)
+        assert(((p >> 16) & 0xff) == Codecs.pxR(id, x, y), s"R mismatch id=$id ($x,$y)")
+        assert(((p >> 8) & 0xff) == Codecs.pxG(id, x, y))
+        assert((p & 0xff) == Codecs.pxB(id, x, y))
+      }
+    }
+  }
+
+  test("real JPEG decode: ImageIO reads it; lossy but within tolerance") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (Codecs.pxR(5, x, y) << 16) | (Codecs.pxG(5, x, y) << 8) | Codecs.pxB(5, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert(Codecs.isJpeg(jpeg))
+    val Some((w, h, px)) = Codecs.decodeImage(jpeg)
+    assert(w == 16 && h == 16)
+    // JPEG is lossy: just require the decoded mean luma lands near the source
+    val meanSrc = (for (y <- 0 until 16; x <- 0 until 16)
+      yield Codecs.pxR(5, x, y) + Codecs.pxG(5, x, y) + Codecs.pxB(5, x, y)).sum / 256.0
+    val meanDec = px.map(p => ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).sum / 256.0
+    assert(math.abs(meanSrc - meanDec) < 30.0, s"jpeg mean luma drifted: $meanSrc vs $meanDec")
+  }
+
+  test("imageStats matches a direct formula recomputation (incl. aHash bits)") {
+    for (id <- Seq(0L, 3L, 6L, 7L)) {
+      val (w, h) = (Codecs.imgW(id), Codecs.imgH(id))
+      val Some((dw, dh, px)) = Codecs.decodeImage(Codecs.encodeImage(id))
+      val st = Codecs.imageStats(dw, dh, px)
+      val sumR = (for (y <- 0 until h; x <- 0 until w) yield Codecs.pxR(id, x, y).toLong).sum
+      assert(st.sumR == sumR && st.width == w && st.height == h)
+      // aHash recomputed independently from the formula
+      val lumas = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val gx = (2 * i + 1) * w / 16; val gy = (2 * j + 1) * h / 16
+        (j * 8 + i, (Codecs.pxR(id, gx, gy) + Codecs.pxG(id, gx, gy) + Codecs.pxB(id, gx, gy)).toLong)
+      }
+      val total = lumas.map(_._2).sum
+      var (hi, lo) = (0L, 0L)
+      lumas.foreach { case (k, l) =>
+        if (64L * l > total) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+      }
+      assert(st.ahashHi == hi && st.ahashLo == lo, s"ahash mismatch id=$id")
+    }
+  }
+
+  test("hand-rolled WAV parser agrees with javax.sound and the sample formula") {
+    for (id <- Seq(1L, 4L, 7L)) {
+      val bytes = Codecs.encodeWav(id)
+      val Some((rate, samples)) = Codecs.decodeWav(bytes)
+      assert(rate == Codecs.sampleRate && samples.length == Codecs.nSamples(id))
+      for (i <- samples.indices)
+        assert(samples(i).toInt == Codecs.sampleAt(id, i), s"sample $i of id=$id")
+      // cross-check against the JDK's own WAV stack
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate.toInt == rate)
+      assert(ais.getFormat.getChannels == 1 && ais.getFormat.getSampleSizeInBits == 16)
+      val raw = ais.readAllBytes()
+      val jdk = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer()
+      assert(jdk.remaining() == samples.length)
+      for (i <- samples.indices) assert(jdk.get(i) == samples(i))
+    }
+  }
+
+  test("WAV parser skips unknown chunks and rejects malformed payloads") {
+    val bytes = Codecs.encodeWav(1L)
+    // splice a LIST chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val spliced = bytes.take(fmtEnd) ++ junk ++ bytes.drop(fmtEnd)
+    val Some((_, samples)) = Codecs.decodeWav(spliced)
+    assert(samples.length == Codecs.nSamples(1L))
+    assert(Codecs.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Codecs.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    // truncated data chunk must not crash
+    assert(Codecs.decodeWav(bytes.take(50)).isEmpty)
+  }
+
+  test("video container demux + per-frame decode match the frame formula") {
+    val id = 2L
+    val Some(frames) = Codecs.demuxVideo(Codecs.encodeVideo(id))
+    assert(frames.size == Codecs.nFrames(id))
+    frames.foreach { case (f, fb) =>
+      assert(Codecs.isPng(fb))
+      val Some((w, h, px)) = Codecs.decodeImage(fb)
+      assert(w == Codecs.frameSide && h == Codecs.frameSide)
+      val eff = Codecs.frameEffId(id, f)
+      assert(((px(9) >> 16) & 0xff) == Codecs.pxR(eff, 1, 1)) // spot pixel (1,1)
+    }
+    assert(Codecs.demuxVideo(Array[Byte]('G', 'V', 'I', 'D', 0, 0, 0, 5)).isEmpty) // truncated
+  }
+
+  test("extractFeatures routes real codecs by magic; stub only as fallback") {
+    import spark.implicits._
+    val real = Multimodal.extractFeatures(Multimodal.synthReal(spark, 30), batchSize = 8)
+      .collect()
+    assert(real.length == 30)
+    val byMod = real.groupBy(_.modality)
+    // codec-family flag rides in feature slot 7: 1=image, 2=audio, 3=video
+    assert(byMod("image").forall(_.features(7) == 1f))
+    assert(byMod("audio").forall(_.features(7) == 2f))
+    assert(byMod("video").forall(_.features(7) == 3f))
+    // image features carry true decoded dims
+    byMod("image").foreach { f =>
+      assert(f.features(0) == Codecs.imgW(f.doc_id) && f.features(1) == Codecs.imgH(f.doc_id))
+    }
+    // video features decoded every frame
+    byMod("video").foreach(f => assert(f.features(0) == Codecs.nFrames(f.doc_id) &&
+      f.features(1) == f.features(0)))
+    // opaque payloads (old synth) still take the histogram stub
+    val stub = Multimodal.extractFeatures(Multimodal.synth(spark, 9), batchSize = 4).collect()
+    assert(stub.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+  }
+
+  test("sampleFrames does real demux for GVID payloads") {
+    import spark.implicits._
+    val media = Multimodal.synthReal(spark, 30).filter(_.modality == "video")
+    val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_no % 2 == 0 && Codecs.isPng(f.payload)))
+    val perDoc = frames.groupBy(_.doc_id)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length == (Codecs.nFrames(id) + 1) / 2)
+    }
+  }
+
+  test("resizeImages: nearest-neighbor thumbnail round-trips through PNG") {
+    import spark.implicits._
+    val media = Multimodal.synthReal(spark, 30).filter(_.modality == "image")
+    val thumbs = Multimodal.resizeImages(media, side = 8).collect()
+    thumbs.foreach { t =>
+      val Some((w, h, px)) = Codecs.decodeImage(t.payload)
+      assert(w == 8 && h == 8 && t.meta("thumb") == "8x8")
+      val (sw, sh) = (Codecs.imgW(t.doc_id), Codecs.imgH(t.doc_id))
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val (sx, sy) = (x * sw / 8, y * sh / 8)
+        assert(((px(y * 8 + x) >> 16) & 0xff) == Codecs.pxR(t.doc_id, sx, sy))
+      }
+    }
+    // non-image payloads pass through untouched
+    val audio = Multimodal.synthReal(spark, 30).filter(_.modality == "audio")
+    val out = Multimodal.resizeImages(audio, side = 8).collect()
+    assert(out.forall(r => Codecs.isWav(r.payload)))
+  }
+
+  test("audioFrameEnergy: frame widths and energies match the sample formula") {
+    import spark.implicits._
+    val media = Multimodal.synthReal(spark, 30)
+    val frames = Multimodal.audioFrameEnergy(media, frameSamples = 160).collect()
+    val audioIds = (0L until 30L).filter(_ % 3 == 1)
+    assert(frames.map(_.doc_id).toSet == audioIds.toSet)
+    audioIds.foreach { id =>
+      val n = Codecs.nSamples(id)
+      val fs = frames.filter(_.doc_id == id).sortBy(_.frame_no)
+      assert(fs.length == (n + 159) / 160)
+      assert(fs.map(_.n_in_frame).sum == n)
+      assert(fs.init.forall(_.n_in_frame == 160)) // only the tail is partial
+      fs.foreach { f =>
+        val samples = (f.frame_no * 160 until math.min((f.frame_no + 1) * 160, n))
+          .map(i => Codecs.sampleAt(id, i).toLong)
+        assert(f.sum_abs == samples.map(math.abs).sum)
+        assert(f.sum_sq == samples.map(v => v * v).sum)
+      }
+    }
+  }
+
+  test("imageNearDupPairs: banded aHash join == brute-force Hamming join") {
+    import spark.implicits._
+    val media = spark.range(50).as[Long].map { i =>
+      val (key, base, shift) = if (i < 40) (i, i, 0) else (1000L + (i - 40), i - 40, 4)
+      Multimodal.MediaRow(key, "image", Codecs.encodeImageShift(base, shift),
+        Map("base" -> base.toString))
+    }
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over locally recomputed hashes
+    val hashes = media.collect().map { r =>
+      val Some((w, h, px)) = Codecs.decodeImage(r.payload)
+      val st = Codecs.imageStats(w, h, px)
+      (r.doc_id, st.ahashHi, st.ahashLo)
+    }
+    val brute = (for {
+      (a, ahi, alo) <- hashes; (b, bhi, blo) <- hashes if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute)
+    // the planted red-shift variants must actually surface as near-dups
+    val planted = pairs.filter { case (a, b, _) => b >= 1000L && a == b - 1000L }
+    assert(planted.nonEmpty, s"no planted variant pair survived (pairs=${pairs.size})")
+  }
 }
