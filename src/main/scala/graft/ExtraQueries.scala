@@ -436,6 +436,13 @@ object ExtraQueries {
     "q_sim_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d, 500), emb(s, d, 3), 5).orderBy("a", "rnk")),
 
+    // int8 scalar quantization + integer-exact dot products: the whole
+    // quantize -> dot -> rank path replays in SQL (floor(+0.5) rounding,
+    // integer-valued doubles); rank fidelity vs float cosine is gated in
+    // SimilaritySpec (recall@5)
+    "q_sim_quantized" -> ((s, d) =>
+      Similarity.quantizedTopK(emb(s, d, 500), emb(s, d, 3), 5).orderBy("a", "rnk")),
+
     // self-checking: recall@5 vs the (separately oracle-checked) brute-force
     // exact top-k is computed in-query — a regression in the hash family or
     // banding flips recall_e4 deterministically
@@ -913,6 +920,38 @@ object ExtraQueries {
         |),
         |sims AS (
         |  SELECT a, b, CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS sim_e4
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |)
+        |SELECT a, b, rnk, sim_e4 FROM (
+        |  SELECT a, b, sim_e4,
+        |         row_number() OVER (PARTITION BY a ORDER BY sim_e4 DESC, b) AS rnk
+        |  FROM sims)
+        |WHERE rnk <= 5 ORDER BY a, rnk""".stripMargin,
+
+    "q_sim_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |),
+        |ma AS (SELECT vec_id, max(abs(v)) AS m FROM e GROUP BY vec_id),
+        |q8 AS (
+        |  SELECT e.vec_id, e.i,
+        |         CASE WHEN ma.m > 0 THEN floor(e.v * 127.0 / ma.m + 0.5) ELSE 0 END AS q
+        |  FROM e JOIN ma USING (vec_id)
+        |),
+        |norms AS (SELECT vec_id, sqrt(sum(q * q)) AS nrm FROM q8 GROUP BY vec_id),
+        |qq AS (SELECT * FROM q8 WHERE vec_id < 3),
+        |dots AS (
+        |  SELECT qq.vec_id AS a, q8.vec_id AS b, sum(qq.q * q8.q) AS dot
+        |  FROM qq JOIN q8 ON qq.i = q8.i AND q8.vec_id <> qq.vec_id
+        |  GROUP BY qq.vec_id, q8.vec_id
+        |),
+        |sims AS (
+        |  SELECT a, b,
+        |         CASE WHEN na.nrm > 0 AND nb.nrm > 0
+        |              THEN CAST(round(dot / (na.nrm * nb.nrm) * 10000) AS BIGINT)
+        |              ELSE 0 END AS sim_e4
         |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
         |)
         |SELECT a, b, rnk, sim_e4 FROM (

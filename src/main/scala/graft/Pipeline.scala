@@ -233,4 +233,29 @@ object Pipeline {
         lit("coOccursWith").as("pred"),
         col("term").as("obj"))
   }
+
+  /** W3C RDF 1.1 N-Triples serialization of a (subj, pred, obj) graph frame
+    * — the interchange surface a downstream triple store ingests. Subjects
+    * and sense objects become `urn:graft:` IRIs with the IRI-unsafe
+    * characters percent-encoded ('%' first so the chain is idempotent-safe
+    * and SQL-replayable as the same replace() sequence); `coOccursWith`
+    * objects are quoted literals with backslash-then-quote escaping (the
+    * N-Triples ECHAR order). Pure codegen'd string expressions, one pass,
+    * no shuffle — at 100 TB this is a map-only export stage. */
+  def toNTriples(triples: DataFrame): DataFrame = {
+    def enc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Seq("%" -> "%25", " " -> "%20", "\"" -> "%22", "<" -> "%3C", ">" -> "%3E",
+          "\\" -> "%5C", "{" -> "%7B", "}" -> "%7D", "|" -> "%7C", "^" -> "%5E",
+          "`" -> "%60")
+        .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    def ntLiteral(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+    val subjIri = concat(lit("<urn:graft:ent:"), enc(col("subj")), lit(">"))
+    val predIri = concat(lit("<urn:graft:"), col("pred"), lit(">"))
+    val objNode = when(col("pred") === "hasSense",
+        concat(lit("<urn:graft:sense:"), enc(col("obj")), lit(">")))
+      .otherwise(concat(lit("\""), ntLiteral(col("obj")), lit("\"")))
+    triples.select(
+      concat(subjIri, lit(" "), predIri, lit(" "), objNode, lit(" .")).as("nt"))
+  }
 }

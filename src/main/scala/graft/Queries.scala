@@ -149,6 +149,15 @@ object Queries {
       val cs = coStatsOf(s, d)
       val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
       Pipeline.coocTriples(cs.coverage, top20).orderBy("subj", "obj")
+    }),
+
+    // RDF interchange: the same L3 graph serialized as W3C N-Triples lines
+    // (IRI percent-encoding + literal ECHAR escaping replayed in SQL with
+    // the identical replace chain)
+    "q_l3_ntriples" -> ((s, d) => {
+      val cs = coStatsOf(s, d)
+      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
+      Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)).orderBy("nt")
     })
   )
 
@@ -302,6 +311,32 @@ object Queries {
          |SELECT DISTINCT w.entity || '@' || regexp_replace(w.docid, '@[^@]*$$', '') AS subj,
          |       'coOccursWith' AS pred, w.term AS obj
          |FROM win w JOIN top20 s ON w.entity = s.entity AND w.term = s.term
-         |ORDER BY subj, obj""".stripMargin
+         |ORDER BY subj, obj""".stripMargin,
+
+    "q_l3_ntriples" ->
+      s"""$base,
+         |top20 AS (
+         |  SELECT entity, term FROM (
+         |    SELECT entity, term,
+         |           row_number() OVER (PARTITION BY entity
+         |             ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 20
+         |),
+         |l3 AS (
+         |  SELECT DISTINCT w.entity || '@' || regexp_replace(w.docid, '@[^@]*$$', '') AS subj,
+         |         w.term AS obj
+         |  FROM win w JOIN top20 s ON w.entity = s.entity AND w.term = s.term
+         |),
+         |-- percent-encode IRI-unsafe chars, '%' FIRST (same chain as Spark)
+         |enc AS (
+         |  SELECT replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+         |           subj, '%', '%25'), ' ', '%20'), '"', '%22'), '<', '%3C'), '>', '%3E'),
+         |           '\\', '%5C'), '{', '%7B'), '}', '%7D'), '|', '%7C'), '^', '%5E'), '`', '%60') AS subj_enc,
+         |         replace(replace(obj, '\\', '\\\\'), '"', '\\"') AS obj_esc
+         |  FROM l3
+         |)
+         |SELECT '<urn:graft:ent:' || subj_enc || '> <urn:graft:coOccursWith> "' || obj_esc || '" .' AS nt
+         |FROM enc ORDER BY nt""".stripMargin
   )
 }

@@ -87,4 +87,24 @@ class CoStatsSpec extends SparkTestBase {
   test("oracleSql keys are a subset of queries keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("toNTriples: IRI percent-encoding, literal ECHAR escaping, sense-IRI branch") {
+    import spark.implicits._
+    val triples = Seq(
+      ("plain@repo/a.txt", "coOccursWith", "term_1"),
+      ("spaced entity@r/p", "coOccursWith", "say \"hi\" \\ there"),
+      ("pct%<>{}|^`@r/p", "coOccursWith", "x"),
+      ("e@r/p", "hasSense", "sense 7%")
+    ).toDF("subj", "pred", "obj")
+    val nt = Pipeline.toNTriples(triples).as[String].collect().toSet
+    assert(nt == Set(
+      "<urn:graft:ent:plain@repo/a.txt> <urn:graft:coOccursWith> \"term_1\" .",
+      "<urn:graft:ent:spaced%20entity@r/p> <urn:graft:coOccursWith> \"say \\\"hi\\\" \\\\ there\" .",
+      "<urn:graft:ent:pct%25%3C%3E%7B%7D%7C%5E%60@r/p> <urn:graft:coOccursWith> \"x\" .",
+      "<urn:graft:ent:e@r/p> <urn:graft:hasSense> <urn:graft:sense:sense%207%25> ."
+    ), nt.mkString("\n"))
+    // every line matches the N-Triples production shape
+    val lineRe = "^<[^<>\\s]+> <[^<>\\s]+> (\"(?:[^\"\\\\]|\\\\.)*\"|<[^<>\\s]+>) \\.$".r
+    assert(nt.forall(l => lineRe.findFirstIn(l).isDefined), "malformed N-Triples line")
+  }
 }

@@ -92,6 +92,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.5, f"LSH recall $mean%.3f < 0.5")
   }
 
+  test("int8 quantization: column expression matches a driver-side recompute") {
+    val got = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(transform(col("embedding"), x => x.cast("double"))).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val src = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    src.foreach { case (id, xs) =>
+      val m = xs.map(x => math.abs(x.toDouble)).max
+      val exp =
+        if (m > 0) xs.map(x => math.floor(x.toDouble * 127.0 / m + 0.5))
+        else xs.map(_ => 0.0)
+      assert(got(id) == exp, s"vec $id quantization mismatch")
+      assert(got(id).forall(q => q >= -127 && q <= 127 && q == q.floor))
+    }
+  }
+
+  test("quantized top-k: recall@5 vs float brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val quant = Similarity.quantizedTopK(emb, queries, 5)
+      .select("a", "b").as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (a, r) => a -> r.map(_._2).toSet }
+    val recalls = brute.keys.toSeq.map { a =>
+      (quant.getOrElse(a, Set.empty) & brute(a)).size.toDouble / brute(a).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 mean recall@5 = $mean%.3f over ${recalls.size} queries")
+    // int8 over unit-scale random vectors loses little rank information;
+    // demand much more than LSH's 0.5 bucket-recall bar
+    assert(mean >= 0.8, f"quantized recall $mean%.3f < 0.8")
+  }
+
   test("IVF top-k: recall@5 vs brute force with nprobe=4/16 cells") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, 5)
