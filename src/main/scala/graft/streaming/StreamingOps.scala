@@ -98,8 +98,46 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("sigkey")
   }
 
+  /** Streaming perceptual IMAGE dedup: drop any media row whose 64-bit
+    * average-hash (REAL JDK decode — multimodal.Codecs) was already seen
+    * within the watermark horizon. Hash computation is stateless and
+    * row-local, so state is one row per distinct perceptual hash per
+    * horizon — bounded like the text paths above. Hash-EXACT matching
+    * (identical and trivially-perturbed images collapse); for banded
+    * Hamming<=k matching run the batch imageNearDupPairs over the deduped
+    * sink, same division of labor as nearDedupStream. Undecodable payloads
+    * are keyed by exact payload sha256 instead of collapsing into one
+    * survivor. */
+  def imageDedupStream(media: Dataset[TimedMedia],
+                       watermark: String = "10 minutes"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = "0123456789abcdef"
+      it.map { m =>
+        val key = graft.multimodal.Codecs.decodeImage(m.payload) match {
+          case Some((w, h, px)) =>
+            val s = graft.multimodal.Codecs.imageStats(w, h, px)
+            "ahash:" + s.ahashHi.toHexString + ":" + s.ahashLo.toHexString
+          case None =>
+            md.reset()
+            val dig = md.digest(m.payload)
+            val sb = new StringBuilder(69).append("sha:")
+            dig.foreach(b => sb.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)))
+            sb.toString
+        }
+        (m.ts, m.doc_id, m.payload, key)
+      }
+    }.toDF("ts", "doc_id", "payload", "sigkey")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sigkey")
+  }
+
   /** Timestamped document row for the streaming-dedup path. */
   final case class TimedDoc(ts: Timestamp, repo: String, path: String, content: String)
+
+  /** Timestamped media row for the streaming image-dedup path. */
+  final case class TimedMedia(ts: Timestamp, doc_id: Long, payload: Array[Byte])
 
   /** Timestamped assignment row for the windowed aggregation tests. */
   final case class TimedAssignment(ts: Timestamp, entity: String, senseid: Int)

@@ -139,6 +139,44 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming image dedup: re-encoded pixel-identical image collapses, undecodable survives") {
+    import graft.multimodal.Codecs
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedMedia]
+    val out = StreamingOps.imageDedupStream(stream.toDS(), "10 minutes")
+    val query = out.writeStream.format("memory").queryName("imagededup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // same pixels through DIFFERENT codecs (PNG vs BMP re-encode) ->
+      // different bytes, same decoded image, same aHash -> dropped
+      val png = Codecs.encodeImageShift(4L, 0) // even effId -> png
+      val bmpSamePixels = {
+        val Some((w, h, px)) = Codecs.decodeImage(png)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        bos.toByteArray
+      }
+      assert(!java.util.Arrays.equals(png, bmpSamePixels))
+      stream.addData(
+        StreamingOps.TimedMedia(t(0), 1L, png),
+        StreamingOps.TimedMedia(t(1), 2L, bmpSamePixels), // perceptual dup
+        StreamingOps.TimedMedia(t(2), 3L, Codecs.encodeImage(7L)), // distinct image
+        // undecodable payloads: distinct bytes must BOTH survive
+        StreamingOps.TimedMedia(t(3), 4L, Array[Byte](1, 2, 3)),
+        StreamingOps.TimedMedia(t(4), 5L, Array[Byte](4, 5, 6)))
+      query.processAllAvailable()
+      val kept = spark.table("imagededup_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept.size == 4, s"kept=$kept")
+      assert(!(kept.contains(1L) && kept.contains(2L)),
+        s"pixel-identical images must collapse across codecs: $kept")
+      assert(kept.contains(3L) && kept.contains(4L) && kept.contains(5L), s"kept=$kept")
+    } finally query.stop()
+  }
+
   test("windowed sense counts: watermark + tumbling window aggregation") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedAssignment]
