@@ -642,6 +642,14 @@ object ExtraQueries {
           min(col("fingerprint")).as("min_fp"),
           max(col("fingerprint")).as("max_fp"))
         .orderBy("docid")
+    }),
+
+    // BM25 retrieval over the full corpus for a fixed 3-term query; the
+    // term list, k1/b and the top-20 cut are part of the query contract
+    "q_search_bm25" -> ((s, d) => {
+      val toks = tokdocsWhere(s, d, lit(true)).toDF()
+        .select(col("docid"), explode(col("terms")).as("term"))
+      operators.Search.bm25(toks, Seq("spark", "join", "table"), topN = 20)
     })
   )
 
@@ -1920,6 +1928,36 @@ object ExtraQueries {
         |       CASE WHEN tokens > 0
         |            THEN CAST(round(target / (tokens / total) * 10000) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS weight_e4
-        |FROM per CROSS JOIN tot ORDER BY domain""".stripMargin
+        |FROM per CROSS JOIN tot ORDER BY domain""".stripMargin,
+
+    "q_search_bm25" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT docid, unnest(arr) AS term FROM t),
+        |dl AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+        |corpus AS (SELECT count(*) AS bign, CAST(sum(dl) AS BIGINT) AS ntok FROM dl),
+        |dfq AS (
+        |  SELECT term, count(DISTINCT docid) AS df FROM tok
+        |  WHERE term IN ('spark', 'join', 'table') GROUP BY term
+        |),
+        |idf AS (
+        |  SELECT term, ln(1 + (bign - df + 0.5) / (df + 0.5)) AS idf,
+        |         CAST(ntok AS DOUBLE) / bign AS avgdl
+        |  FROM dfq CROSS JOIN corpus
+        |),
+        |tf AS (
+        |  SELECT docid, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'join', 'table') GROUP BY docid, term
+        |)
+        |SELECT tf.docid, count(*) AS n_hit_terms,
+        |       CAST(round(sum(idf.idf * (tf.tf * 2.2)
+        |                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)))
+        |                  * 10000) AS BIGINT) AS score_e4
+        |FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.docid = dl.docid
+        |GROUP BY tf.docid
+        |ORDER BY score_e4 DESC, tf.docid LIMIT 20""".stripMargin
   )
 }

@@ -61,6 +61,20 @@ object KgQueries {
       Graph.shortestPaths(edges, src, maxHops = 4).orderBy("node")
     }),
 
+    "q_kg_hits" -> ((s, d) =>
+      Graph.hits(edgesOf(s, d), iters = 5).orderBy("node")),
+
+    "q_kg_clustering" -> ((s, d) =>
+      Graph.clusteringCoeff(edgesOf(s, d)).orderBy("node")),
+
+    // center-degree cap 12, weight threshold 65 (same sparsifier as
+    // q_kg_kcore — the raw simple graph is near-complete at test scale so
+    // nothing would be non-adjacent) and top-64 are all part of the query
+    // contract; the cap is the RA sparsifier — see Graph.linkPredict
+    "q_kg_linkpredict" -> ((s, d) =>
+      Graph.linkPredict(edgesOf(s, d), maxCenterDeg = 12, k = 64, minW = 65L)
+        .orderBy(col("ra").desc, col("cn").desc, col("a"), col("b"))),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -212,6 +226,40 @@ object KgQueries {
        |WHERE deg >= $k ORDER BY node""".stripMargin
   }
 
+  /** Half-step-by-half-step replay of Graph.hits' integer lattice: per
+    * round a raw propagation sum then a renormalize-to-scale with
+    * truncating division — every intermediate is an integer. */
+  private def hitsOracle(iters: Int, scale: Long): String = {
+    val setup =
+      s"""nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS MATERIALIZED (
+         |  SELECT node, $scale // (SELECT count(*) FROM nodes) AS s FROM nodes)""".stripMargin
+    def half(prev: String, out: String, from: String, to: String): String =
+      s"""${out}raw AS MATERIALIZED (
+         |  SELECT e.$to AS node, CAST(sum(p.s * e.w) AS BIGINT) AS raw
+         |  FROM edges e JOIN $prev p ON e.$from = p.node GROUP BY e.$to
+         |),
+         |$out AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CASE WHEN (SELECT COALESCE(sum(raw), 0) FROM ${out}raw) > 0
+         |              THEN CAST((COALESCE(r.raw, 0) * $scale)
+         |                   // (SELECT sum(raw) FROM ${out}raw) AS BIGINT)
+         |              ELSE 0 END AS s
+         |  FROM nodes n LEFT JOIN ${out}raw r ON n.node = r.node
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      half(s"h${i - 1}", s"a$i", "src", "dst") + ",\n" +
+        half(s"a$i", s"h$i", "dst", "src")
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$setup,
+       |$rounds
+       |SELECT h.node, h.s AS hub, a.s AS auth
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node
+       |ORDER BY h.node""".stripMargin
+  }
+
   /** Round-by-round replay of Graph.shortestPaths: d0 = the minimum node at
     * distance 0, then `maxHops` Bellman-Ford relaxations taking the min of
     * (previous dists) union (previous dists + outgoing edge weight). */
@@ -307,6 +355,67 @@ object KgQueries {
          |SELECT src AS node, count(*) AS n_reach
          |FROM (SELECT DISTINCT src, dst FROM p3 WHERE dst <> src)
          |GROUP BY src ORDER BY node""".stripMargin,
+
+    "q_kg_hits" -> hitsOracle(iters = 5, scale = 1000000L),
+
+    "q_kg_clustering" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |$orientedCtes,
+         |tri AS MATERIALIZED (
+         |  SELECT e1.u, e1.v, e2.v AS w2
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
+         |            JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+         |),
+         |tcnt AS MATERIALIZED (
+         |  SELECT node, count(*) AS n_tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w2 FROM tri)
+         |  GROUP BY node
+         |)
+         |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+         |       CASE WHEN d.deg >= 2
+         |            THEN CAST((2 * COALESCE(t.n_tri, 0) * 1000000)
+         |                      // (d.deg * (d.deg - 1)) AS BIGINT)
+         |            ELSE 0 END AS lcc_e6
+         |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+         |ORDER BY d.node""".stripMargin,
+
+    "q_kg_linkpredict" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |lp_und AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |           CAST(sum(w) AS BIGINT) AS w
+         |    FROM edges WHERE src <> dst GROUP BY 1, 2)
+         |  WHERE w >= 65
+         |),
+         |lp_deg AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM lp_und UNION ALL SELECT b FROM lp_und)
+         |  GROUP BY node
+         |),
+         |centers AS MATERIALIZED (
+         |  SELECT node, deg FROM lp_deg WHERE deg BETWEEN 2 AND 12
+         |),
+         |cadj AS MATERIALIZED (
+         |  SELECT j.c, j.x, centers.deg FROM (
+         |    SELECT a AS c, b AS x FROM lp_und
+         |    UNION ALL SELECT b AS c, a AS x FROM lp_und) j
+         |  JOIN centers ON j.c = centers.node
+         |),
+         |lp_scored AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS cn, CAST(sum(1000000 // deg) AS BIGINT) AS ra
+         |  FROM (SELECT l.c, l.deg, l.x AS a, r.x AS b
+         |        FROM cadj l JOIN cadj r ON l.c = r.c AND l.x < r.x)
+         |  GROUP BY a, b
+         |)
+         |SELECT s.a, s.b, s.cn, s.ra
+         |FROM lp_scored s LEFT JOIN lp_und u ON s.a = u.a AND s.b = u.b
+         |WHERE u.a IS NULL
+         |ORDER BY s.ra DESC, s.cn DESC, s.a, s.b LIMIT 64""".stripMargin,
 
     "q_a3_incremental" ->
       s"""${Queries.base}

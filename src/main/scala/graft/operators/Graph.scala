@@ -332,6 +332,137 @@ object Graph {
     pinnedOut
   }
 
+  /** Weighted HITS (Kleinberg 1999) on a scaled-integer lattice, `iters`
+    * fixed rounds. Hub and authority mass each live in `scale` integer
+    * units, renormalized to exactly `scale` total after every half-step
+    * with truncating division — so, like [[pageRank]], every intermediate
+    * is a Long and a DuckDB oracle replays each round bit-for-bit.
+    *
+    * Per round, with h = previous hubs:
+    *   a'(v) = Σ over edges (u,v,w) of h(u) * w         (raw authority)
+    *   a(v)  = (a'(v) * scale) div Σ a'                 (renormalize)
+    *   h'(u) = Σ over edges (u,v,w) of a(v) * w         (raw hub)
+    *   h(u)  = (h'(u) * scale) div Σ h'                 (renormalize)
+    *
+    * Overflow envelope (documented precondition): a normalized score is
+    * bounded by `scale`, a raw score by scale * totalW, and the renormalize
+    * multiplies by `scale` again — so scale² * max-node-incident-weight
+    * must stay below 2^63. At the default scale 1e6 that allows ~9.2e6
+    * total incident weight per node; pass a smaller scale for heavier
+    * graphs (the lattice just coarsens).
+    *
+    * Returns `(node, hub, auth)` in lattice units for every node.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val spark = edges.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
+    val (nodes, nodesH) = Pinned.pinTracked(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hits on an empty edge set")
+
+    /** One half-step: propagate `score` across `e` from `from` to `to`,
+      * then renormalize the totals to exactly `scale` lattice units. */
+    def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e
+        .join(score.select(col("node").as(from), col("s")), Seq(from))
+        .select(col(to).as("node"), expr("s * w").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+      val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(tot)
+        .select(col("node"),
+          when(col("t") > 0L, expr(s"(coalesce(raw, 0L) * ${scale}L) div t"))
+            .otherwise(lit(0L)).as("s"))
+    }
+
+    val seed = scale / n
+    var (hubs, hubsH) = Pinned.pinTracked(
+      nodes.select(col("node"), lit(seed).as("s")))
+    var (auths, authsH) = Pinned.pinTracked(
+      nodes.select(col("node"), lit(0L).as("s")))
+    var it = 0
+    while (it < iters) {
+      val (nextA, nextAH) = Pinned.pinTracked(halfStep(hubs, "src", "dst"))
+      freeH(authsH); auths = nextA; authsH = nextAH
+      val (nextHb, nextHbH) = Pinned.pinTracked(halfStep(auths, "dst", "src"))
+      freeH(hubsH); hubs = nextHb; hubsH = nextHbH
+      it += 1
+    }
+    val out = hubs.select(col("node"), col("s").as("hub"))
+      .join(auths.select(col("node"), col("s").as("auth")), Seq("node"))
+    val (pinnedOut, _) = Pinned.pinTracked(out)
+    freeH(eH); freeH(nodesH); freeH(hubsH); freeH(authsH)
+    pinnedOut
+  }
+
+  /** Per-node local clustering coefficient over the undirected simple
+    * graph, exact fixed-point integers: lcc = 2·tri / (deg·(deg−1)),
+    * emitted as `lcc_e6 = (2·tri·1e6) div (deg·(deg−1))` (0 when deg < 2)
+    * alongside the raw `(deg, n_tri)` pair — the e6 lattice keeps the
+    * ratio hash-comparable across engines, same trick as the e4 logp
+    * columns. Cost: [[triangles]] (the dominant term, skew-bounded by
+    * degree orientation) plus one node-sized degree agg and join. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).select(col("a"), col("b"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges), Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2L,
+          expr("(2L * n_tri * 1000000L) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("lcc_e6"))
+  }
+
+  /** Link prediction over the undirected simple graph: for every
+    * NON-adjacent pair (a < b) sharing at least one common neighbor whose
+    * degree is within [2, maxCenterDeg], emit the common-neighbor count
+    * and the resource-allocation index (Zhou, Lü & Zhang 2009)
+    * RA(a,b) = Σ over common neighbors c of 1/deg(c) — on the integer
+    * lattice: Σ (scale div deg(c)) — then keep the global top `k` by
+    * (ra desc, cn desc, a, b), a total order so the cut is deterministic.
+    *
+    * The center-degree cap is the standard RA/AA sparsifier, not a
+    * shortcut: a center of degree d contributes only scale/d per pair but
+    * generates d² wedge rows, so hubs cost quadratically while carrying
+    * vanishing signal. Capping bounds the wedge self-join per center at
+    * maxCenterDeg² rows regardless of the degree distribution — the same
+    * skew bound the oriented triangle join gets from √m orientation.
+    * The cap is part of the query contract (the oracle applies it too).
+    *
+    * `minW` thresholds the undirected summed weight before anything else —
+    * the same sparsifier as [[kcore]], needed on near-complete
+    * co-occurrence graphs where the raw simple graph has no non-adjacent
+    * pairs left to predict.
+    */
+  def linkPredict(edges: DataFrame, maxCenterDeg: Int, k: Int,
+                  scale: Long = 1000000L, minW: Long = 0L): DataFrame = {
+    require(maxCenterDeg >= 2 && k >= 1, "linkPredict needs maxCenterDeg >= 2, k >= 1")
+    val und = undirected(edges).filter(col("w") >= minW).select(col("a"), col("b"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg").between(2L, maxCenterDeg.toLong))
+    // adjacency restricted to capped centers; both directions so each
+    // center sees its full neighbor list
+    val adj = und.select(col("a").as("c"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("c"), col("a").as("x")))
+      .join(centers.select(col("node").as("c"), col("deg")), Seq("c"))
+    val wedges = adj.select(col("c"), col("deg"), col("x").as("a"))
+      .join(adj.select(col("c"), col("x").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+    val scored = wedges
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${scale}L div deg")).as("ra"))
+      .join(und, Seq("a", "b"), "left_anti")
+    scored
+      .orderBy(col("ra").desc, col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Single/multi-source bounded-hop weighted shortest paths (directed):
     * `maxHops` rounds of Bellman-Ford relaxation over integer edge weights,
     * returning `(node, dist)` for every node reachable from `sources`

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the tokenized corpus: BM25 ranking (Robertson &
+  * Zaragoza 2009, the Lucene-style always-positive idf variant) for a fixed
+  * bag of query terms.
+  *
+  * Scale shape (100 TB): the per-term statistics frame is |Q|-sized and
+  * broadcast; the tf aggregation filters to the query terms BEFORE its
+  * shuffle, so the wide state is (matching docs × |Q|) — never the corpus;
+  * the doc-length frame is one map-side-combinable count per doc. Top-N is
+  * a global sort of the matching docs only (TakeOrderedAndProject — no full
+  * sort materializes). No UDFs: every scoring expression is a codegen'd
+  * column expression.
+  *
+  * Scoring (floats enter only here, after all counts are exact):
+  *   idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *   score(d)   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * reported as `score_e4 = round(score·1e4)` — the same fixed-point
+  * convention as the logp/similarity columns, so the DuckDB oracle compare
+  * is jitter-proof at the hash level.
+  */
+object Search {
+
+  /** Rank documents for `queryTerms` by BM25; returns
+    * `(docid, n_hit_terms, score_e4)`, the global top `topN` by
+    * (score_e4 desc, docid) — a total order, so the cut is deterministic. */
+  def bm25(toks: DataFrame, queryTerms: Seq[String], topN: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && topN >= 1, "bm25 needs query terms and topN >= 1")
+    val hits = toks.filter(col("term").isin(queryTerms: _*))
+
+    val dl = toks.groupBy(col("docid")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("bign"), sum(col("dl")).as("ntok"))
+    val df = hits.groupBy(col("term"))
+      .agg(countDistinct(col("docid")).as("df"))
+    // |Q|-sized: idf per query term, with the corpus constants folded in
+    val idf = broadcast(
+      df.crossJoin(corpus)
+        .select(col("term"),
+          log(lit(1.0) + (col("bign") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            .as("idf"),
+          (col("ntok").cast("double") / col("bign")).as("avgdl")))
+
+    val tf = hits.groupBy(col("docid"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(idf, Seq("term"))
+      .join(dl, Seq("docid"))
+      .select(col("docid"),
+        (col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("docid"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        round(sum(col("c")) * 10000).cast("long").as("score_e4"))
+      .orderBy(col("score_e4").desc, col("docid"))
+      .limit(topN)
+  }
+}

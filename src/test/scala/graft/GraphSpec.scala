@@ -273,6 +273,127 @@ class GraphSpec extends SparkTestBase {
     assert(d2("b") == 5L, "two hops must find the cheaper path")
   }
 
+  /** Reference integer HITS — same lattice, plain Scala Long math. */
+  private def refHits(edges: Seq[(String, String, Long)], iters: Int,
+                      sc: Long = 1000000L): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def half(score: Map[String, Long], fwd: Boolean): Map[String, Long] = {
+      val raw = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        if (fwd) raw(d) += score(s) * w else raw(s) += score(d) * w
+      }
+      val t = raw.values.sum
+      nodes.map(v => v -> (if (t > 0) raw(v) * sc / t else 0L)).toMap
+    }
+    var h = nodes.map(_ -> sc / nodes.size).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) { a = half(h, fwd = true); h = half(a, fwd = false) }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  /** Reference clustering coefficient from brute-force triangles. */
+  private def refLcc(edges: Seq[(String, String, Long)]): Map[String, (Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) (e._1, e._2) else (e._2, e._1)).toSet
+    val deg = und.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val tri = refTriangles(edges).withDefaultValue(0L)
+    deg.map { case (v, d) =>
+      v -> ((d, tri(v), if (d >= 2) 2L * tri(v) * 1000000L / (d * (d - 1)) else 0L))
+    }
+  }
+
+  /** Reference RA link prediction: all non-adjacent pairs with a capped
+    * common neighbor, scored cn + Σ(scale/deg(c)), global (ra,cn,a,b) sort. */
+  private def refLinkPredict(edges: Seq[(String, String, Long)], cap: Int,
+                             k: Int, minW: Long = 0L): Seq[(String, String, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) ((e._1, e._2), e._3) else ((e._2, e._1), e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .collect { case (p, w) if w >= minW => p }.toSet
+    val adj = und.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct.sorted }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val scores = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for ((c, ns) <- adj; if deg(c) >= 2 && deg(c) <= cap;
+         x <- ns; y <- ns; if x < y) {
+      val (cn, ra) = scores.getOrElse((x, y), (0L, 0L))
+      scores((x, y)) = (cn + 1, ra + 1000000L / deg(c))
+    }
+    scores.toSeq.collect { case ((a, b), (cn, ra)) if !und((a, b)) => (a, b, cn, ra) }
+      .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }.take(k)
+  }
+
+  test("hits == integer reference on hand and random graphs (exact)") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(7), "rnd7"),
+                          (randomGraph(19), "rnd19")); iters <- Seq(1, 5)) {
+      val got = Graph.hits(df(g), iters)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == refHits(g, iters), s"graph=$name iters=$iters")
+    }
+  }
+
+  test("hits: pure hub and pure authority separate on a directed star") {
+    // h -> a1, a2, a3: h is the only hub, the a's split authority
+    val star = Seq(("h", "a1", 1L), ("h", "a2", 1L), ("h", "a3", 1L))
+    val got = Graph.hits(df(star), iters = 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("h")._1 == 1000000L && got("h")._2 == 0L, s"hub side: $got")
+    assert(Seq("a1", "a2", "a3").forall(a => got(a)._1 == 0L && got(a)._2 == 333333L),
+      s"auth side: $got")
+  }
+
+  test("clusteringCoeff == brute-force reference; triangle corner is 1e6, path center 0") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(11), "rnd11"),
+                          (randomGraph(29), "rnd29"))) {
+      val got = Graph.clusteringCoeff(df(g))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == refLcc(g), s"graph=$name")
+    }
+    val triPath = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "d", 1L))
+    val got = Graph.clusteringCoeff(df(triPath))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(got("a") == 1000000L && got("b") == 1000000L, s"closed corners: $got")
+    assert(got("c") == 333333L, s"c has deg 3, one of three pairs closed: $got")
+    assert(got("d") == 0L, s"pendant: $got")
+  }
+
+  test("linkPredict == reference; predicts the open corner of a square") {
+    // square a-b-c-d-a: the two diagonals are the only predictions, each
+    // with two common neighbors of degree 2
+    val sq = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "a", 1L))
+    val got = Graph.linkPredict(df(sq), maxCenterDeg = 12, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.toSet == Set(("a", "c", 2L, 1000000L), ("b", "d", 2L, 1000000L)), s"$got")
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(13), "rnd13"),
+                          (randomGraph(37), "rnd37")); cap <- Seq(3, 12)) {
+      val want = refLinkPredict(g, cap, 8)
+      val have = Graph.linkPredict(df(g), cap, 8)
+        .as[(String, String, Long, Long)].collect().toSeq
+      assert(have == want, s"graph=$name cap=$cap\nhave=$have\nwant=$want")
+    }
+  }
+
+  test("linkPredict minW sparsifier: heavy square predicts diagonals despite light chords") {
+    // heavy square a-b-c-d-a (w=10) with LIGHT diagonals (w=1): at minW=5
+    // the diagonals drop out of the graph and become the predictions again
+    val sq10 = Seq(("a", "b", 10L), ("b", "c", 10L), ("c", "d", 10L), ("d", "a", 10L),
+      ("a", "c", 1L), ("b", "d", 1L))
+    assert(Graph.linkPredict(df(sq10), 12, 10).count() == 0,
+      "without the threshold everything is adjacent")
+    val got = Graph.linkPredict(df(sq10), 12, 10, minW = 5L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("a", "c", 2L, 1000000L), ("b", "d", 2L, 1000000L)), s"$got")
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(43), "rnd43")); minW <- Seq(2L, 4L)) {
+      val want = refLinkPredict(g, 12, 8, minW)
+      val have = Graph.linkPredict(df(g), 12, 8, minW = minW)
+        .as[(String, String, Long, Long)].collect().toSeq
+      assert(have == want, s"graph=$name minW=$minW\nhave=$have\nwant=$want")
+    }
+  }
+
   test("mergeCounts: any doc-level split merges back to the full counts") {
     val events = for {
       e <- Seq("x", "y"); t <- Seq("p", "q", "r"); i <- 1 to (t.hashCode.abs % 5 + 1)

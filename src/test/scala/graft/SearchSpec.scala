@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+
+/** BM25 retrieval vs a driver-side reference implementation: exact e4
+  * agreement on hand and randomized corpora, plus ranking-shape sanity
+  * (tf saturation, idf rarity preference, length normalization). */
+class SearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Reference BM25 — plain Scala, same formula and fixed-point contract. */
+  private def refBm25(corpus: Seq[(String, Seq[String])], q: Seq[String],
+                      topN: Int): Seq[(String, Long, Long)] = {
+    val withToks = corpus.filter(_._2.nonEmpty)
+    val n = withToks.size
+    val avgdl = withToks.map(_._2.size).sum.toDouble / n
+    val df = q.map(t => t -> withToks.count(_._2.contains(t))).toMap
+    val idf = q.map(t =>
+      t -> math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))).toMap
+    withToks.flatMap { case (docid, toks) =>
+      val hits = q.filter(t => toks.contains(t))
+      if (hits.isEmpty) None
+      else {
+        val dl = toks.size
+        val score = hits.map { t =>
+          val tf = toks.count(_ == t).toDouble
+          idf(t) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        }.sum
+        Some((docid, hits.size.toLong, math.round(score * 10000)))
+      }
+    }.sortBy { case (d, _, s) => (-s, d) }.take(topN)
+  }
+
+  private def toksDf(corpus: Seq[(String, Seq[String])]) =
+    corpus.flatMap { case (d, ts) => ts.map(t => (d, t)) }.toDF("docid", "term")
+
+  private val hand: Seq[(String, Seq[String])] = Seq(
+    "d1" -> Seq("spark", "join", "spark", "scan", "table"),
+    "d2" -> Seq("join", "join", "join", "filter", "sort", "group", "agg", "union"),
+    "d3" -> Seq("table", "scan"),
+    "d4" -> Seq("filter", "sort"),
+    "d5" -> Seq("spark", "spark", "spark", "spark", "table", "join"))
+
+  test("bm25 == reference on the hand corpus (exact e4)") {
+    val got = Search.bm25(toksDf(hand), Seq("spark", "join", "table"), topN = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == refBm25(hand, Seq("spark", "join", "table"), 10))
+  }
+
+  test("bm25 == reference on randomized corpora (seeded sweep)") {
+    val vocab = Vector("spark", "join", "table", "scan", "sort", "filter",
+      "group", "agg", "union", "limit")
+    for (seed <- Seq(3, 17, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until 40).map { i =>
+        f"doc$i%03d" -> Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+      }
+      val q = Seq("spark", "scan", "limit")
+      val got = Search.bm25(toksDf(corpus), q, topN = 15)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == refBm25(corpus, q, 15), s"seed=$seed")
+    }
+  }
+
+  test("bm25 ranking shape: rare-term doc beats common-term doc; saturation bounds tf") {
+    // 'rare' appears in one doc, 'common' in all: matching the rare term
+    // must outscore matching the common one at equal tf and dl
+    val c = Seq(
+      "a" -> Seq("rare", "x", "y"),
+      "b" -> Seq("common", "x", "y"),
+      "c" -> Seq("common", "p", "q"),
+      "d" -> Seq("common", "r", "s"))
+    val got = Search.bm25(toksDf(c), Seq("rare", "common"), topN = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head._1 == "a", s"rare-term doc must rank first: $got")
+    // saturation: tf 100 vs tf 1 in same-length docs gains less than 2.2x
+    // (the k1+1 ceiling), not 100x
+    val sat = Seq(
+      "hi" -> (Seq.fill(100)("t") ++ Seq.fill(100)("z")),
+      "lo" -> (Seq("t") ++ Seq.fill(199)("z")))
+    val s = Search.bm25(toksDf(sat), Seq("t"), topN = 10)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(s("hi") > s("lo") && s("hi") < s("lo") * 3, s"saturation: $s")
+  }
+
+  test("bm25 matches the registered oracle's constants end-to-end on documents-shaped input") {
+    // same shape as q_search_bm25: docid/term pairs from whitespace-ish text
+    val texts = Seq(
+      ("1", "spark join table spark"),
+      ("2", "join filter sort"),
+      ("3", "table scan table"))
+    val corpus = texts.map { case (d, t) =>
+      d -> operators.Tokenize.tokensOf(t, Set.empty).toSeq }
+    val got = Search.bm25(toksDf(corpus), Seq("spark", "join", "table"), topN = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == refBm25(corpus, Seq("spark", "join", "table"), 3))
+    assert(got.map(_._1).size == 3 && got.head._3 >= got.last._3)
+  }
+}
