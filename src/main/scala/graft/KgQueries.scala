@@ -64,6 +64,16 @@ object KgQueries {
     "q_kg_hits" -> ((s, d) =>
       Graph.hits(edgesOf(s, d), iters = 5).orderBy("node")),
 
+    // personalized to the entity terms that exist as graph nodes — the
+    // "what relates to spark/join" KG query; 6 fixed rounds
+    "q_kg_ppr" -> ((s, d) => {
+      val edges = edgesOf(s, d)
+      val srcs = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .filter(col("node").isin("spark", "join")).distinct()
+      Graph.personalizedPageRank(edges, srcs, iters = 6).orderBy("node")
+    }),
+
     "q_kg_clustering" -> ((s, d) =>
       Graph.clusteringCoeff(edgesOf(s, d)).orderBy("node")),
 
@@ -260,6 +270,51 @@ object KgQueries {
        |ORDER BY h.node""".stripMargin
   }
 
+  /** Round-by-round replay of Graph.personalizedPageRank: teleport and
+    * dangling mass land only on the source set; same truncating-division
+    * lattice as the pageRank oracle. */
+  private def pprOracle(iters: Int, srcList: Seq[String]): String = {
+    val srcSql = srcList.map(s => s"'$s'").mkString(", ")
+    val consts =
+      s"""nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |srcs AS MATERIALIZED (SELECT node FROM nodes WHERE node IN ($srcSql)),
+         |pconsts AS MATERIALIZED (
+         |  SELECT ns, 1000000000000 // ns AS seed,
+         |         (1000000000000 * 15) // 100 // ns AS tp
+         |  FROM (SELECT count(*) AS ns FROM srcs)),
+         |p0 AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CASE WHEN s.node IS NOT NULL THEN (SELECT seed FROM pconsts)
+         |              ELSE 0 END AS rank
+         |  FROM nodes n LEFT JOIN srcs s ON n.node = s.node)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""pdang$p AS MATERIALIZED (
+         |  SELECT COALESCE(sum(r.rank), 0) // (SELECT ns FROM pconsts) AS ds
+         |  FROM p$p r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+         |),
+         |p$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN s.node IS NOT NULL THEN (SELECT tp FROM pconsts) ELSE 0 END
+         |           + ((COALESCE(i.inflow, 0)
+         |               + CASE WHEN s.node IS NOT NULL THEN (SELECT ds FROM pdang$p) ELSE 0 END)
+         |              * 85) // 100 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN srcs s ON n.node = s.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS inflow
+         |    FROM edges e JOIN p$p r ON e.src = r.node JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) i ON n.node = i.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${Queries.base},
+       |$edgesCte,
+       |$consts,
+       |$rounds
+       |SELECT node, rank FROM p$iters ORDER BY node""".stripMargin
+  }
+
   /** Round-by-round replay of Graph.shortestPaths: d0 = the minimum node at
     * distance 0, then `maxHops` Bellman-Ford relaxations taking the min of
     * (previous dists) union (previous dists + outgoing edge weight). */
@@ -357,6 +412,8 @@ object KgQueries {
          |GROUP BY src ORDER BY node""".stripMargin,
 
     "q_kg_hits" -> hitsOracle(iters = 5, scale = 1000000L),
+
+    "q_kg_ppr" -> pprOracle(iters = 6, srcList = Seq("spark", "join")),
 
     "q_kg_clustering" ->
       s"""${Queries.base},

@@ -133,6 +133,75 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands on `sources` (column
+    * `node`) instead of uniformly — the canonical "entities related to X"
+    * KG query. Same scaled-integer lattice and truncating division as
+    * [[pageRank]], so the oracle replays every round exactly. Per round,
+    * with S = source set, tp = (scale·(dampDen−dampNum)) div dampDen div |S|:
+    *
+    *   inflow(v) = Σ over edges (u,v,w) of (r(u) * w) div ow(u)
+    *   dshare    = (Σ over dangling u of r(u)) div |S|   (back to sources)
+    *   r'(v)     = [v∈S]·tp + ((inflow(v) + [v∈S]·dshare) * dampNum) div dampDen
+    *
+    * started from r0 = scale div |S| on S, 0 elsewhere. Same overflow
+    * envelope as pageRank. Returns `(node, rank)` in lattice units for all
+    * nodes (untouched nodes rank 0). */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
+                           scale: Long = 1000000000000L,
+                           dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
+    val (outw, owH) = Pinned.pinTracked(
+      e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
+    val (nodes, nodesH) = Pinned.pinTracked(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val (dangling, dangH) = Pinned.pinTracked(
+      nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti"))
+    // sources restricted to graph nodes: mass must stay on the lattice
+    val (srcs, srcsH) = Pinned.pinTracked(
+      sources.select(col("node")).distinct().join(nodes, Seq("node"), "left_semi"))
+
+    val nS = srcs.count()
+    require(nS > 0, "personalizedPageRank needs at least one source present in the graph")
+    val tp = scale * (dampDen - dampNum) / dampDen / nS
+    val isSrc = srcs.select(col("node"), lit(1L).as("is_src"))
+
+    var (ranks, ranksH) = Pinned.pinTracked(
+      nodes.join(isSrc, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_src") === 1L, lit(scale / nS)).otherwise(lit(0L)).as("rank")))
+    var it = 0
+    while (it < iters) {
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val dshare = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+        .select(expr(s"dsum div ${nS}L").as("dshare"))
+      val next = nodes
+        .join(inflow, Seq("node"), "left")
+        .join(isSrc, Seq("node"), "left")
+        .crossJoin(dshare)
+        .select(col("node"),
+          expr(s"""coalesce(is_src, 0L) * ${tp}L
+                  | + ((coalesce(inflow, 0L) + coalesce(is_src, 0L) * dshare)
+                  |    * ${dampNum}L) div ${dampDen}L""".stripMargin.replace("\n", " "))
+            .as("rank"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      freeH(ranksH)
+      ranks = pinnedNext
+      ranksH = nextH
+      it += 1
+    }
+    freeH(eH); freeH(owH); freeH(nodesH); freeH(dangH); freeH(srcsH)
+    ranks
+  }
+
   /** Nodes reachable within `maxHops` directed hops, excluding the node
     * itself: returns `(node, n_reach)` for every node with at least one
     * out-edge. Semi-naive expansion: hop i+1 joins only hop i's FRESH pairs

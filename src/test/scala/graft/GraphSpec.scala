@@ -324,6 +324,58 @@ class GraphSpec extends SparkTestBase {
       .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }.take(k)
   }
 
+  /** Reference integer PPR — teleport/dangling mass to sources only. */
+  private def refPpr(edges: Seq[(String, String, Long)], srcs: Set[String],
+                     iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.filter(srcs).toSet
+    val nS = s.size
+    val ow = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val tp = scale * 15 / 100 / nS
+    var r = nodes.map(v => v -> (if (s(v)) scale / nS else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (u, d, w) => inflow(d) += r(u) * w / ow(u) }
+      val ds = nodes.filterNot(ow.contains).map(r).sum / nS
+      r = nodes.map { v =>
+        val srcBit = if (s(v)) 1L else 0L
+        v -> (srcBit * tp + (inflow(v) + srcBit * ds) * 85 / 100)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank == integer reference on hand and random graphs (exact)") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(7), "rnd7"),
+                          (randomGraph(23), "rnd23")); iters <- Seq(1, 6)) {
+      val srcs = Set((g.map(_._1) ++ g.map(_._2)).min)
+      val srcDf = srcs.toSeq.toDF("node")
+      val got = Graph.personalizedPageRank(df(g), srcDf, iters)
+        .as[(String, Long)].collect().toMap
+      assert(got == refPpr(g, srcs, iters), s"graph=$name iters=$iters")
+    }
+  }
+
+  test("personalizedPageRank localizes: mass decays with distance from the source") {
+    // chain a -> b -> c -> d -> e, personalized to {a}: once the initial
+    // mass pulse has decayed (24 rounds; at 8 the transient still rides
+    // the chain) rank decreases strictly with distance from the source
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+    val got = Graph.personalizedPageRank(df(chain), Seq("a").toDF("node"), iters = 24)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") > got("b") && got("b") > got("c") && got("c") > got("d") &&
+      got("d") > got("e"), s"monotone decay expected: $got")
+    assert(got == refPpr(chain, Set("a"), 24), "and it is the exact lattice value")
+    // sources outside the graph are dropped; an all-outside set throws
+    val withJunk = Graph.personalizedPageRank(
+      df(chain), Seq("a", "zzz").toDF("node"), iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(withJunk == refPpr(chain, Set("a"), 2), "junk source must be ignored")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(df(chain), Seq("zzz").toDF("node"), iters = 1).count()
+    }
+  }
+
   test("hits == integer reference on hand and random graphs (exact)") {
     for ((g, name) <- Seq((hand, "hand"), (randomGraph(7), "rnd7"),
                           (randomGraph(19), "rnd19")); iters <- Seq(1, 5)) {
