@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooc, Graph}
+import graft.operators.{Cooc, Graph, Significance, TripleStore}
 
 /** Round-5 KG-analytics registry entries: graph consumers of the pipeline's
   * adjacency structure (degrees, scaled-integer PageRank, bounded-hop
@@ -84,6 +84,24 @@ object KgQueries {
     "q_kg_linkpredict" -> ((s, d) =>
       Graph.linkPredict(edgesOf(s, d), maxCenterDeg = 12, k = 64, minW = 65L)
         .orderBy(col("ra").desc, col("cn").desc, col("a"), col("b"))),
+
+    // SPARQL-style BGP over the graph the pipeline emits: which entity
+    // pairs share significant context terms. Runs on the ENTITY-level
+    // triple projection (|entities| × topK rows — node-sized at any
+    // corpus scale), two patterns joined on the shared object variable
+    "q_kg_bgp" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val triples = top20.select(col("entity").as("subj"),
+        lit("coOccursWith").as("pred"), col("term").as("obj"))
+      TripleStore.bgp(triples, Seq(
+          (V("e1"), C("coOccursWith"), V("t")),
+          (V("e2"), C("coOccursWith"), V("t"))))
+        .filter(col("e1") < col("e2"))
+        .groupBy("e1", "e2").agg(count(lit(1)).as("n_shared"))
+        .orderBy("e1", "e2")
+    }),
 
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
@@ -414,6 +432,22 @@ object KgQueries {
     "q_kg_hits" -> hitsOracle(iters = 5, scale = 1000000L),
 
     "q_kg_ppr" -> pprOracle(iters = 6, srcList = Seq("spark", "join")),
+
+    // the SQL twin of the two-pattern BGP: the production topK ranking
+    // (same total order as q_l3/q_c3) self-joined on the shared term
+    "q_kg_bgp" ->
+      s"""${Queries.base},
+         |top20 AS (
+         |  SELECT entity, term FROM (
+         |    SELECT entity, term,
+         |           row_number() OVER (PARTITION BY entity
+         |             ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 20
+         |)
+         |SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_shared
+         |FROM top20 a JOIN top20 b ON a.term = b.term AND a.entity < b.entity
+         |GROUP BY 1, 2 ORDER BY e1, e2""".stripMargin,
 
     "q_kg_clustering" ->
       s"""${Queries.base},

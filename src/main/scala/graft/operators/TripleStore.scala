@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SPARQL-style basic-graph-pattern (BGP) matching over a materialized
+  * `(subj, pred, obj)` triple table — the query surface of the graph the
+  * pipeline emits (S3). A pattern is three terms, each a constant `C` or a
+  * variable `V`; the result is one row per binding of all variables, bag
+  * semantics (SPARQL BGP default; callers `.distinct()` for set semantics).
+  *
+  * Execution is pure Catalyst: each pattern becomes a filtered projection
+  * of the triple table (constants push down to the scan of a partitioned
+  * triple store — `TableIO.writeTriples` partitions by pred, so a constant
+  * predicate prunes partitions), and shared variables become equi-joins in
+  * the caller-given order. Selectivity ordering is the caller's lever;
+  * disconnected pattern groups cross-join (SPARQL semantics), so keep
+  * patterns connected at scale.
+  */
+object TripleStore {
+
+  sealed trait Term
+  /** Variable — same name in several patterns joins them. */
+  final case class V(name: String) extends Term
+  /** Constant — filters the pattern's triples. */
+  final case class C(value: String) extends Term
+
+  /** Match `patterns` against `triples`; returns one column per distinct
+    * variable name (alphabetical — deterministic schema), one row per
+    * binding. A variable repeated WITHIN a pattern constrains equality
+    * (e.g. `(V("x"), C("p"), V("x"))` matches self-loops). */
+  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
+    require(patterns.nonEmpty, "bgp needs at least one pattern")
+    val frames = patterns.map { case (s, p, o) =>
+      val slots = Seq("subj" -> s, "pred" -> p, "obj" -> o)
+      val constFiltered = slots.foldLeft(triples) {
+        case (df, (c, C(v))) => df.filter(col(c) === v)
+        case (df, _)         => df
+      }
+      val varSlots = slots.collect { case (c, V(n)) => n -> c }
+      val eqFiltered = varSlots.groupBy(_._1).values.foldLeft(constFiltered) {
+        case (df, cols) if cols.size > 1 =>
+          cols.map(_._2).sliding(2).foldLeft(df) {
+            case (d, Seq(c1, c2)) => d.filter(col(c1) === col(c2))
+            case (d, _)           => d
+          }
+        case (df, _) => df
+      }
+      val proj = varSlots.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, cols) => col(cols.head._2).as(v) }
+      require(proj.nonEmpty, s"pattern ($s, $p, $o) binds no variable")
+      eqFiltered.select(proj: _*)
+    }
+    val joined = frames.reduce { (l, r) =>
+      val common = l.columns.toSet.intersect(r.columns.toSet).toSeq.sorted
+      if (common.isEmpty) l.crossJoin(r) else l.join(r, common)
+    }
+    // joins float their keys to the front — restore the documented
+    // alphabetical variable order
+    joined.select(joined.columns.sorted.map(col).toSeq: _*)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TripleStore
+import graft.operators.TripleStore.{C, V}
+
+/** BGP matching semantics over a hand-built triple table: constant
+  * filters, shared-variable joins, chains, repeated variables within one
+  * pattern, disconnected cross products, and bag semantics. */
+class TripleStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val triples = Seq(
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("carol", "knows", "alice"),
+    ("alice", "likes", "scala"),
+    ("bob", "likes", "scala"),
+    ("carol", "likes", "sql"),
+    ("loop", "knows", "loop")
+  ).toDF("subj", "pred", "obj")
+
+  test("single pattern: constants filter, variables bind") {
+    val got = TripleStore.bgp(triples, Seq((V("who"), C("likes"), V("what"))))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("scala", "alice"), ("scala", "bob"), ("sql", "carol")))
+    // columns are alphabetical by variable name: what, who
+    assert(TripleStore.bgp(triples, Seq((V("who"), C("likes"), V("what"))))
+      .columns.toSeq == Seq("what", "who"))
+  }
+
+  test("chain pattern: friend-of-friend via the shared middle variable") {
+    val got = TripleStore.bgp(triples, Seq(
+        (V("a"), C("knows"), V("b")),
+        (V("b"), C("knows"), V("c"))))
+      .as[(String, String, String)].collect().toSet
+    // columns a, b, c alphabetically
+    assert(got.contains(("alice", "bob", "carol")), s"$got")
+    assert(got.contains(("bob", "carol", "alice")), s"$got")
+    assert(got.contains(("loop", "loop", "loop")), s"$got")
+    assert(got.size == 4, s"3-cycle + self-loop: $got") // carol->alice->bob too
+  }
+
+  test("shared object variable: who likes the same thing") {
+    val got = TripleStore.bgp(triples, Seq(
+        (V("x"), C("likes"), V("t")),
+        (V("y"), C("likes"), V("t"))))
+      .filter(col("x") < col("y"))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("scala", "alice", "bob")), s"$got")
+  }
+
+  test("repeated variable within a pattern matches only self-loops") {
+    val got = TripleStore.bgp(triples, Seq((V("x"), C("knows"), V("x"))))
+      .as[String].collect().toSeq
+    assert(got == Seq("loop"))
+  }
+
+  test("variable predicate binds; disconnected patterns cross-join") {
+    val preds = TripleStore.bgp(triples, Seq((C("alice"), V("p"), V("o"))))
+      .as[(String, String)].collect().toSet
+    assert(preds == Set(("bob", "knows"), ("scala", "likes")))
+    val cross = TripleStore.bgp(triples, Seq(
+        (C("alice"), C("likes"), V("a")),
+        (C("carol"), C("likes"), V("b"))))
+      .as[(String, String)].collect().toSet
+    assert(cross == Set(("scala", "sql")))
+  }
+
+  test("bag semantics: duplicate triples yield duplicate bindings") {
+    val dup = triples.unionAll(Seq(("alice", "likes", "scala")).toDF("subj", "pred", "obj"))
+    val got = TripleStore.bgp(dup, Seq((C("alice"), C("likes"), V("w"))))
+      .as[String].collect().toSeq
+    assert(got.sorted == Seq("scala", "scala"))
+  }
+
+  test("no-variable pattern is rejected; empty patterns are rejected") {
+    intercept[IllegalArgumentException] {
+      TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
+    }
+    intercept[IllegalArgumentException] { TripleStore.bgp(triples, Nil) }
+  }
+}
