@@ -18,11 +18,8 @@ import graft.operators.{Cooc, Graph, Significance, TripleStore}
   */
 object KgQueries {
 
-  private def toksDf(s: SparkSession, d: String): DataFrame =
-    operators.Tokenize.tokensFrom(Memo.tokDocsOf(s, d, Queries.cfg)).toDF()
-
   private def edgesOf(s: SparkSession, d: String): DataFrame =
-    Graph.bigramEdges(toksDf(s, d))
+    Memo.kgEdgesOf(s, d, Queries.cfg)
 
   val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kg_degrees" -> ((s, d) =>

@@ -100,6 +100,7 @@ object Memo {
   private val modelMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (d, s) =>
     d.unpersist(false); s.unpersist(false)
   })
+  private val edgesMemo = new BoundedMemo[DataFrame](_.unpersist(false))
   private val ivfMemo = new BoundedMemo[Array[Array[Double]]](_ => ())
   private val bpeMemo = new BoundedMemo[Seq[(Long, String, String, Long)]](_ => ())
 
@@ -159,6 +160,18 @@ object Memo {
       (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}")) {
       val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
       Tokenize.tokDocs(Pipeline.guard(docs, cfg), cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The KG bigram adjacency over the shared tokenized projection, counted
+    * once per (session, corpus): the whole q_kg_* family reads this one
+    * persisted vocabulary-sized frame instead of re-running
+    * tokenize→window→aggregate per query (the same registry economics as
+    * the E2/E3 memos). */
+  def kgEdgesOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): DataFrame =
+    edgesMemo.getOrBuild((spark, s"$sfDir|kgedges|${cfg.maxDocChars}")) {
+      operators.Graph.bigramEdges(
+        Tokenize.tokensFrom(tokDocsOf(spark, sfDir, cfg)).toDF())
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
