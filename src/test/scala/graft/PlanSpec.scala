@@ -149,4 +149,51 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"),
       s"line dedup must never funnel through one partition:\n$plan")
   }
+
+  test("bm25: idf frame broadcasts; top-N is TakeOrdered, never a global Sort") {
+    import spark.implicits._
+    val toks = (0 until 200).flatMap(i =>
+      Seq((s"d$i", "spark"), (s"d$i", s"filler$i"), (s"d$i", "join")))
+      .toDF("docid", "term")
+    val out = operators.Search.bm25(toks, Seq("spark", "join"), topN = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-term idf must broadcast, not shuffle-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrdered (no global sort materializes):\n$plan")
+    assert(!plan.contains("Sort ["), // a full Sort node would spell global sort
+      s"no global Sort expected for the top-N cut:\n$plan")
+    // the query-term filter sits BEFORE the tf aggregation's exchange: the
+    // wide state is (matching docs x |Q|), never the corpus
+    assert(plan.indexOf("spark,join") < plan.indexOf("Exchange"),
+      s"query-term filter must precede the first exchange:\n$plan")
+  }
+
+  test("bgp: a constant predicate PUSHES DOWN to the triple-store scan") {
+    import operators.TripleStore.{C, V}
+    val dir = java.nio.file.Files.createTempDirectory("bgp-plan").toString
+    try {
+      import spark.implicits._
+      (0 until 50).flatMap(i => Seq(
+        (s"s$i", "knows", s"o${i % 7}"), (s"s$i", "likes", s"o${i % 5}")))
+        .toDF("subj", "pred", "obj")
+        .write.mode("overwrite").parquet(dir)
+      val triples = spark.read.parquet(dir)
+      val out = operators.TripleStore.bgp(triples, Seq(
+        (V("x"), C("knows"), V("t")), (V("y"), C("knows"), V("t"))))
+      val plan = out.queryExecution.executedPlan.toString
+      // constant pred reaches the parquet scan as a pushed filter — on the
+      // pred-partitioned store this is the partition-pruning path
+      assert(plan.contains("PushedFilters: [IsNotNull(pred), EqualTo(pred,knows)")
+        || plan.contains("EqualTo(pred,knows)"),
+        s"constant pred must push into the scan:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"shared variable must equi-join:\n$plan")
+      // pruned read schema: only the variable slots survive the projection
+      assert(!plan.contains("ReadSchema: struct<subj:string,pred:string,obj:string>")
+        || plan.contains("PushedFilters"), s"column pruning expected:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
