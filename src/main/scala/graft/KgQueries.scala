@@ -21,6 +21,9 @@ object KgQueries {
   private def edgesOf(s: SparkSession, d: String): DataFrame =
     Memo.kgEdgesOf(s, d, Queries.cfg)
 
+  private def e4kg(c: org.apache.spark.sql.Column) =
+    round(c * 10000).cast("long")
+
   val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kg_degrees" -> ((s, d) =>
       Graph.degrees(edgesOf(s, d)).orderBy("node")),
@@ -30,6 +33,20 @@ object KgQueries {
 
     "q_kg_reach" -> ((s, d) =>
       Graph.reach(edgesOf(s, d), maxHops = 3).orderBy("node")),
+
+    // the HyperBall scale path, self-checked against the exact closure
+    // (A2'-style): no SQL oracle exists for the Datasketches registers, so
+    // the query CARRIES its own error gate — rel_err_e4 per node, plus the
+    // exact count, in the hash-pinned (SELFCHECK) output
+    "q_kg_reach_approx" -> ((s, d) => {
+      val edges = edgesOf(s, d)
+      Graph.reachApprox(edges, maxHops = 3)
+        .join(Graph.reach(edges, maxHops = 3), Seq("node"))
+        .select(col("node"), col("n_reach"), col("n_reach_est"),
+          e4kg(abs(col("n_reach_est") - col("n_reach")) /
+            greatest(col("n_reach"), lit(1L))).as("rel_err_e4"))
+        .orderBy("node")
+    }),
 
     "q_kg_triangles" -> ((s, d) =>
       Graph.triangles(edgesOf(s, d)).orderBy("node")),

@@ -242,6 +242,56 @@ object Graph {
     out
   }
 
+  /** Approximate bounded-hop neighborhood sizes — the 100 TB scale path for
+    * [[reach]] (HyperBall; Boldi & Vigna 2013, on HyperLogLog counters —
+    * here Spark's built-in Datasketches HLL aggregates). Exact `reach`
+    * materializes the hop-bounded transitive CLOSURE — inherently
+    * output-quadratic on dense graphs; this keeps one fixed-size sketch per
+    * node and unions sketches along edges per hop:
+    *
+    *   B(v, 0) = {v};  B(v, h) = B(v, h−1) ∪ ⋃ over edges (v,u) of B(u, h−1)
+    *   n_reach_est(v) = estimate(B(v, maxHops)) − 1   (self excluded)
+    *
+    * State per hop is |V|·2^lgK bytes, work one edge join + one
+    * map-side-combinable `hll_union_agg` — never the closure. Results are
+    * DETERMINISTIC across partitionings and cluster sizes: a sketch is a
+    * pure function of the input SET (hashes), and union is register-wise
+    * max (associative, commutative, idempotent) — asserted in GraphSpec.
+    * No DuckDB oracle (DuckDB's HLL is a different sketch); the registry
+    * query self-checks rel-err against the exact closure, A2′-style. */
+  def reachApprox(edges: DataFrame, maxHops: Int, lgK: Int = 12): DataFrame = {
+    require(maxHops >= 1, "reachApprox needs at least one hop")
+    val spark = edges.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst")).distinct())
+    val (nodes, nodesH) = Pinned.pinTracked(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+
+    var (b, bH) = Pinned.pinTracked(
+      nodes.groupBy(col("node")).agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk")))
+    var it = 0
+    while (it < maxHops) {
+      val nbr = e
+        .join(b.select(col("node").as("dst"), col("sk")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(hll_union_agg(col("sk")).as("nb"))
+      val next = b.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          when(col("nb").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("nb"))).as("sk"))
+      val (pinnedNext, nextH) = Pinned.pinTracked(next)
+      freeH(bH)
+      b = pinnedNext
+      bH = nextH
+      it += 1
+    }
+    val out = b.select(col("node"),
+      (hll_sketch_estimate(col("sk")) - lit(1L)).as("n_reach_est"))
+    val (pinnedOut, _) = Pinned.pinTracked(out)
+    freeH(eH); freeH(nodesH); freeH(bH)
+    pinnedOut
+  }
+
   /** Undirected simple edge set underlying a directed weighted edge frame:
     * one row per unordered pair `(a < b)`, weight = sum of both directions.
     * Doc-local nothing — this is one hash aggregation on the (already

@@ -273,6 +273,29 @@ class GraphSpec extends SparkTestBase {
     assert(d2("b") == 5L, "two hops must find the cheaper path")
   }
 
+  test("reachApprox: exact at test cardinalities (HLL sparse mode) and partitioning-invariant") {
+    for ((g, name) <- Seq((hand, "hand"), (randomGraph(5), "rnd5"),
+                          (randomGraph(19), "rnd19"))) {
+      val est = Graph.reachApprox(df(g), maxHops = 3)
+        .as[(String, Long)].collect().toMap
+      // datasketches HLL is exact in sparse mode at these cardinalities, so
+      // the estimate must EQUAL the closure count for reachable nodes; the
+      // sketch frame also carries pure sinks (reach drops them) at 0
+      val exact = refReach(g, 3)
+      exact.foreach { case (v, n) =>
+        assert(est(v) == n, s"graph=$name node=$v est=${est(v)} exact=$n")
+      }
+      est.keySet.diff(exact.keySet).foreach { v =>
+        assert(est(v) == 0L, s"graph=$name sink $v must estimate 0: ${est(v)}")
+      }
+      // register-wise-max union is order-independent: a different input
+      // partitioning must give bit-identical estimates
+      val repart = Graph.reachApprox(df(g).repartition(7, col("dst")), maxHops = 3)
+        .as[(String, Long)].collect().toMap
+      assert(repart == est, s"graph=$name partitioning changed the estimates")
+    }
+  }
+
   /** Reference integer HITS — same lattice, plain Scala Long math. */
   private def refHits(edges: Seq[(String, String, Long)], iters: Int,
                       sc: Long = 1000000L): Map[String, (Long, Long)] = {
