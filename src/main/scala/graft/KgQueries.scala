@@ -117,6 +117,25 @@ object KgQueries {
         .orderBy("e1", "e2")
     }),
 
+    // OPTIONAL over a two-predicate store: every (entity, context term)
+    // edge, left-extended by the entities whose TOP-ranked term it is —
+    // terms that are nobody's top term keep the row with e2 NULL (the
+    // SPARQL LeftJoin arm an inner join would drop)
+    "q_kg_bgp_optional" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val top1 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 1))
+      val triples = top20.select(col("entity").as("subj"),
+          lit("coOccursWith").as("pred"), col("term").as("obj"))
+        .unionAll(top1.select(col("term").as("subj"),
+          lit("isTopTermOf").as("pred"), col("entity").as("obj")))
+      TripleStore.bgpOptional(triples,
+          required = Seq((V("e"), C("coOccursWith"), V("t"))),
+          optional = Seq(Seq((V("t"), C("isTopTermOf"), V("e2")))))
+        .orderBy(col("e").asc, col("t").asc, col("e2").asc_nulls_last)
+    }),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -462,6 +481,21 @@ object KgQueries {
          |SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_shared
          |FROM top20 a JOIN top20 b ON a.term = b.term AND a.entity < b.entity
          |GROUP BY 1, 2 ORDER BY e1, e2""".stripMargin,
+
+    // LEFT JOIN twin of the OPTIONAL group; rnk<=1 of the SAME production
+    // total order (scaled logp, term) is the isTopTermOf predicate
+    "q_kg_bgp_optional" ->
+      s"""${Queries.base},
+         |ranked AS (
+         |  SELECT entity, term,
+         |         row_number() OVER (PARTITION BY entity
+         |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |  FROM scored)
+         |SELECT a.entity AS e, b.entity AS e2, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |LEFT JOIN (SELECT entity, term FROM ranked WHERE rnk <= 1) b
+         |  ON b.term = a.term
+         |ORDER BY e, t, e2""".stripMargin,
 
     "q_kg_clustering" ->
       s"""${Queries.base},

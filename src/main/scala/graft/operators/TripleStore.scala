@@ -59,4 +59,29 @@ object TripleStore {
     // alphabetical variable order
     joined.select(joined.columns.sorted.map(col).toSeq: _*)
   }
+
+  /** SPARQL `OPTIONAL`: the required BGP's bindings, left-extended by each
+    * optional pattern group in order — a group that matches adds its
+    * variable bindings; one that doesn't leaves them NULL (never drops the
+    * required row). Groups apply sequentially, each seeing the bindings
+    * accumulated so far (SPARQL's LeftJoin nesting for a pattern written
+    * `P OPTIONAL Q1 OPTIONAL Q2`).
+    *
+    * Each group must share ≥1 variable with the bindings it extends
+    * (SPARQL's well-designed-pattern condition) — enforced, because a
+    * disconnected OPTIONAL is a cross product whose "unmatched → NULL" arm
+    * is unreachable, i.e. almost certainly a query bug. Execution: one left
+    * equi-join per group against a filtered projection of the triple table;
+    * a selective optional side stays broadcastable. */
+  def bgpOptional(triples: DataFrame, required: Seq[(Term, Term, Term)],
+                  optional: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    val out = optional.foldLeft(bgp(triples, required)) { (acc, group) =>
+      val g = bgp(triples, group)
+      val common = acc.columns.toSet.intersect(g.columns.toSet).toSeq.sorted
+      require(common.nonEmpty,
+        s"OPTIONAL group ${group.mkString(", ")} shares no variable with the bindings so far")
+      acc.join(g, common, "left")
+    }
+    out.select(out.columns.sorted.map(col).toSeq: _*)
+  }
 }

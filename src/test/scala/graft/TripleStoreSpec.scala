@@ -75,6 +75,43 @@ class TripleStoreSpec extends SparkTestBase {
     assert(got.sorted == Seq("scala", "scala"))
   }
 
+  test("OPTIONAL: matched groups bind, unmatched leave NULL, required rows never drop") {
+    // who does x know — and, optionally, what does the known person like?
+    val got = TripleStore.bgpOptional(triples,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        optional = Seq(Seq((V("y"), C("likes"), V("w")))))
+      .as[(Option[String], String, String)].collect().toSet // cols w, x, y
+    assert(got == Set(
+      (Some("scala"), "alice", "bob"),   // bob likes scala
+      (Some("sql"), "bob", "carol"),     // carol likes sql
+      (Some("scala"), "carol", "alice"), // alice likes scala
+      (None, "loop", "loop")             // loop likes nothing -> NULL, row kept
+    ), s"$got")
+  }
+
+  test("OPTIONAL: groups apply sequentially, each over accumulated bindings") {
+    // second optional hangs off the FIRST optional's variable w
+    val ext = triples.unionAll(Seq(("scala", "runsOn", "jvm")).toDF("subj", "pred", "obj"))
+    val got = TripleStore.bgpOptional(ext,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        optional = Seq(
+          Seq((V("y"), C("likes"), V("w"))),
+          Seq((V("w"), C("runsOn"), V("vm")))))
+      .as[(Option[String], Option[String], String, String)].collect().toSet // vm, w, x, y
+    assert(got == Set(
+      (Some("jvm"), Some("scala"), "alice", "bob"),
+      (None, Some("sql"), "bob", "carol"),
+      (Some("jvm"), Some("scala"), "carol", "alice"),
+      (None, None, "loop", "loop")
+    ), s"$got")
+    // a group disconnected from every binding so far is rejected
+    intercept[IllegalArgumentException] {
+      TripleStore.bgpOptional(triples,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        optional = Seq(Seq((V("a"), C("likes"), V("b")))))
+    }
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
