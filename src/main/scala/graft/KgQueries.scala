@@ -136,6 +136,21 @@ object KgQueries {
         .orderBy(col("e").asc, col("t").asc, col("e2").asc_nulls_last)
     }),
 
+    // graph-version delta: rebuild the store at topK=15 plus a new
+    // predicate, diff against the topK=20 version — ranks 16–20 come back
+    // `removed`, the new predicate's triples `added`, ranks 1–15 silent
+    "q_kg_diff" -> ((s, d) => {
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      def store(k: Int) = Significance.topK(cs.scored, Queries.cfg.copy(topK = k))
+        .select(col("entity").as("subj"), lit("coOccursWith").as("pred"),
+          col("term").as("obj"))
+      val v2 = store(15).unionAll(
+        Significance.topK(cs.scored, Queries.cfg.copy(topK = 1))
+          .select(col("term").as("subj"), lit("isTopTermOf").as("pred"),
+            col("entity").as("obj")))
+      TripleStore.diff(store(20), v2).orderBy("change", "subj", "pred", "obj")
+    }),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -496,6 +511,27 @@ object KgQueries {
          |LEFT JOIN (SELECT entity, term FROM ranked WHERE rnk <= 1) b
          |  ON b.term = a.term
          |ORDER BY e, t, e2""".stripMargin,
+
+    // set-EXCEPT twin of the one-shuffle tagged-union diff
+    "q_kg_diff" ->
+      s"""${Queries.base},
+         |ranked AS (
+         |  SELECT entity, term,
+         |         row_number() OVER (PARTITION BY entity
+         |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |  FROM scored),
+         |v1 AS (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |       FROM ranked WHERE rnk <= 20),
+         |v2 AS (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |       FROM ranked WHERE rnk <= 15
+         |       UNION ALL
+         |       SELECT term, 'isTopTermOf', entity FROM ranked WHERE rnk <= 1)
+         |SELECT subj, pred, obj, 'removed' AS change
+         |FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)
+         |UNION ALL
+         |SELECT subj, pred, obj, 'added' AS change
+         |FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)
+         |ORDER BY change, subj, pred, obj""".stripMargin,
 
     "q_kg_clustering" ->
       s"""${Queries.base},

@@ -84,4 +84,26 @@ object TripleStore {
     }
     out.select(out.columns.sorted.map(col).toSeq: _*)
   }
+
+  /** Graph-version delta: which triples a rebuild ADDED and which it
+    * REMOVED — the maintenance companion to incremental count merge (G6)
+    * for the materialized store itself (publish a delta instead of
+    * re-shipping the graph). Set semantics: duplicate input rows collapse
+    * (a triple store is a set); triples present in both versions are
+    * absent from the output.
+    *
+    * One shuffle total: both sides union with a side tag, one map-side-
+    * combinable aggregation per triple key, XOR filter — never the two
+    * anti-joins (= two shuffles) the naive form costs, and no side is
+    * assumed broadcastable (both are full graph versions). */
+  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+    val key = Seq("subj", "pred", "obj")
+    val tagged = before.select(key.map(col) :+ lit(1).as("was") :+ lit(0).as("is_"): _*)
+      .unionAll(after.select(key.map(col) :+ lit(0).as("was") :+ lit(1).as("is_"): _*))
+    tagged.groupBy(key.map(col): _*)
+      .agg(max(col("was")).as("was"), max(col("is_")).as("is_"))
+      .filter(col("was") =!= col("is_"))
+      .select(key.map(col) :+
+        when(col("is_") === 1, "added").otherwise("removed").as("change"): _*)
+  }
 }

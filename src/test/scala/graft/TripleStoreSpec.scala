@@ -112,6 +112,29 @@ class TripleStoreSpec extends SparkTestBase {
     }
   }
 
+  test("diff: added/removed only, common triples absent, duplicates collapse") {
+    val v2 = Seq(
+      ("alice", "knows", "bob"),    // kept
+      ("alice", "knows", "bob"),    // duplicate of a kept triple
+      ("bob", "knows", "carol"),    // kept
+      ("carol", "knows", "alice"),  // kept
+      ("alice", "likes", "scala"),  // kept
+      ("bob", "likes", "rust"),     // CHANGED from scala
+      ("dave", "knows", "alice")    // new node
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.diff(triples, v2)
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == Set(
+      ("bob", "likes", "rust", "added"),
+      ("dave", "knows", "alice", "added"),
+      ("bob", "likes", "scala", "removed"),
+      ("carol", "likes", "sql", "removed"),
+      ("loop", "knows", "loop", "removed")
+    ), s"$got")
+    // identical versions (even with duplicate rows) diff to empty
+    assert(TripleStore.diff(v2, v2.unionAll(v2)).isEmpty)
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
