@@ -151,6 +151,17 @@ object KgQueries {
       TripleStore.diff(store(20), v2).orderBy("change", "subj", "pred", "obj")
     }),
 
+    // SPARQL property path `followedBy+` bounded at 3 hops over the bigram
+    // adjacency, with min path length — the pair-level twin of q_kg_reach
+    // (whose n_reach is exactly this result's per-subj row count minus
+    // self-pairs)
+    "q_kg_pathplus" -> ((s, d) => {
+      val triples = edgesOf(s, d).select(col("src").as("subj"),
+        lit("followedBy").as("pred"), col("dst").as("obj"))
+      TripleStore.pathPlus(triples, "followedBy", maxHops = 3)
+        .orderBy("subj", "obj")
+    }),
+
     // standing/delta split is Spark-side only (the oracle recomputes from
     // scratch); the split predicate is arbitrary but deterministic — any
     // doc-level partition must merge back to the full-corpus counts
@@ -532,6 +543,22 @@ object KgQueries {
          |SELECT subj, pred, obj, 'added' AS change
          |FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)
          |ORDER BY change, subj, pred, obj""".stripMargin,
+
+    // hop-layered closure; min(h) per pair is the BFS first-discovery round
+    "q_kg_pathplus" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |s2 AS MATERIALIZED (SELECT DISTINCT p.src, e.dst
+         |  FROM e1 p JOIN e1 e ON p.dst = e.src),
+         |s3 AS MATERIALIZED (SELECT DISTINCT p.src, e.dst
+         |  FROM s2 p JOIN e1 e ON p.dst = e.src)
+         |SELECT src AS subj, dst AS obj, CAST(min(h) AS BIGINT) AS n_hops
+         |FROM (
+         |  SELECT src, dst, 1 AS h FROM e1
+         |  UNION ALL SELECT src, dst, 2 FROM s2
+         |  UNION ALL SELECT src, dst, 3 FROM s3)
+         |GROUP BY 1, 2 ORDER BY subj, obj""".stripMargin,
 
     "q_kg_clustering" ->
       s"""${Queries.base},

@@ -106,4 +106,55 @@ object TripleStore {
       .select(key.map(col) :+
         when(col("is_") === 1, "added").otherwise("removed").as("change"): _*)
   }
+
+  /** SPARQL 1.1 property path `pred+`, hop-bounded: all (subj, obj) pairs
+    * connected by 1..maxHops edges of ONE predicate, with `n_hops` = the
+    * minimum path length (BFS order: a pair's first-discovery round IS its
+    * min-hop). Cyclic paths keep SPARQL semantics — a node on a cycle
+    * reaches itself.
+    *
+    * Semi-naive evaluation: each round joins only the LAST round's fresh
+    * pairs against the edge set and anti-joins the known closure, so work
+    * per round is bounded by the new pairs, frames are pinned with ≤3 live
+    * (edges, closure, frontier), and the loop drains early when a round
+    * finds nothing. This MATERIALIZES the bounded closure — inherently
+    * output-quadratic on dense graphs; the hop bound is the scale control,
+    * and for counting-only questions [[Graph.reachApprox]] (HyperBall)
+    * is the 100 TB path. */
+  def pathPlus(triples: DataFrame, pred: String, maxHops: Int): DataFrame = {
+    import graft.plans.Pinned
+    require(maxHops >= 1, "pathPlus needs at least one hop")
+    val spark = triples.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val (e, eH) = Pinned.pinTracked(
+      triples.filter(col("pred") === pred).select(col("subj"), col("obj")).distinct())
+    val eRen = e.select(col("subj").as("mid"), col("obj").as("o2"))
+    var (all, allH) = Pinned.pinTracked(e.withColumn("n_hops", lit(1L)))
+    var delta = all
+    var deltaH = allH
+    var hop = 1
+    var drained = false
+    while (hop < maxHops && !drained) {
+      val stepped = delta.join(eRen, delta("obj") === eRen("mid"))
+        .select(col("subj"), col("o2").as("obj")).distinct()
+      val (fresh, freshH) = Pinned.pinTracked(
+        stepped.join(all, Seq("subj", "obj"), "left_anti")
+          .withColumn("n_hops", lit((hop + 1).toLong)))
+      if (fresh.isEmpty) {
+        freeH(freshH)
+        drained = true
+      } else {
+        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
+        if (deltaH ne allH) freeH(deltaH)
+        freeH(allH)
+        all = nextAll; allH = nextAllH
+        delta = fresh; deltaH = freshH
+      }
+      hop += 1
+    }
+    freeH(eH)
+    if (deltaH ne allH) freeH(deltaH) // last frontier is folded into `all`
+    all
+  }
 }

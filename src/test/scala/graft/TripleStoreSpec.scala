@@ -135,6 +135,42 @@ class TripleStoreSpec extends SparkTestBase {
     assert(TripleStore.diff(v2, v2.unionAll(v2)).isEmpty)
   }
 
+  test("pathPlus == brute-force bounded closure with min-hops; drains early; cycles self-reach") {
+    // brute force: BFS per node over the pred-filtered edge list
+    def ref(edges: Seq[(String, String)], maxHops: Int): Map[(String, String), Long] = {
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      edges.map(_._1).distinct.flatMap { s =>
+        var dist = Map.empty[String, Long]
+        var frontier = Set(s)
+        for (h <- 1L to maxHops) {
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .filterNot(dist.contains)
+          frontier.foreach(n => dist += n -> h)
+        }
+        dist.map { case (o, h) => (s, o) -> h }
+      }.toMap
+    }
+    val knows = Seq("alice" -> "bob", "bob" -> "carol", "carol" -> "alice",
+      "loop" -> "loop", "dave" -> "alice")
+    val t = knows.map { case (a, b) => (a, "knows", b) }
+      .toDF("subj", "pred", "obj")
+      // a second predicate that must NOT leak into the path
+      .unionAll(Seq(("alice", "likes", "scala")).toDF("subj", "pred", "obj"))
+    for (k <- 1 to 4) {
+      val got = TripleStore.pathPlus(t, "knows", maxHops = k)
+        .as[(String, String, Long)].collect()
+        .map { case (s, o, h) => (s, o) -> h }.toMap
+      assert(got == ref(knows, k), s"maxHops=$k: $got")
+    }
+    // 3-cycle: every member reaches itself in exactly 3
+    val full = TripleStore.pathPlus(t, "knows", maxHops = 9)
+      .as[(String, String, Long)].collect()
+      .map { case (s, o, h) => (s, o) -> h }.toMap
+    assert(full(("alice", "alice")) == 3L && full(("loop", "loop")) == 1L)
+    // early drain: hop 9 requested, closure saturates at 4 (dave->cycle)
+    assert(full == ref(knows, 9))
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
