@@ -103,6 +103,24 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"doc-local path must not shuffle:\n$plan")
   }
 
+  test("triple diff costs ONE shuffle, not the anti-join pair") {
+    import spark.implicits._
+    val v1 = (0 until 200).map(i => (s"s$i", "p", s"o$i")).toDF("subj", "pred", "obj")
+      .repartition(3)
+    val v2 = (100 until 300).map(i => (s"s$i", "p", s"o$i")).toDF("subj", "pred", "obj")
+      .repartition(3)
+    val out = operators.TripleStore.diff(v1, v2)
+    assert(out.count() == 200L) // 100 removed + 100 added
+    val plan = out.queryExecution.executedPlan.toString
+    // the two input repartitions are RoundRobinPartitioning exchanges; the
+    // diff itself may add only ONE hashpartitioning exchange (the tagged
+    // union's aggregation) and no join at all
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), s"diff must not plan anti-joins:\n$plan")
+    // and that one aggregation combines map-side: partial before the shuffle
+    assert(plan.contains("partial_max"), s"no map-side combine:\n$plan")
+  }
+
   test("ntile sharding never funnels data through one partition") {
     import spark.implicits._
     // the point of the two-phase scan: a naive global row_number/ntile plans
