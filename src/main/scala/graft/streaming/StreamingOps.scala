@@ -133,6 +133,80 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("sigkey")
   }
 
+  /** Continuous KG maintenance — the streaming form of G6 (`Cooc
+    * .mergeCounts`): each micro-batch's co-occurrence counts merge into a
+    * STANDING versioned counts table, so the knowledge graph's statistics
+    * stay current without ever recounting the standing corpus. Returns the
+    * configured writer; the caller sets checkpointLocation/trigger and
+    * starts it.
+    *
+    * Per batch: doc-local coverage extraction (stateless maps) → one
+    * vocabulary-sized count aggregation → merge with the current standing
+    * version (another vocabulary-sized agg) → write `stateDir/v<batchId>` →
+    * atomically repoint `_CURRENT`. State lives in the table, not in
+    * streaming state stores, so a restart resumes from the pointer and the
+    * merge is IDEMPOTENT under foreachBatch's at-least-once replays: a
+    * batch id at-or-below the already-applied pointer is skipped (the
+    * exactly-once contract StreamingSpec asserts by re-applying a batch). */
+  def coocMaintain(newDocs: Dataset[CodeDoc], cfg: WsidConfig, stateDir: String) =
+    newDocs.writeStream.foreachBatch {
+      (batch: Dataset[CodeDoc], batchId: Long) =>
+        mergeBatchIntoStanding(batch, batchId, cfg, stateDir)
+    }
+
+  /** One idempotent merge step of [[coocMaintain]] (package-visible so the
+    * replay contract is directly testable). The applied-version marker IS
+    * the parquet job's own `_SUCCESS` commit — there is no separate pointer
+    * step, so there is no crash window between "data written" and "version
+    * visible": a crash mid-write leaves `v<batchId>` without `_SUCCESS`,
+    * the version discovery ignores it, and the replay re-merges from the
+    * previous committed version over the half-written dir (overwrite
+    * mode). Only the one immediately-previous version is retained (a
+    * concurrent [[standingCounts]] reader may still hold it); older
+    * versions are swept after each commit. */
+  private[graft] def mergeBatchIntoStanding(batch: Dataset[CodeDoc], batchId: Long,
+                                            cfg: WsidConfig, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = appliedVersion(fs, root)
+    if (applied.exists(_ >= batchId)) return // replayed batch — already merged
+
+    val counts = graft.operators.Cooc.coocCounts(Tokenize.coverage(batch, cfg), cfg)
+    val merged = applied match {
+      case Some(v) => graft.operators.Cooc.mergeCounts(
+        spark.read.parquet(new org.apache.hadoop.fs.Path(root, s"v$v").toString), counts)
+      case None => counts
+    }
+    merged.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, s"v$batchId").toString)
+    // retention: keep the committed version + its predecessor, sweep older
+    versionDirs(fs, root).filter(_ < applied.getOrElse(-1L))
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+  }
+
+  /** The standing counts as of the last COMMITTED batch. */
+  def standingCounts(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = appliedVersion(fs, root)
+      .getOrElse(sys.error(s"no committed batch under $stateDir"))
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, s"v$v").toString)
+  }
+
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong)
+
+  private def appliedVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Option[Long] =
+    versionDirs(fs, root)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")))
+      .sorted.lastOption
+
   /** Timestamped document row for the streaming-dedup path. */
   final case class TimedDoc(ts: Timestamp, repo: String, path: String, content: String)
 

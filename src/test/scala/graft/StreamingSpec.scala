@@ -177,6 +177,55 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("coocMaintain: standing counts across micro-batches == batch recompute; replay is idempotent; uncommitted versions ignored") {
+    implicit val sql = spark.sqlContext
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 16, kSenses = 2)
+    val corpus = CorpusSynth.planted(docsPerEntity = 30)
+    val (b1, b2) = corpus.docs.splitAt(corpus.docs.size / 2)
+    val stateDir = java.nio.file.Files.createTempDirectory("cooc_maintain").toString
+
+    val stream = MemoryStream[CodeDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("cooc_ckpt").toString
+    val query = StreamingOps.coocMaintain(stream.toDS(), cfg, stateDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+
+    val standing = StreamingOps.standingCounts(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = operators.Cooc.coocCounts(
+        operators.Tokenize.coverage(spark.createDataset(corpus.docs), cfg), cfg)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(standing == full, "streamed standing counts != full batch recompute")
+
+    // at-least-once replay: re-applying the LAST batch must change nothing
+    StreamingOps.mergeBatchIntoStanding(spark.createDataset(b2), 1L, cfg, stateDir)
+    val replayed = StreamingOps.standingCounts(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(replayed == full, "replayed batch double-counted")
+
+    // crash mid-write: a half-written version dir (no _SUCCESS) is invisible
+    // to the version discovery, and the next replay repairs it in place
+    val half = new java.io.File(stateDir, "v7")
+    assert(half.mkdir())
+    java.nio.file.Files.writeString(half.toPath.resolve("part-zzz.parquet"), "garbage")
+    val before = StreamingOps.standingCounts(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(before == full, "uncommitted version dir leaked into reads")
+    StreamingOps.mergeBatchIntoStanding(spark.createDataset(b2), 7L, cfg, stateDir)
+    val repaired = StreamingOps.standingCounts(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fullPlusB2 = operators.Cooc.mergeCounts(
+        operators.Cooc.coocCounts(
+          operators.Tokenize.coverage(spark.createDataset(corpus.docs), cfg), cfg),
+        operators.Cooc.coocCounts(
+          operators.Tokenize.coverage(spark.createDataset(b2), cfg), cfg))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(repaired == fullPlusB2, "crash-replayed batch did not merge over the half-written dir")
+  }
+
   test("windowed sense counts: watermark + tumbling window aggregation") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedAssignment]
