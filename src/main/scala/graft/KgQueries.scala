@@ -151,6 +151,26 @@ object KgQueries {
       TripleStore.diff(store(20), v2).orderBy("change", "subj", "pred", "obj")
     }),
 
+    // SPARQL CONSTRUCT: materialize the inferred sharesContextWith graph
+    // (plus a type triple per shared term) from the coOccursWith store —
+    // derived edges as first-class triples; self-pairs and both directions
+    // are SPARQL bindings (no implicit inequality), the graph dedups
+    "q_kg_construct" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val triples = top20.select(col("entity").as("subj"),
+        lit("coOccursWith").as("pred"), col("term").as("obj"))
+      TripleStore.construct(triples,
+          where = Seq(
+            (V("e1"), C("coOccursWith"), V("t")),
+            (V("e2"), C("coOccursWith"), V("t"))),
+          template = Seq(
+            (V("e1"), C("sharesContextWith"), V("e2")),
+            (V("t"), C("a"), C("SharedContextTerm"))))
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // SPARQL property path `followedBy+` bounded at 3 hops over the bigram
     // adjacency, with min path length — the pair-level twin of q_kg_reach
     // (whose n_reach is exactly this result's per-subj row count minus
@@ -543,6 +563,22 @@ object KgQueries {
          |SELECT subj, pred, obj, 'added' AS change
          |FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1)
          |ORDER BY change, subj, pred, obj""".stripMargin,
+
+    // UNION-DISTINCT twin of the two CONSTRUCT templates over the self-join
+    "q_kg_construct" ->
+      s"""${Queries.base},
+         |ranked AS (
+         |  SELECT entity, term,
+         |         row_number() OVER (PARTITION BY entity
+         |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |  FROM scored),
+         |top20 AS (SELECT entity, term FROM ranked WHERE rnk <= 20)
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT a.entity AS subj, 'sharesContextWith' AS pred, b.entity AS obj
+         |  FROM top20 a JOIN top20 b ON a.term = b.term
+         |  UNION ALL
+         |  SELECT term, 'a', 'SharedContextTerm' FROM top20)
+         |ORDER BY subj, pred, obj""".stripMargin,
 
     // hop-layered closure; min(h) per pair is the BFS first-discovery round
     "q_kg_pathplus" ->

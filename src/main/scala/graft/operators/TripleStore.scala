@@ -107,6 +107,33 @@ object TripleStore {
         when(col("is_") === 1, "added").otherwise("removed").as("change"): _*)
   }
 
+  /** SPARQL `CONSTRUCT`: instantiate `template` triple patterns from every
+    * binding of the `where` BGP and return the resulting GRAPH — i.e. a
+    * (subj, pred, obj) frame with SET semantics (SPARQL constructs a graph,
+    * so duplicate instantiations collapse; contrast bgp's bag semantics).
+    * This is the KG-derivation primitive: materialize inferred edges (e.g.
+    * `sharesContextWith`) as first-class triples the rest of the engine —
+    * bgp, pathPlus, diff, the partitioned sink — can consume.
+    *
+    * Execution: the bgp's joins plus one projection per template pattern,
+    * a union, and one distinct (the only added shuffle). Template
+    * variables must be bound by `where`. */
+  def construct(triples: DataFrame, where: Seq[(Term, Term, Term)],
+                template: Seq[(Term, Term, Term)]): DataFrame = {
+    require(template.nonEmpty, "construct needs at least one template pattern")
+    val b = bgp(triples, where)
+    val bound = b.columns.toSet
+    def slot(t: Term, as: String) = t match {
+      case V(n) =>
+        require(bound.contains(n), s"template variable ?$n is not bound by the WHERE patterns")
+        col(n).as(as)
+      case C(v) => lit(v).as(as)
+    }
+    template.map { case (s, p, o) =>
+      b.select(slot(s, "subj"), slot(p, "pred"), slot(o, "obj"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
   /** SPARQL 1.1 property path `pred+`, hop-bounded: all (subj, obj) pairs
     * connected by 1..maxHops edges of ONE predicate, with `n_hops` = the
     * minimum path length (BFS order: a pair's first-discovery round IS its

@@ -171,6 +171,38 @@ class TripleStoreSpec extends SparkTestBase {
     assert(full == ref(knows, 9))
   }
 
+  test("construct: template instantiation, set semantics, constants and multi-template") {
+    // derive symmetric coLikes edges + a type triple from the likes BGP
+    val got = TripleStore.construct(triples,
+        where = Seq((V("x"), C("likes"), V("t")), (V("y"), C("likes"), V("t"))),
+        template = Seq(
+          (V("x"), C("coLikes"), V("y")),
+          (V("t"), C("a"), C("Topic"))))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      // bindings include x==y (SPARQL has no implicit inequality) and both
+      // directions; the graph dedups instantiations
+      ("alice", "coLikes", "alice"), ("bob", "coLikes", "bob"),
+      ("carol", "coLikes", "carol"),
+      ("alice", "coLikes", "bob"), ("bob", "coLikes", "alice"),
+      ("scala", "a", "Topic"), ("sql", "a", "Topic")
+    ), s"$got")
+    // constructed graphs feed straight back into bgp
+    val roundTrip = TripleStore.bgp(
+        TripleStore.construct(triples,
+          where = Seq((V("x"), C("likes"), V("t"))),
+          template = Seq((V("t"), C("likedBy"), V("x")))),
+        Seq((C("scala"), C("likedBy"), V("who"))))
+      .as[String].collect().toSet
+    assert(roundTrip == Set("alice", "bob"))
+    // an unbound template variable is a query bug, loudly
+    intercept[IllegalArgumentException] {
+      TripleStore.construct(triples,
+        where = Seq((V("x"), C("likes"), V("t"))),
+        template = Seq((V("x"), C("p"), V("nope"))))
+    }
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
