@@ -25,10 +25,46 @@ object TripleStore {
   /** Constant — filters the pattern's triples. */
   final case class C(value: String) extends Term
 
+  /** Greedy selectivity-aware pattern order: start from the pattern with
+    * the most constants (fewest matching triples, heuristically), then
+    * repeatedly append the pattern sharing the most variables with the
+    * bindings so far (tie-break: more constants, then the pattern's
+    * rendering — fully deterministic). Connected patterns therefore never
+    * cross-join because of CALLER ordering; a genuinely disconnected group
+    * still cross-joins, but only after its own component is exhausted.
+    * Result sets are order-independent (BGP is a join), so this only moves
+    * plan cost, never semantics. */
+  def orderPatterns(patterns: Seq[(Term, Term, Term)]): Seq[(Term, Term, Term)] = {
+    def consts(p: (Term, Term, Term)) =
+      p.productIterator.count(_.isInstanceOf[C])
+    def vars(p: (Term, Term, Term)) =
+      p.productIterator.collect { case V(n) => n }.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Term, Term, Term)]
+    val bound = scala.collection.mutable.Set.empty[String]
+    while (remaining.nonEmpty) {
+      val next = remaining.maxBy(p =>
+        ((vars(p) intersect bound).size, consts(p), p.toString))(
+        Ordering.Tuple3(Ordering.Int, Ordering.Int, Ordering.String.reverse))
+      remaining -= next
+      bound ++= vars(next)
+      out += next
+    }
+    out.toSeq
+  }
+
   /** Match `patterns` against `triples`; returns one column per distinct
     * variable name (alphabetical — deterministic schema), one row per
     * binding. A variable repeated WITHIN a pattern constrains equality
-    * (e.g. `(V("x"), C("p"), V("x"))` matches self-loops). */
+    * (e.g. `(V("x"), C("p"), V("x"))` matches self-loops).
+    *
+    * `reorder = true` runs the patterns through [[orderPatterns]] first —
+    * use it when the caller's order isn't hand-tuned; the default keeps
+    * the documented caller-order lever. */
+  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+          reorder: Boolean): DataFrame =
+    bgp(triples, if (reorder) orderPatterns(patterns) else patterns)
+
   def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
     require(patterns.nonEmpty, "bgp needs at least one pattern")
     val frames = patterns.map { case (s, p, o) =>

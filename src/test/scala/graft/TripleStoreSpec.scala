@@ -203,6 +203,35 @@ class TripleStoreSpec extends SparkTestBase {
     }
   }
 
+  test("reorder: every caller permutation gives the same bindings, and a disconnected-start order is rescued from the cross join") {
+    val patterns = Seq(
+      (V("a"), C("knows"), V("b")),
+      (V("b"), C("knows"), V("c")),
+      (V("c"), C("likes"), V("t")),
+      (C("alice"), C("likes"), V("t")))
+    val expect = TripleStore.bgp(triples, patterns)
+      .as[(String, String, String, String)].collect().toSet
+    assert(expect.nonEmpty)
+    for (perm <- patterns.permutations.toSeq) {
+      val got = TripleStore.bgp(triples, perm, reorder = true)
+        .as[(String, String, String, String)].collect().toSet
+      assert(got == expect, s"order changed semantics for $perm")
+    }
+    // caller order starting from two disconnected patterns plans a cross
+    // join; reorder=true must not (greedy keeps the chain connected)
+    val bad = Seq(patterns(3), patterns(0), patterns(1), patterns(2))
+    def hasCross(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(hasCross(TripleStore.bgp(triples, bad)),
+      "fixture no longer exercises the cross join — pick a worse caller order")
+    assert(!hasCross(TripleStore.bgp(triples, bad, reorder = true)),
+      "reorder failed to keep the pattern chain connected")
+    // the greedy order starts at the most-constant pattern
+    assert(TripleStore.orderPatterns(bad).head == patterns(3))
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
