@@ -136,6 +136,24 @@ object KgQueries {
         .orderBy(col("e").asc, col("t").asc, col("e2").asc_nulls_last)
     }),
 
+    // NOT EXISTS over the same two-predicate store as q_kg_bgp_optional:
+    // (entity, term) edges whose term is NOBODY's top-ranked term — the
+    // anti twin of the optional query's NULL arm
+    "q_kg_bgp_notexists" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val top1 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 1))
+      val triples = top20.select(col("entity").as("subj"),
+          lit("coOccursWith").as("pred"), col("term").as("obj"))
+        .unionAll(top1.select(col("term").as("subj"),
+          lit("isTopTermOf").as("pred"), col("entity").as("obj")))
+      TripleStore.bgpNotExists(triples,
+          required = Seq((V("e"), C("coOccursWith"), V("t"))),
+          negated = Seq(Seq((V("t"), C("isTopTermOf"), V("e2")))))
+        .orderBy("e", "t")
+    }),
+
     // graph-version delta: rebuild the store at topK=15 plus a new
     // predicate, diff against the topK=20 version — ranks 16–20 come back
     // `removed`, the new predicate's triples `added`, ranks 1–15 silent
@@ -542,6 +560,21 @@ object KgQueries {
          |LEFT JOIN (SELECT entity, term FROM ranked WHERE rnk <= 1) b
          |  ON b.term = a.term
          |ORDER BY e, t, e2""".stripMargin,
+
+    // NOT-EXISTS twin via anti-semi-join SQL
+    "q_kg_bgp_notexists" ->
+      s"""${Queries.base},
+         |ranked AS (
+         |  SELECT entity, term,
+         |         row_number() OVER (PARTITION BY entity
+         |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |  FROM scored)
+         |SELECT a.entity AS e, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM (SELECT term FROM ranked WHERE rnk <= 1) b
+         |  WHERE b.term = a.term)
+         |ORDER BY e, t""".stripMargin,
 
     // set-EXCEPT twin of the one-shuffle tagged-union diff
     "q_kg_diff" ->

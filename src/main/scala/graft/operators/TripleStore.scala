@@ -143,6 +143,24 @@ object TripleStore {
         when(col("is_") === 1, "added").otherwise("removed").as("change"): _*)
   }
 
+  /** SPARQL negation — `FILTER NOT EXISTS`: keep only the required BGP's
+    * bindings for which the negated pattern group has NO match (one
+    * left-anti equi-join on the shared variables; the complement of
+    * [[bgpOptional]]'s matched arm). The group must share ≥1 variable with
+    * the required bindings — with shared variables, SPARQL's NOT EXISTS
+    * and MINUS coincide, and a variable-disjoint negation (where they
+    * differ) is rejected for the same reason as in bgpOptional: its
+    * all-or-nothing semantics is almost certainly a query bug. */
+  def bgpNotExists(triples: DataFrame, required: Seq[(Term, Term, Term)],
+                   negated: Seq[Seq[(Term, Term, Term)]]): DataFrame =
+    negated.foldLeft(bgp(triples, required)) { (acc, group) =>
+      val g = bgp(triples, group)
+      val common = acc.columns.toSet.intersect(g.columns.toSet).toSeq.sorted
+      require(common.nonEmpty,
+        s"NOT EXISTS group ${group.mkString(", ")} shares no variable with the required bindings")
+      acc.join(g, common, "left_anti")
+    }
+
   /** SPARQL `CONSTRUCT`: instantiate `template` triple patterns from every
     * binding of the `where` BGP and return the resulting GRAPH — i.e. a
     * (subj, pred, obj) frame with SET semantics (SPARQL constructs a graph,

@@ -232,6 +232,27 @@ class TripleStoreSpec extends SparkTestBase {
     assert(TripleStore.orderPatterns(bad).head == patterns(3))
   }
 
+  test("NOT EXISTS: complement of OPTIONAL's matched arm; disconnected group rejected") {
+    // who does x know such that the known person likes NOTHING
+    val got = TripleStore.bgpNotExists(triples,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        negated = Seq(Seq((V("y"), C("likes"), V("w")))))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("loop", "loop")), s"$got")
+    // exact complement: NOT EXISTS rows == OPTIONAL rows whose arm is NULL
+    val optNull = TripleStore.bgpOptional(triples,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        optional = Seq(Seq((V("y"), C("likes"), V("w")))))
+      .filter(col("w").isNull).select("x", "y")
+      .as[(String, String)].collect().toSet
+    assert(got == optNull)
+    intercept[IllegalArgumentException] {
+      TripleStore.bgpNotExists(triples,
+        required = Seq((V("x"), C("knows"), V("y"))),
+        negated = Seq(Seq((V("a"), C("likes"), V("b")))))
+    }
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
