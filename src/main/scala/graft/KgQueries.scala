@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooc, Graph, Significance, TripleStore}
+import graft.operators.{Cooc, Graph, Shacl, Significance, TripleStore}
 
 /** Round-5 KG-analytics registry entries: graph consumers of the pipeline's
   * adjacency structure (degrees, scaled-integer PageRank, bounded-hop
@@ -23,6 +23,23 @@ object KgQueries {
 
   private def e4kg(c: org.apache.spark.sql.Column) =
     round(c * 10000).cast("long")
+
+  /** The registry's two standing triple-store fixtures: the top-20
+    * `coOccursWith` store and the top-1 `isTopTermOf` store, both derived
+    * from the PRODUCTION ranking (same total order as q_l3/q_c3). */
+  private def rankedStores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cs = Memo.coStatsOf(s, d, Queries.cfg)
+    (Significance.topK(cs.scored, Queries.cfg.copy(topK = 20)),
+      Significance.topK(cs.scored, Queries.cfg.copy(topK = 1)))
+  }
+
+  private def coocStore(top20: DataFrame): DataFrame =
+    top20.select(col("entity").as("subj"),
+      lit("coOccursWith").as("pred"), col("term").as("obj"))
+
+  private def topStore(top1: DataFrame): DataFrame =
+    top1.select(col("term").as("subj"),
+      lit("isTopTermOf").as("pred"), col("entity").as("obj"))
 
   val sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kg_degrees" -> ((s, d) =>
@@ -210,6 +227,182 @@ object KgQueries {
         Cooc.coocCounts(cov.filter(!isDelta), Queries.cfg),
         Cooc.coocCounts(cov.filter(isDelta), Queries.cfg))
         .orderBy("entity", "term")
+    }),
+
+    // SPARQL UNION over the two-predicate store: every (entity, term)
+    // context edge ∪ every (term, entity) top-term edge — each arm leaves
+    // the other arm's variable NULL (unbound), the spec's disjoint-domain
+    // solution union
+    "q_kg_bgp_union" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, top1) = rankedStores(s, d)
+      val triples = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.bgpUnion(triples, Seq(
+          Seq((V("e"), C("coOccursWith"), V("t"))),
+          Seq((V("t2"), C("isTopTermOf"), V("e")))))
+        .orderBy(col("e").asc, col("t").asc_nulls_last, col("t2").asc_nulls_last)
+    }),
+
+    // SPARQL VALUES: pin ?e to spark/join (UNDEF term) plus any entity
+    // whose context includes 'partition' (UNDEF entity) — the inline table
+    // broadcast-joins with NULL-as-wildcard compatibility, bag semantics
+    // (a spark/partition edge matches TWO rows and appears twice)
+    "q_kg_bgp_values" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      TripleStore.bgpValues(coocStore(top20),
+          Seq((V("e"), C("coOccursWith"), V("t"))),
+          vars = Seq("e", "t"),
+          rows = Seq(
+            Seq(Some("spark"), None),
+            Seq(Some("join"), None),
+            Seq(None, Some("partition"))))
+        .orderBy("e", "t")
+    }),
+
+    // SPARQL ASK, both answers: the store has top-term edges (1) and no
+    // sameAs edges (0) — each a limit(1) probe, never a full evaluation
+    "q_kg_ask" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, top1) = rankedStores(s, d)
+      val triples = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.ask(triples, Seq((V("x"), C("sameAs"), V("y"))))
+        .select(lit("has_sameas").as("q"), col("found"))
+        .unionAll(
+          TripleStore.ask(triples, Seq((V("t"), C("isTopTermOf"), V("e"))))
+            .select(lit("has_top_terms").as("q"), col("found")))
+        .orderBy("q")
+    }),
+
+    // named graphs: the top-20 store as graph v1, the top-15 rebuild as
+    // graph v2 — the cross-graph GRAPH join yields the context edges that
+    // SURVIVED the rebuild (the quad-store twin of q_kg_diff's silent arm)
+    "q_kg_quads" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val cs = Memo.coStatsOf(s, d, Queries.cfg)
+      def store(k: Int) = Significance.topK(cs.scored, Queries.cfg.copy(topK = k))
+        .select(col("entity").as("subj"), lit("coOccursWith").as("pred"),
+          col("term").as("obj"))
+      val quads = store(20).select(lit("v1").as("graph"), col("subj"), col("pred"), col("obj"))
+        .unionAll(store(15).select(lit("v2").as("graph"), col("subj"), col("pred"), col("obj")))
+      TripleStore.bgpQuads(quads, Seq(
+          (C("v1"), V("e"), C("coOccursWith"), V("t")),
+          (C("v2"), V("e"), C("coOccursWith"), V("t"))))
+        .orderBy("e", "t")
+    }),
+
+    // SPARQL 1.1 property-path expression over the mixed store:
+    // (followedBy/followedBy) | ^isTopTermOf — token pairs exactly two
+    // bigram hops apart, OR an entity and its top context term (inverse
+    // path); Alt/Chain/Inv in one expression, set semantics
+    "q_kg_pathexpr" -> ((s, d) => {
+      import TripleStore._
+      val (_, top1) = rankedStores(s, d)
+      val store = edgesOf(s, d).select(col("src").as("subj"),
+          lit("followedBy").as("pred"), col("dst").as("obj"))
+        .unionAll(topStore(top1))
+      TripleStore.path(store,
+          Alt(Chain(Pred("followedBy"), Pred("followedBy")),
+            Inv(Pred("isTopTermOf"))))
+        .orderBy("subj", "obj")
+    }),
+
+    // followedBy* bounded at 2 hops over the same mixed store: the
+    // zero-length arm pairs EVERY graph node with itself (SPARQL
+    // zero-length-path semantics — including the isTopTermOf endpoints
+    // that have no followedBy edge at all)
+    "q_kg_pathstar" -> ((s, d) => {
+      import TripleStore._
+      val (_, top1) = rankedStores(s, d)
+      val store = edgesOf(s, d).select(col("src").as("subj"),
+          lit("followedBy").as("pred"), col("dst").as("obj"))
+        .unionAll(topStore(top1))
+      TripleStore.path(store, Star(Pred("followedBy"), maxHops = 2))
+        .orderBy("subj", "obj")
+    }),
+
+    // owl:sameAs canonicalization: entities sharing >= 15 of their top-20
+    // context terms are aliases; alias CHAINS collapse through the
+    // production connected components to the min representative and the
+    // store is rewritten to canonical form (set semantics)
+    "q_kg_sameas" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      val triples = coocStore(top20)
+      val sameAs = TripleStore.bgp(triples, Seq(
+          (V("e1"), C("coOccursWith"), V("t")),
+          (V("e2"), C("coOccursWith"), V("t"))))
+        .filter(col("e1") < col("e2"))
+        .groupBy("e1", "e2").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 15)
+        .select(col("e1").as("a"), col("e2").as("b"))
+      TripleStore.canonicalize(triples, sameAs)
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // RDFS-lite entailment over the top-term instance graph under a fixed
+    // ontology: property-hierarchy inheritance (rdfs5/7), domain/range
+    // typing (rdfs2/3, the range firing on an INHERITED edge — the
+    // stratification case), and class-hierarchy type lifting (rdfs9/11)
+    "q_kg_rdfs" -> ((s, d) => {
+      import s.implicits._
+      val (_, top1) = rankedStores(s, d)
+      val schema = Seq(
+        ("isTopTermOf", "subPropertyOf", "relatedTo"),
+        ("relatedTo", "subPropertyOf", "associatedWith"),
+        ("isTopTermOf", "domain", "Term"),
+        ("relatedTo", "range", "Entity"),
+        ("Term", "subClassOf", "Token"),
+        ("Token", "subClassOf", "Resource"),
+        ("Entity", "subClassOf", "Resource")
+      ).toDF("subj", "pred", "obj")
+      TripleStore.rdfsClosure(topStore(top1), schema, maxDepth = 4)
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // SHACL-lite validation of the machine-built store: entity shapes
+    // (context-term cardinality + spelling) and top-term shapes (unique
+    // top-of, typed target, closed predicate set) — the violation report
+    // IS the result, every row a pure function of the data
+    "q_kg_shacl" -> ((s, d) => {
+      import Shacl._
+      val (top20, top1) = rankedStores(s, d)
+      val typ = top20.select(col("entity").as("subj")).distinct()
+        .select(col("subj"), lit("type").as("pred"), lit("Entity").as("obj"))
+      val store = coocStore(top20).unionAll(topStore(top1)).unionAll(typ)
+      Shacl.validate(store, Seq(
+          Shape("EntityShape", targetClass = Some("Entity"), constraints = Seq(
+            MinCount("coOccursWith", 20),
+            MaxCount("coOccursWith", 15),
+            Pattern("coOccursWith", "^[a-p]"))),
+          Shape("TopTermShape", targetSubjectsOf = Some("isTopTermOf"),
+            constraints = Seq(
+              MaxCount("isTopTermOf", 1),
+              ClassConstraint("isTopTermOf", "Entity"),
+              Closed(Seq("isTopTermOf"))))))
+        .orderBy(col("shape"), col("constraint"), col("focus"),
+          col("value").asc_nulls_last, col("detail"))
+    }),
+
+    // SPARQL DESCRIBE spark, 1 hop: spark's own context edges plus the
+    // full triples of every term it reaches (the terms' isTopTermOf
+    // edges) — bounded-neighborhood subgraph extraction
+    "q_kg_describe" -> ((s, d) => {
+      import s.implicits._
+      val (top20, top1) = rankedStores(s, d)
+      val store = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.describe(store, Seq("spark").toDF("node"), hops = 1)
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // VoID dataset statistics over the three-predicate store — the
+    // publish-time "what is in this graph" summary
+    "q_kg_void" -> ((s, d) => {
+      val (top20, top1) = rankedStores(s, d)
+      val typ = top20.select(col("entity").as("subj")).distinct()
+        .select(col("subj"), lit("type").as("pred"), lit("Entity").as("obj"))
+      TripleStore.voidStats(coocStore(top20).unionAll(topStore(top1)).unionAll(typ))
+        .orderBy("pred")
     })
   )
 
@@ -456,6 +649,15 @@ object KgQueries {
        |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
   }
 
+  /** The production descriptor total order (scaled logp, term) as a CTE —
+    * rnk <= K is the SQL twin of `Significance.topK(_, cfg.copy(topK = K))`. */
+  private val rankedCte: String =
+    """ranked AS (
+      |  SELECT entity, term,
+      |         row_number() OVER (PARTITION BY entity
+      |           ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+      |  FROM scored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_kg_degrees" ->
       s"""${Queries.base},
@@ -690,6 +892,231 @@ object KgQueries {
 
     "q_a3_incremental" ->
       s"""${Queries.base}
-         |SELECT entity, term, k FROM cooc ORDER BY entity, term""".stripMargin
+         |SELECT entity, term, k FROM cooc ORDER BY entity, term""".stripMargin,
+
+    // disjoint-domain solution union: each arm NULL-pads the other's
+    // variable (Spark asc_nulls_last == DuckDB ASC default NULLS LAST)
+    "q_kg_bgp_union" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT entity AS e, term AS t, CAST(NULL AS VARCHAR) AS t2
+         |FROM ranked WHERE rnk <= 20
+         |UNION ALL
+         |SELECT entity AS e, CAST(NULL AS VARCHAR) AS t, term AS t2
+         |FROM ranked WHERE rnk <= 1
+         |ORDER BY e, t, t2""".stripMargin,
+
+    // inline VALUES table with NULL-as-UNDEF compatibility join; bag
+    // semantics — a binding compatible with two rows appears twice
+    "q_kg_bgp_values" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |vals AS (SELECT * FROM (VALUES
+         |  ('spark', CAST(NULL AS VARCHAR)),
+         |  ('join', CAST(NULL AS VARCHAR)),
+         |  (CAST(NULL AS VARCHAR), 'partition')) AS v(ve, vt))
+         |SELECT a.entity AS e, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |JOIN vals v ON (v.ve IS NULL OR v.ve = a.entity)
+         |           AND (v.vt IS NULL OR v.vt = a.term)
+         |ORDER BY e, t""".stripMargin,
+
+    "q_kg_ask" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |store AS (
+         |  SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |  FROM ranked WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT term, 'isTopTermOf', entity FROM ranked WHERE rnk <= 1)
+         |SELECT q, found FROM (
+         |  SELECT 'has_sameas' AS q,
+         |         CAST(EXISTS(SELECT 1 FROM store WHERE pred = 'sameAs') AS BIGINT) AS found
+         |  UNION ALL
+         |  SELECT 'has_top_terms',
+         |         CAST(EXISTS(SELECT 1 FROM store WHERE pred = 'isTopTermOf') AS BIGINT))
+         |ORDER BY q""".stripMargin,
+
+    // cross-graph join == the edges present in BOTH versions
+    "q_kg_quads" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT a.entity AS e, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |JOIN (SELECT entity, term FROM ranked WHERE rnk <= 15) b
+         |  ON a.entity = b.entity AND a.term = b.term
+         |ORDER BY e, t""".stripMargin,
+
+    // (followedBy/followedBy) | ^isTopTermOf — two-hop pairs union the
+    // inverted top-term edges, DISTINCT (paths are existence tests)
+    "q_kg_pathexpr" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |$rankedCte,
+         |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |two AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src)
+         |SELECT DISTINCT src AS subj, dst AS obj FROM (
+         |  SELECT src, dst FROM two
+         |  UNION ALL
+         |  SELECT entity AS src, term AS dst FROM ranked WHERE rnk <= 1)
+         |ORDER BY subj, obj""".stripMargin,
+
+    // followedBy* (<=2 hops): zero-length pairs over ALL graph nodes —
+    // including the isTopTermOf endpoints — union the 1..2-hop closure
+    "q_kg_pathstar" ->
+      s"""${Queries.base},
+         |$edgesCte,
+         |$rankedCte,
+         |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |two AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS n FROM e1 UNION SELECT dst FROM e1
+         |  UNION SELECT term FROM ranked WHERE rnk <= 1
+         |  UNION SELECT entity FROM ranked WHERE rnk <= 1)
+         |SELECT DISTINCT subj, obj FROM (
+         |  SELECT n AS subj, n AS obj FROM nodes
+         |  UNION ALL SELECT src, dst FROM e1
+         |  UNION ALL SELECT src, dst FROM two)
+         |ORDER BY subj, obj""".stripMargin,
+
+    // recursive-CTE closure over the >=15-shared-terms alias pairs; each
+    // member rewrites to the component MIN (the Spark side's CC
+    // representative), then the store canonicalizes with set semantics
+    "q_kg_sameas" ->
+      s"""${Queries.base.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$rankedCte,
+         |top20 AS (SELECT entity, term FROM ranked WHERE rnk <= 20),
+         |pairs AS (
+         |  SELECT a.entity AS a, b.entity AS b
+         |  FROM top20 a JOIN top20 b ON a.term = b.term AND a.entity < b.entity
+         |  GROUP BY 1, 2 HAVING count(*) >= 15),
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |rch AS (
+         |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t0
+         |  UNION
+         |  SELECT s.u, r.r FROM sym s JOIN rch r ON r.u = s.v),
+         |rep AS (SELECT u AS member, min(r) AS rep FROM rch GROUP BY u)
+         |SELECT DISTINCT COALESCE(rs.rep, t.subj) AS subj, t.pred AS pred,
+         |       COALESCE(ro.rep, t.obj) AS obj
+         |FROM (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj FROM top20) t
+         |LEFT JOIN rep rs ON t.subj = rs.member
+         |LEFT JOIN rep ro ON t.obj = ro.member
+         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the fixed ontology's full entailment, enumerated rule by rule:
+    // rdfs7 (relatedTo, associatedWith), rdfs2 (Term), rdfs3 on the
+    // INHERITED relatedTo edge (Entity), rdfs9/11 (Token, Resource)
+    "q_kg_rdfs" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |top1 AS (SELECT entity, term FROM ranked WHERE rnk <= 1)
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT term AS subj, 'isTopTermOf' AS pred, entity AS obj FROM top1
+         |  UNION ALL SELECT term, 'relatedTo', entity FROM top1
+         |  UNION ALL SELECT term, 'associatedWith', entity FROM top1
+         |  UNION ALL SELECT term, 'type', 'Term' FROM top1
+         |  UNION ALL SELECT term, 'type', 'Token' FROM top1
+         |  UNION ALL SELECT term, 'type', 'Resource' FROM top1
+         |  UNION ALL SELECT entity, 'type', 'Entity' FROM top1
+         |  UNION ALL SELECT entity, 'type', 'Resource' FROM top1)
+         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // constraint-by-constraint replay of the two shapes over the same
+    // three-predicate store; detail strings byte-identical to the engine's
+    "q_kg_shacl" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |t20 AS (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |        FROM ranked WHERE rnk <= 20),
+         |t1 AS (SELECT term AS subj, 'isTopTermOf' AS pred, entity AS obj
+         |       FROM ranked WHERE rnk <= 1),
+         |typ AS (SELECT DISTINCT entity AS subj, 'type' AS pred, 'Entity' AS obj
+         |        FROM ranked WHERE rnk <= 20),
+         |store AS (SELECT * FROM t20 UNION ALL SELECT * FROM t1
+         |          UNION ALL SELECT * FROM typ),
+         |efocus AS (SELECT DISTINCT subj AS focus FROM store
+         |           WHERE pred = 'type' AND obj = 'Entity'),
+         |tfocus AS (SELECT DISTINCT subj AS focus FROM store
+         |           WHERE pred = 'isTopTermOf'),
+         |emine AS (SELECT f.focus, s.pred, s.obj
+         |          FROM store s JOIN efocus f ON s.subj = f.focus),
+         |tmine AS (SELECT f.focus, s.pred, s.obj
+         |          FROM store s JOIN tfocus f ON s.subj = f.focus)
+         |SELECT focus, shape, "constraint", value, detail FROM (
+         |  SELECT focus, 'EntityShape' AS shape,
+         |         'minCount(coOccursWith)' AS "constraint",
+         |         CAST(NULL AS VARCHAR) AS value,
+         |         'count=' || CAST(cnt AS VARCHAR) || ' < min 20' AS detail
+         |  FROM (SELECT f.focus, count(m.pred) AS cnt
+         |        FROM efocus f LEFT JOIN emine m
+         |          ON m.focus = f.focus AND m.pred = 'coOccursWith'
+         |        GROUP BY f.focus)
+         |  WHERE cnt < 20
+         |  UNION ALL
+         |  SELECT focus, 'EntityShape', 'maxCount(coOccursWith)',
+         |         CAST(NULL AS VARCHAR),
+         |         'count=' || CAST(cnt AS VARCHAR) || ' > max 15'
+         |  FROM (SELECT focus, count(*) AS cnt FROM emine
+         |        WHERE pred = 'coOccursWith' GROUP BY focus)
+         |  WHERE cnt > 15
+         |  UNION ALL
+         |  SELECT focus, 'EntityShape', 'pattern(coOccursWith)', obj, '!~ ^[a-p]'
+         |  FROM emine
+         |  WHERE pred = 'coOccursWith' AND NOT regexp_matches(obj, '^[a-p]')
+         |  UNION ALL
+         |  SELECT focus, 'TopTermShape', 'maxCount(isTopTermOf)',
+         |         CAST(NULL AS VARCHAR),
+         |         'count=' || CAST(cnt AS VARCHAR) || ' > max 1'
+         |  FROM (SELECT focus, count(*) AS cnt FROM tmine
+         |        WHERE pred = 'isTopTermOf' GROUP BY focus)
+         |  WHERE cnt > 1
+         |  UNION ALL
+         |  SELECT focus, 'TopTermShape', 'class(isTopTermOf)', obj,
+         |         'missing type Entity'
+         |  FROM tmine WHERE pred = 'isTopTermOf' AND obj NOT IN (
+         |    SELECT subj FROM store WHERE pred = 'type' AND obj = 'Entity')
+         |  UNION ALL
+         |  SELECT DISTINCT focus, 'TopTermShape', 'closed', pred,
+         |         'pred not in {isTopTermOf}'
+         |  FROM tmine WHERE pred <> 'isTopTermOf')
+         |ORDER BY shape, "constraint", focus, value, detail""".stripMargin,
+
+    // reached = {spark} ∪ spark's objects; description = triples whose
+    // subject is reached
+    "q_kg_describe" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |store AS (
+         |  SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |  FROM ranked WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT term, 'isTopTermOf', entity FROM ranked WHERE rnk <= 1),
+         |r1 AS (SELECT 'spark' AS node
+         |       UNION SELECT obj FROM store WHERE subj = 'spark')
+         |SELECT DISTINCT subj, pred, obj FROM store
+         |WHERE subj IN (SELECT node FROM r1)
+         |ORDER BY subj, pred, obj""".stripMargin,
+
+    "q_kg_void" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |store AS (
+         |  SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |  FROM ranked WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT term, 'isTopTermOf', entity FROM ranked WHERE rnk <= 1
+         |  UNION ALL
+         |  SELECT DISTINCT entity, 'type', 'Entity' FROM ranked WHERE rnk <= 20)
+         |SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         |       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+         |       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+         |FROM store GROUP BY pred
+         |UNION ALL
+         |SELECT '*', CAST(count(*) AS BIGINT), CAST(count(DISTINCT subj) AS BIGINT),
+         |       CAST(count(DISTINCT obj) AS BIGINT)
+         |FROM store
+         |ORDER BY pred""".stripMargin
   )
 }

@@ -65,35 +65,120 @@ object TripleStore {
           reorder: Boolean): DataFrame =
     bgp(triples, if (reorder) orderPatterns(patterns) else patterns)
 
-  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
-    require(patterns.nonEmpty, "bgp needs at least one pattern")
-    val frames = patterns.map { case (s, p, o) =>
-      val slots = Seq("subj" -> s, "pred" -> p, "obj" -> o)
-      val constFiltered = slots.foldLeft(triples) {
-        case (df, (c, C(v))) => df.filter(col(c) === v)
-        case (df, _)         => df
-      }
-      val varSlots = slots.collect { case (c, V(n)) => n -> c }
-      val eqFiltered = varSlots.groupBy(_._1).values.foldLeft(constFiltered) {
-        case (df, cols) if cols.size > 1 =>
-          cols.map(_._2).sliding(2).foldLeft(df) {
-            case (d, Seq(c1, c2)) => d.filter(col(c1) === col(c2))
-            case (d, _)           => d
-          }
-        case (df, _) => df
-      }
-      val proj = varSlots.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (v, cols) => col(cols.head._2).as(v) }
-      require(proj.nonEmpty, s"pattern ($s, $p, $o) binds no variable")
-      eqFiltered.select(proj: _*)
+  /** One pattern → a filtered projection of `table`: constants filter their
+    * slot, a variable repeated across slots constrains equality, and the
+    * result carries one column per distinct variable. Shared by the triple
+    * (3-slot) and quad (4-slot) pattern surfaces. */
+  private def patternFrame(table: DataFrame, slots: Seq[(String, Term)]): DataFrame = {
+    val constFiltered = slots.foldLeft(table) {
+      case (df, (c, C(v))) => df.filter(col(c) === v)
+      case (df, _)         => df
     }
+    val varSlots = slots.collect { case (c, V(n)) => n -> c }
+    val eqFiltered = varSlots.groupBy(_._1).values.foldLeft(constFiltered) {
+      case (df, cols) if cols.size > 1 =>
+        cols.map(_._2).sliding(2).foldLeft(df) {
+          case (d, Seq(c1, c2)) => d.filter(col(c1) === col(c2))
+          case (d, _)           => d
+        }
+      case (df, _) => df
+    }
+    val proj = varSlots.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, cols) => col(cols.head._2).as(v) }
+    require(proj.nonEmpty,
+      s"pattern ${slots.map(_._2).mkString("(", ", ", ")")} binds no variable")
+    eqFiltered.select(proj: _*)
+  }
+
+  /** Natural-join the pattern frames in order (cross join when no variable
+    * is shared — SPARQL semantics for disconnected groups), then restore
+    * the documented alphabetical variable order (joins float their keys to
+    * the front). */
+  private def joinFrames(frames: Seq[DataFrame]): DataFrame = {
     val joined = frames.reduce { (l, r) =>
       val common = l.columns.toSet.intersect(r.columns.toSet).toSeq.sorted
       if (common.isEmpty) l.crossJoin(r) else l.join(r, common)
     }
-    // joins float their keys to the front — restore the documented
-    // alphabetical variable order
     joined.select(joined.columns.sorted.map(col).toSeq: _*)
+  }
+
+  def bgp(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
+    require(patterns.nonEmpty, "bgp needs at least one pattern")
+    joinFrames(patterns.map { case (s, p, o) =>
+      patternFrame(triples, Seq("subj" -> s, "pred" -> p, "obj" -> o))
+    })
+  }
+
+  /** SPARQL `GRAPH` patterns over a QUAD store `(graph, subj, pred, obj)` —
+    * named-graph SPARQL: each pattern names its graph with a fourth term
+    * (constant pins the pattern to one named graph — and prunes a
+    * graph-partitioned store's scan; a variable ranges over graphs and
+    * joins like any other variable). Semantics otherwise identical to
+    * [[bgp]]: bag semantics, shared variables join, alphabetical output. */
+  def bgpQuads(quads: DataFrame, patterns: Seq[(Term, Term, Term, Term)]): DataFrame = {
+    require(patterns.nonEmpty, "bgpQuads needs at least one pattern")
+    joinFrames(patterns.map { case (g, s, p, o) =>
+      patternFrame(quads, Seq("graph" -> g, "subj" -> s, "pred" -> p, "obj" -> o))
+    })
+  }
+
+  /** SPARQL `UNION`: alternative BGP groups; the result is the BAG union of
+    * each group's bindings over the union of all groups' variables — a
+    * variable not bound by a group is NULL (unbound) in that group's rows,
+    * exactly SPARQL's disjoint-domain solution union. Columns alphabetical
+    * as everywhere. Execution: one bgp per group, NULL-pad, unionByName —
+    * no shuffle beyond the groups' own joins. */
+  def bgpUnion(triples: DataFrame, groups: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    require(groups.nonEmpty, "bgpUnion needs at least one group")
+    val frames = groups.map(g => bgp(triples, g))
+    val allVars = frames.flatMap(_.columns).distinct.sorted
+    frames.map { f =>
+      val have = f.columns.toSet
+      f.select(allVars.map(v =>
+        if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+    }.reduce(_ unionAll _)
+  }
+
+  /** SPARQL `VALUES`: constrain the BGP's bindings with an inline table.
+    * `vars` name the VALUES variables (each must be bound by the patterns —
+    * an extension-only VALUES is a cross product, rejected as a query bug);
+    * each row gives one allowed combination, `None` = SPARQL `UNDEF`
+    * (compatible with anything). Bag semantics per the spec: a binding
+    * compatible with k VALUES rows appears k times.
+    *
+    * Execution: the inline table is driver-literal (node-sized by
+    * construction) and joins BROADCAST with a null-tolerant compatibility
+    * predicate — the bound side never shuffles. */
+  def bgpValues(triples: DataFrame, patterns: Seq[(Term, Term, Term)],
+                vars: Seq[String], rows: Seq[Seq[Option[String]]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    require(vars.nonEmpty && rows.nonEmpty, "VALUES needs variables and rows")
+    require(rows.forall(_.size == vars.size),
+      s"every VALUES row must have ${vars.size} entries")
+    val b = bgp(triples, patterns)
+    val unbound = vars.filterNot(b.columns.contains)
+    require(unbound.isEmpty,
+      s"VALUES variables ${unbound.mkString(", ")} are not bound by the patterns")
+    val spark = triples.sparkSession
+    val schema = StructType(vars.map(v => StructField(s"__v_$v", StringType, nullable = true)))
+    val inline = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r.map(_.orNull): _*)): _*), schema)
+    val compat = vars.map(v => col(s"__v_$v").isNull || col(s"__v_$v") === col(v))
+      .reduce(_ && _)
+    b.join(broadcast(inline), compat, "inner")
+      .select(b.columns.sorted.map(col).toSeq: _*)
+  }
+
+  /** SPARQL `ASK`: does the BGP have at least one binding? Returns a
+    * one-row frame `(found: BIGINT 0|1)` so the answer flows through the
+    * same DataFrame surface (and oracle harness) as everything else.
+    * Execution: `limit(1)` — the first task that finds a binding ends the
+    * query; no full evaluation. */
+  def ask(triples: DataFrame, patterns: Seq[(Term, Term, Term)]): DataFrame = {
+    val found = !bgp(triples, patterns).limit(1).isEmpty
+    triples.sparkSession.range(1)
+      .select(lit(if (found) 1L else 0L).as("found"))
   }
 
   /** SPARQL `OPTIONAL`: the required BGP's bindings, left-extended by each
@@ -202,14 +287,23 @@ object TripleStore {
     * output-quadratic on dense graphs; the hop bound is the scale control,
     * and for counting-only questions [[Graph.reachApprox]] (HyperBall)
     * is the 100 TB path. */
-  def pathPlus(triples: DataFrame, pred: String, maxHops: Int): DataFrame = {
+  def pathPlus(triples: DataFrame, pred: String, maxHops: Int): DataFrame =
+    boundedClosure(
+      triples.filter(col("pred") === pred).select(col("subj"), col("obj")),
+      maxHops)
+
+  /** Semi-naive bounded transitive closure of an arbitrary `(subj, obj)`
+    * pair frame, with `n_hops` = min path length (BFS first-discovery
+    * round). The engine under [[pathPlus]] and the `Plus`/`Star` path
+    * combinators — see pathPlus for the per-round work bound, pinning
+    * discipline, and the scale contract. */
+  private[graft] def boundedClosure(pairs: DataFrame, maxHops: Int): DataFrame = {
     import graft.plans.Pinned
-    require(maxHops >= 1, "pathPlus needs at least one hop")
-    val spark = triples.sparkSession
+    require(maxHops >= 1, "boundedClosure needs at least one hop")
+    val spark = pairs.sparkSession
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    val (e, eH) = Pinned.pinTracked(
-      triples.filter(col("pred") === pred).select(col("subj"), col("obj")).distinct())
+    val (e, eH) = Pinned.pinTracked(pairs.select(col("subj"), col("obj")).distinct())
     val eRen = e.select(col("subj").as("mid"), col("obj").as("o2"))
     var (all, allH) = Pinned.pinTracked(e.withColumn("n_hops", lit(1L)))
     var delta = all
@@ -237,5 +331,203 @@ object TripleStore {
     freeH(eH)
     if (deltaH ne allH) freeH(deltaH) // last frontier is folded into `all`
     all
+  }
+
+  // ------------------------------------------------------ property paths
+
+  /** SPARQL 1.1 property-path expressions (§9 of the spec), compiled by
+    * [[path]] to a distinct `(subj, obj)` pair frame. The unbounded
+    * closures (`p+`, `p*`) are hop-bounded here BY CONTRACT — the bound is
+    * the scale control that keeps a 100 TB store's closure from going
+    * output-quadratic; counting-only questions route to
+    * [[Graph.reachApprox]] instead. */
+  sealed trait PathExpr
+  /** A single predicate edge: `p`. */
+  final case class Pred(p: String) extends PathExpr
+  /** Inverse path: `^e` — follows `e` object→subject. */
+  final case class Inv(e: PathExpr) extends PathExpr
+  /** Sequence path: `a/b`. */
+  final case class Chain(a: PathExpr, b: PathExpr) extends PathExpr
+  /** Alternative path: `a|b`. */
+  final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+  /** One-or-more: `e+`, hop-bounded. */
+  final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr
+  /** Zero-or-more: `e*`, hop-bounded. Zero-length arm matches every node
+    * of the GRAPH (every subject or object of any triple — SPARQL's
+    * zero-length-path semantics), not just endpoints of `e`. */
+  final case class Star(e: PathExpr, maxHops: Int) extends PathExpr
+  /** Zero-or-one: `e?`. Zero-length arm as in [[Star]]. */
+  final case class ZeroOrOne(e: PathExpr) extends PathExpr
+
+  /** Every node of the graph paired with itself — the zero-length path. */
+  private def zeroPairs(triples: DataFrame): DataFrame =
+    triples.select(col("subj")).unionAll(triples.select(col("obj").as("subj")))
+      .distinct().select(col("subj"), col("subj").as("obj"))
+
+  /** Evaluate a property-path expression over the triple store: all
+    * `(subj, obj)` pairs connected by a path matching `expr`, SET semantics
+    * (SPARQL paths are existence tests, never bags). Each combinator is
+    * pure Catalyst — predicate leaves prune a pred-partitioned store's
+    * scan, `Chain` is one equi-join, `Alt` a union-distinct, and the
+    * closures run the same semi-naive loop as [[pathPlus]]. */
+  def path(triples: DataFrame, expr: PathExpr): DataFrame = expr match {
+    case Pred(p) =>
+      triples.filter(col("pred") === p).select(col("subj"), col("obj")).distinct()
+    case Inv(e) =>
+      path(triples, e).select(col("obj").as("subj"), col("subj").as("obj"))
+    case Chain(a, b) =>
+      val l = path(triples, a)
+      val r = path(triples, b).select(col("subj").as("mid"), col("obj").as("o2"))
+      l.join(r, l("obj") === r("mid"))
+        .select(l("subj"), col("o2").as("obj")).distinct()
+    case Alt(a, b) =>
+      path(triples, a).unionAll(path(triples, b)).distinct()
+    case Plus(e, maxHops) =>
+      boundedClosure(path(triples, e), maxHops).select(col("subj"), col("obj"))
+    case Star(e, maxHops) =>
+      boundedClosure(path(triples, e), maxHops).select(col("subj"), col("obj"))
+        .unionAll(zeroPairs(triples)).distinct()
+    case ZeroOrOne(e) =>
+      path(triples, e).unionAll(zeroPairs(triples)).distinct()
+  }
+
+  /** SPARQL `DESCRIBE` (concise bounded description): every triple whose
+    * subject is reachable from the `nodes` frame (one column `node`) in at
+    * most `hops` forward steps — hop 0 = the nodes' own triples, each
+    * further hop follows subj→obj edges. Returns the describing SUBGRAPH
+    * (set semantics), ready to feed back into bgp/path/the sink.
+    *
+    * Execution: frontier semi-joins, node-sized state — the store is
+    * touched once per hop through a semi-join on `subj` (pred-partition
+    * pruning does not apply, but subject-bucketed stores co-locate); the
+    * reached-set frame stays node-sized and the early-drain check stops
+    * paying for hops the graph doesn't have. */
+  def describe(triples: DataFrame, nodes: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 0, "describe needs hops >= 0")
+    var reached = nodes.select(col("node")).distinct()
+    var frontier = reached
+    var h = 0
+    var drained = false
+    while (h < hops && !drained) {
+      val next = triples.join(frontier, triples("subj") === frontier("node"))
+        .select(col("obj").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+      if (next.isEmpty) drained = true
+      else {
+        reached = reached.unionAll(next)
+        frontier = next
+      }
+      h += 1
+    }
+    triples.join(reached, triples("subj") === reached("node"))
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+  }
+
+  /** VoID-style dataset statistics: one row per predicate — triple count,
+    * distinct subjects, distinct objects — plus a `*` summary row for the
+    * whole store. The KG operator behind "what is in this graph":
+    * per-predicate partition sizing, join-selectivity estimation, and the
+    * publish-time VoID description all read from this.
+    *
+    * One pass over the store: a single aggregation keyed on pred with
+    * map-side partial `count_distinct` (approx = exact here only at the
+    * aggregation buffer level — Spark computes exact distincts via
+    * expand), the summary row from the same frame. */
+  def voidStats(triples: DataFrame): DataFrame = {
+    val perPred = triples.groupBy("pred").agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("subj")).as("n_subjects"),
+      countDistinct(col("obj")).as("n_objects"))
+    val total = triples.agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("subj")).as("n_subjects"),
+      countDistinct(col("obj")).as("n_objects"))
+      .select(lit("*").as("pred"), col("n_triples"), col("n_subjects"),
+        col("n_objects"))
+    perPred.unionByName(total)
+  }
+
+  // ------------------------------------------- entailment & canonical form
+
+  /** `owl:sameAs` canonicalization: rewrite every subject and object to its
+    * equivalence-class representative (the lexicographically smallest
+    * member — deterministic) and return the canonical graph with SET
+    * semantics (aliases collapsing onto one triple dedup). `sameAs` is a
+    * symmetric pair frame `(a, b)`; transitivity is honored by running the
+    * pairs through the production large-star/small-star connected
+    * components (O(log n) rounds — [[Dedup.connectedComponents]]), so alias
+    * CHAINS canonicalize to one representative, not pairwise.
+    *
+    * Scale shape: the component assignment is node-sized relative to the
+    * ALIAS graph (≪ the store) and broadcast-joins onto subj and obj — the
+    * store shuffles once, for the final distinct. Predicates are never
+    * rewritten (aliasing identifies resources, not relations). */
+  def canonicalize(triples: DataFrame, sameAs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      sameAs.select(col("a"), col("b")))
+      .select(col("docid").as("member"), col("cluster").as("rep"))
+    val bySubj = triples.join(
+        broadcast(comp.select(col("member").as("subj"), col("rep").as("subj_rep"))),
+        Seq("subj"), "left")
+      .select(coalesce(col("subj_rep"), col("subj")).as("subj"), col("pred"), col("obj"))
+    bySubj.join(
+        broadcast(comp.select(col("member").as("obj"), col("rep").as("obj_rep"))),
+        Seq("obj"), "left")
+      .select(col("subj"), col("pred"),
+        coalesce(col("obj_rep"), col("obj")).as("obj"))
+      .distinct()
+  }
+
+  /** RDFS-lite forward entailment: materialize the closure of the instance
+    * graph under the core RDFS rules —
+    *
+    *  - rdfs5 + rdfs7: `subPropertyOf` transitivity; `(s p o) ∧ (p ⊑ q) ⇒ (s q o)`
+    *  - rdfs2 + rdfs3: `(s p o) ∧ (p domain c) ⇒ (s type c)`; range ⇒ `(o type c)`
+    *  - rdfs11 + rdfs9: `subClassOf` transitivity; `(x type c) ∧ (c ⊑ d) ⇒ (x type d)`
+    *
+    * Evaluation is STRATIFIED, which reaches the fixpoint for exactly this
+    * rule subset: property closure first (inherited edges can trigger
+    * domain/range of superproperties), then domain/range typing, then type
+    * inheritance through the class closure. `schema` holds the ontology
+    * triples (`subClassOf` / `subPropertyOf` / `domain` / `range` preds);
+    * it is ontology-sized BY CONTRACT (a KB, not a corpus) — its closures
+    * run on node-sized frames (`maxDepth` bounds hierarchy depth) and
+    * broadcast onto the instance side, so the instance graph shuffles only
+    * for the final distinct. Returns asserted ∪ entailed, set semantics. */
+  def rdfsClosure(instance: DataFrame, schema: DataFrame, maxDepth: Int): DataFrame = {
+    def closureOf(pred: String): DataFrame = {
+      val edges = schema.filter(col("pred") === pred).select(col("subj"), col("obj"))
+      if (edges.isEmpty) edges
+      else boundedClosure(edges, maxDepth).select(col("subj"), col("obj"))
+    }
+    val subProp = closureOf("subPropertyOf")
+    val subClass = closureOf("subClassOf")
+
+    // rdfs7 over the CLOSED property hierarchy
+    val inherited = instance.join(
+        broadcast(subProp.select(col("subj").as("pred"), col("obj").as("sup"))),
+        Seq("pred"))
+      .select(col("subj"), col("sup").as("pred"), col("obj"))
+    val ext = instance.unionAll(inherited)
+
+    // rdfs2/rdfs3 over the extended edge set
+    val dom = schema.filter(col("pred") === "domain")
+      .select(col("subj").as("pred"), col("obj").as("cls"))
+    val ran = schema.filter(col("pred") === "range")
+      .select(col("subj").as("pred"), col("obj").as("cls"))
+    val typedDom = ext.join(broadcast(dom), Seq("pred"))
+      .select(col("subj"), lit("type").as("pred"), col("cls").as("obj"))
+    val typedRan = ext.join(broadcast(ran), Seq("pred"))
+      .select(col("obj").as("subj"), lit("type").as("pred"), col("cls").as("obj"))
+
+    // rdfs9 over the CLOSED class hierarchy, fed by asserted + derived types
+    val allTypes = ext.filter(col("pred") === "type")
+      .unionAll(typedDom).unionAll(typedRan)
+    val upTypes = allTypes.join(
+        broadcast(subClass.select(col("subj").as("obj"), col("obj").as("sup"))),
+        Seq("obj"))
+      .select(col("subj"), col("pred"), col("sup").as("obj"))
+
+    ext.unionAll(typedDom).unionAll(typedRan).unionAll(upTypes).distinct()
   }
 }

@@ -214,4 +214,37 @@ class PlanSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("bgpValues: the inline VALUES table joins BROADCAST — bindings never shuffle for it") {
+    import spark.implicits._
+    import operators.TripleStore.{C, V}
+    val triples = (0 until 300).map(i => (s"s$i", "likes", s"o${i % 9}"))
+      .toDF("subj", "pred", "obj")
+    val out = operators.TripleStore.bgpValues(triples,
+      Seq((V("x"), C("likes"), V("t"))),
+      vars = Seq("t"), rows = Seq(Seq(Some("o1")), Seq(None)))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the NULL-tolerant compatibility predicate is non-equi → broadcast
+    // nested loop against the driver-literal table; a shuffle join over
+    // the inline side would mean the big side exchanged for a 2-row table
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"inline VALUES must join broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join for a driver-literal table:\n$plan")
+  }
+
+  test("canonicalize: the component assignment broadcast-joins onto subj and obj") {
+    import spark.implicits._
+    val sameAs = Seq(("b", "c"), ("c", "d")).toDF("a", "b")
+    val store = (0 until 300).map(i => (s"s${i % 50}", "p", if (i % 3 == 0) "c" else s"o$i"))
+      .toDF("subj", "pred", "obj")
+    val out = operators.TripleStore.canonicalize(store, sameAs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.count(_ == 'B') >= 2 && plan.contains("BroadcastHashJoin"),
+      s"node-sized component map must broadcast onto the store:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the store must not shuffle for the alias rewrite:\n$plan")
+  }
 }

@@ -259,4 +259,187 @@ class TripleStoreSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] { TripleStore.bgp(triples, Nil) }
   }
+
+  test("UNION: bag union over the variable superset, unbound arms NULL") {
+    val got = TripleStore.bgpUnion(triples, Seq(
+        Seq((V("who"), C("likes"), V("what"))),
+        Seq((V("who"), C("knows"), V("other")))))
+      .as[(String, String, String)].collect().toSet
+    // columns alphabetical: other, what, who
+    assert(got.contains((null, "scala", "alice")))
+    assert(got.contains(("bob", null, "alice")))
+    assert(got.contains(("loop", null, "loop")))
+    assert(got.size == 7, s"3 likes + 4 knows: $got")
+    // bag semantics across arms: the SAME group twice doubles its rows
+    val doubled = TripleStore.bgpUnion(triples, Seq(
+      Seq((V("w"), C("likes"), C("scala"))),
+      Seq((V("w"), C("likes"), C("scala")))))
+    assert(doubled.count() == 4)
+  }
+
+  test("VALUES: inline rows constrain, UNDEF is a wildcard, bag semantics") {
+    val base = Seq((V("who"), C("likes"), V("what")))
+    // constants only
+    val got = TripleStore.bgpValues(triples, base,
+        vars = Seq("who"), rows = Seq(Seq(Some("alice")), Seq(Some("carol"))))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("scala", "alice"), ("sql", "carol")), s"$got")
+    // UNDEF in one column: (UNDEF, scala) matches every scala-liker
+    val undef = TripleStore.bgpValues(triples, base,
+        vars = Seq("who", "what"),
+        rows = Seq(Seq(None, Some("scala")), Seq(Some("carol"), None)))
+      .as[(String, String)].collect().toSet
+    assert(undef == Set(("scala", "alice"), ("scala", "bob"), ("sql", "carol")), s"$undef")
+    // bag semantics: two rows compatible with the same binding duplicate it
+    val dup = TripleStore.bgpValues(triples, base,
+      vars = Seq("who"), rows = Seq(Seq(Some("alice")), Seq(None)))
+    assert(dup.count() == 4, "alice row matches twice (explicit + UNDEF)")
+    // a VALUES variable the patterns never bind is rejected
+    intercept[IllegalArgumentException] {
+      TripleStore.bgpValues(triples, base, Seq("nope"), Seq(Seq(Some("x"))))
+    }
+  }
+
+  test("ASK: one row, 1 when a binding exists, 0 when none does") {
+    val yes = TripleStore.ask(triples, Seq((V("x"), C("likes"), C("scala"))))
+      .as[Long].collect().toSeq
+    assert(yes == Seq(1L))
+    val no = TripleStore.ask(triples, Seq((C("loop"), C("likes"), V("w"))))
+      .as[Long].collect().toSeq
+    assert(no == Seq(0L))
+  }
+
+  test("quads: graph constants pin, graph variables range and join") {
+    val quads = Seq(
+      ("g1", "alice", "likes", "scala"),
+      ("g1", "bob", "likes", "scala"),
+      ("g2", "alice", "likes", "scala"),
+      ("g2", "carol", "likes", "sql")
+    ).toDF("graph", "subj", "pred", "obj")
+    // constant graph prunes to that graph
+    val inG2 = TripleStore.bgpQuads(quads, Seq((C("g2"), V("w"), C("likes"), V("t"))))
+      .as[(String, String)].collect().toSet
+    assert(inG2 == Set(("scala", "alice"), ("sql", "carol")), s"$inG2")
+    // cross-graph join: who likes the same thing in BOTH graphs
+    val both = TripleStore.bgpQuads(quads, Seq(
+        (C("g1"), V("w"), C("likes"), V("t")),
+        (C("g2"), V("w"), C("likes"), V("t"))))
+      .as[(String, String)].collect().toSet
+    assert(both == Set(("scala", "alice")), s"$both")
+    // graph variable binds and appears in the output
+    val g = TripleStore.bgpQuads(quads, Seq((V("g"), C("carol"), C("likes"), V("t"))))
+      .as[(String, String)].collect().toSet
+    assert(g == Set(("g2", "sql")), s"$g")
+  }
+
+  test("path algebra: Pred/Inv/Chain/Alt against brute-force expectations") {
+    import TripleStore._
+    def pairs(e: PathExpr) =
+      path(triples, e).as[(String, String)].collect().toSet
+    assert(pairs(Pred("likes")) ==
+      Set(("alice", "scala"), ("bob", "scala"), ("carol", "sql")))
+    assert(pairs(Inv(Pred("likes"))) ==
+      Set(("scala", "alice"), ("scala", "bob"), ("sql", "carol")))
+    // knows/likes: what do the people x knows like (loop knows only
+    // itself and likes nothing — no row)
+    assert(pairs(Chain(Pred("knows"), Pred("likes"))) ==
+      Set(("alice", "scala"), ("bob", "sql"), ("carol", "scala")))
+    assert(pairs(Alt(Pred("likes"), Pred("knows"))) ==
+      pairs(Pred("likes")) ++ pairs(Pred("knows")))
+    // Alt is a SET union: overlapping alternatives don't duplicate
+    assert(path(triples, Alt(Pred("likes"), Pred("likes"))).count() == 3)
+  }
+
+  test("path algebra: Plus/Star/ZeroOrOne — closure, zero-length graph nodes") {
+    import TripleStore._
+    def pairs(e: PathExpr) =
+      path(triples, e).as[(String, String)].collect().toSet
+    // knows+ on the 3-cycle closes completely (plus the self-loop node)
+    val plus = pairs(Plus(Pred("knows"), maxHops = 5))
+    val cyc = Set("alice", "bob", "carol")
+    for (a <- cyc; b <- cyc) assert(plus.contains((a, b)), s"($a,$b) in $plus")
+    assert(plus.contains(("loop", "loop")))
+    assert(plus.size == 10)
+    // hop bound truncates: 1 hop = the raw edges
+    assert(pairs(Plus(Pred("knows"), maxHops = 1)) == pairs(Pred("knows")))
+    // Star adds (n, n) for EVERY graph node — subjects and objects alike
+    val star = pairs(Star(Pred("knows"), maxHops = 5))
+    val allNodes = Set("alice", "bob", "carol", "loop", "scala", "sql")
+    assert(star == plus ++ allNodes.map(n => (n, n)), s"$star")
+    // ZeroOrOne = edges ∪ zero-length
+    assert(pairs(ZeroOrOne(Pred("likes"))) ==
+      pairs(Pred("likes")) ++ allNodes.map(n => (n, n)))
+    // pathPlus over the algebra leaf agrees with the dedicated operator
+    val viaAlgebra = pairs(Plus(Pred("knows"), maxHops = 3))
+    val viaPathPlus = TripleStore.pathPlus(triples, "knows", maxHops = 3)
+      .select("subj", "obj").as[(String, String)].collect().toSet
+    assert(viaAlgebra == viaPathPlus)
+  }
+
+  test("describe: hop-bounded forward neighborhood subgraph; drains early") {
+    def d(node: String, hops: Int) =
+      TripleStore.describe(triples, Seq(node).toDF("node"), hops)
+        .as[(String, String, String)].collect().toSet
+    assert(d("alice", 0) == Set(
+      ("alice", "knows", "bob"), ("alice", "likes", "scala")))
+    assert(d("alice", 1) == Set(
+      ("alice", "knows", "bob"), ("alice", "likes", "scala"),
+      ("bob", "knows", "carol"), ("bob", "likes", "scala")))
+    // hops=10 drains once the 3-cycle closes — whole knows/likes subgraph
+    assert(d("alice", 10) == Set(
+      ("alice", "knows", "bob"), ("alice", "likes", "scala"),
+      ("bob", "knows", "carol"), ("bob", "likes", "scala"),
+      ("carol", "knows", "alice"), ("carol", "likes", "sql")))
+    // a leaf node with no outgoing triples describes to nothing
+    assert(d("scala", 3).isEmpty)
+  }
+
+  test("voidStats: per-predicate counts plus the * summary row") {
+    val got = TripleStore.voidStats(triples)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("knows", 4L, 4L, 4L),
+      ("likes", 3L, 3L, 2L),
+      ("*", 7L, 4L, 6L)), s"$got")
+  }
+
+  test("canonicalize: alias chains collapse to the min representative; set semantics") {
+    val sameAs = Seq(("bob", "bobby"), ("bobby", "robert")).toDF("a", "b")
+    val store = Seq(
+      ("bobby", "likes", "scala"),
+      ("robert", "likes", "scala"),   // alias duplicate — must collapse
+      ("alice", "knows", "robert"),
+      ("carol", "likes", "sql")
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.canonicalize(store, sameAs)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("bob", "likes", "scala"),
+      ("alice", "knows", "bob"),
+      ("carol", "likes", "sql")), s"$got")
+  }
+
+  test("rdfs closure: subProperty/subClass transitivity, domain/range typing, stratification") {
+    val schema = Seq(
+      ("isTopTermOf", "subPropertyOf", "relatedTo"),
+      ("relatedTo", "subPropertyOf", "associatedWith"),
+      ("isTopTermOf", "domain", "Term"),
+      ("relatedTo", "range", "Entity"),      // triggers only via rdfs7 output
+      ("Term", "subClassOf", "Token"),
+      ("Token", "subClassOf", "Resource"),
+      ("Entity", "subClassOf", "Resource")
+    ).toDF("subj", "pred", "obj")
+    val instance = Seq(("jvm", "isTopTermOf", "spark")).toDF("subj", "pred", "obj")
+    val got = TripleStore.rdfsClosure(instance, schema, maxDepth = 4)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("jvm", "isTopTermOf", "spark"),
+      ("jvm", "relatedTo", "spark"),          // rdfs7
+      ("jvm", "associatedWith", "spark"),     // rdfs7 via rdfs5 closure
+      ("jvm", "type", "Term"),                // rdfs2
+      ("jvm", "type", "Token"),               // rdfs9
+      ("jvm", "type", "Resource"),            // rdfs9 via rdfs11 closure
+      ("spark", "type", "Entity"),            // rdfs3 on the INHERITED relatedTo edge
+      ("spark", "type", "Resource")), s"$got")
+  }
 }
