@@ -395,6 +395,14 @@ object KgQueries {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // RDF reification of the top-term store: four provenance-ready quads
+    // per statement, content-addressed ids (two engines reify the same
+    // graph to the same node ids — the oracle recomputes the md5s)
+    "q_kg_reify" -> ((s, d) => {
+      val (_, top1) = rankedStores(s, d)
+      TripleStore.reify(topStore(top1)).orderBy("subj", "pred", "obj")
+    }),
+
     // VoID dataset statistics over the three-predicate store — the
     // publish-time "what is in this graph" summary
     "q_kg_void" -> ((s, d) => {
@@ -1097,6 +1105,21 @@ object KgQueries {
          |       UNION SELECT obj FROM store WHERE subj = 'spark')
          |SELECT DISTINCT subj, pred, obj FROM store
          |WHERE subj IN (SELECT node FROM r1)
+         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // same content-addressing replayed: md5 over the chr(1)-joined terms
+    "q_kg_reify" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |stmts AS (
+         |  SELECT DISTINCT term AS s, 'isTopTermOf' AS p, entity AS o,
+         |         'stmt:' || md5(term || chr(1) || 'isTopTermOf' || chr(1) || entity) AS stmt
+         |  FROM ranked WHERE rnk <= 1)
+         |SELECT subj, pred, obj FROM (
+         |  SELECT stmt AS subj, 'type' AS pred, 'Statement' AS obj FROM stmts
+         |  UNION ALL SELECT stmt, 'subject', s FROM stmts
+         |  UNION ALL SELECT stmt, 'predicate', p FROM stmts
+         |  UNION ALL SELECT stmt, 'object', o FROM stmts)
          |ORDER BY subj, pred, obj""".stripMargin,
 
     "q_kg_void" ->

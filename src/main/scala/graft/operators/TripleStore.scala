@@ -358,6 +358,10 @@ object TripleStore {
   final case class Star(e: PathExpr, maxHops: Int) extends PathExpr
   /** Zero-or-one: `e?`. Zero-length arm as in [[Star]]. */
   final case class ZeroOrOne(e: PathExpr) extends PathExpr
+  /** Negated property set: `!(p1|p2|…)` — one edge whose predicate is NOT
+    * any of `preds` (SPARQL 1.1 NPS; forward direction only — negate
+    * inverse predicates by wrapping in [[Inv]]). */
+  final case class Nps(preds: Seq[String]) extends PathExpr
 
   /** Every node of the graph paired with itself — the zero-length path. */
   private def zeroPairs(triples: DataFrame): DataFrame =
@@ -373,6 +377,10 @@ object TripleStore {
   def path(triples: DataFrame, expr: PathExpr): DataFrame = expr match {
     case Pred(p) =>
       triples.filter(col("pred") === p).select(col("subj"), col("obj")).distinct()
+    case Nps(preds) =>
+      require(preds.nonEmpty, "negated property set needs at least one predicate")
+      triples.filter(!col("pred").isin(preds: _*))
+        .select(col("subj"), col("obj")).distinct()
     case Inv(e) =>
       path(triples, e).select(col("obj").as("subj"), col("subj").as("obj"))
     case Chain(a, b) =>
@@ -421,6 +429,33 @@ object TripleStore {
     }
     triples.join(reached, triples("subj") === reached("node"))
       .select(col("subj"), col("pred"), col("obj")).distinct()
+  }
+
+  /** RDF reification: one statement node per DISTINCT triple, carrying the
+    * four classic reification quads — `(stmt, type, Statement)`,
+    * `(stmt, subject, s)`, `(stmt, predicate, p)`, `(stmt, object, o)` —
+    * so provenance, confidence, or validity-time triples can attach to the
+    * statement node. The id is content-addressed
+    * (`stmt:` + md5 of the U+0001-joined terms): deterministic across
+    * runs, partitionings, and cluster sizes — two engines reify the same
+    * graph to the SAME node ids, so reified stores diff/merge exactly.
+    *
+    * Narrow: one distinct over the input (set semantics — a statement IS
+    * its triple), then four projections + union, no further shuffle. */
+  def reify(triples: DataFrame): DataFrame = {
+    val base = triples.select(col("subj"), col("pred"), col("obj")).distinct()
+      .withColumn("stmt", concat(lit("stmt:"),
+        md5(concat_ws("\u0001", col("subj"), col("pred"), col("obj")))))
+    Seq(
+      base.select(col("stmt").as("subj"), lit("type").as("pred"),
+        lit("Statement").as("obj")),
+      base.select(col("stmt").as("subj"), lit("subject").as("pred"),
+        col("subj").as("obj")),
+      base.select(col("stmt").as("subj"), lit("predicate").as("pred"),
+        col("pred").as("obj")),
+      base.select(col("stmt").as("subj"), lit("object").as("pred"),
+        col("obj").as("obj"))
+    ).reduce(_ unionAll _)
   }
 
   /** VoID-style dataset statistics: one row per predicate — triple count,

@@ -403,6 +403,66 @@ class TripleStoreSpec extends SparkTestBase {
       ("*", 7L, 4L, 6L)), s"$got")
   }
 
+  test("negated property set: !(p...) edges, composing with the algebra") {
+    import TripleStore._
+    def pairs(e: PathExpr) =
+      path(triples, e).as[(String, String)].collect().toSet
+    assert(pairs(Nps(Seq("likes"))) == pairs(Pred("knows")))
+    assert(pairs(Nps(Seq("likes", "knows"))).isEmpty)
+    // composes: anything reachable by one non-likes edge then a likes edge
+    assert(pairs(Chain(Nps(Seq("likes")), Pred("likes"))) ==
+      pairs(Chain(Pred("knows"), Pred("likes"))))
+    intercept[IllegalArgumentException] { path(triples, Nps(Nil)) }
+  }
+
+  test("reify: four quads per DISTINCT triple, content-addressed ids stable under dup/partitioning") {
+    val dup = triples.unionAll(Seq(("alice", "likes", "scala")).toDF("subj", "pred", "obj"))
+    val r = TripleStore.reify(dup)
+    assert(r.count() == 7 * 4) // set semantics: 7 distinct triples
+    val byStmt = r.as[(String, String, String)].collect().groupBy(_._1)
+    assert(byStmt.size == 7)
+    byStmt.values.foreach { quads =>
+      assert(quads.map(_._2).sorted.toSeq == Seq("object", "predicate", "subject", "type"))
+    }
+    // content-addressing: same triple -> same id regardless of partitioning
+    val again = TripleStore.reify(triples.repartition(7))
+      .filter(col("pred") === "type").select("subj")
+      .as[String].collect().toSet
+    val first = r.filter(col("pred") === "type").select("subj")
+      .as[String].collect().toSet
+    assert(again == first)
+    // round-trip: the statement node's subject/predicate/object triples
+    // rebuild the original graph
+    val rebuilt = TripleStore.bgp(r, Seq(
+        (V("s"), C("subject"), V("subj")),
+        (V("s"), C("predicate"), V("pred")),
+        (V("s"), C("object"), V("obj"))))
+      .select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    assert(rebuilt == triples.as[(String, String, String)].collect().toSet)
+  }
+
+  test("rdfs closure is per-triple local: closure(I1 ∪ I2) == closure(I1) ∪ closure(I2)") {
+    // for THIS stratified rule subset each instance triple's entailments
+    // depend only on itself + the (closed) schema — so incremental
+    // maintenance is exact: entail the delta alone and union
+    val schema = Seq(
+      ("p", "subPropertyOf", "q"),
+      ("p", "domain", "D"),
+      ("q", "range", "R"),
+      ("D", "subClassOf", "E")
+    ).toDF("subj", "pred", "obj")
+    val i1 = Seq(("a", "p", "b"), ("c", "q", "d")).toDF("subj", "pred", "obj")
+    val i2 = Seq(("e", "p", "f"), ("a", "p", "b")).toDF("subj", "pred", "obj") // overlap too
+    val full = TripleStore.rdfsClosure(i1.unionAll(i2), schema, maxDepth = 3)
+      .as[(String, String, String)].collect().toSet
+    val merged = (TripleStore.rdfsClosure(i1, schema, maxDepth = 3)
+        .as[(String, String, String)].collect().toSet
+      ++ TripleStore.rdfsClosure(i2, schema, maxDepth = 3)
+        .as[(String, String, String)].collect().toSet)
+    assert(full == merged, s"full=$full merged=$merged")
+  }
+
   test("canonicalize: alias chains collapse to the min representative; set semantics") {
     val sameAs = Seq(("bob", "bobby"), ("bobby", "robert")).toDF("a", "b")
     val store = Seq(
