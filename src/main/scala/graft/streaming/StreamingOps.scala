@@ -154,6 +154,42 @@ object StreamingOps {
         mergeBatchIntoStanding(batch, batchId, cfg, stateDir)
     }
 
+  /** Streaming SHACL: validate each micro-batch of a triple stream against
+    * the MONOTONE constraint subset and hand the per-batch violation report
+    * to `onReport` — the ingest-time KG quality gate.
+    *
+    * Monotone = a violation found in a batch remains a violation of the
+    * whole stream: `Pattern`/`InSet`/`Closed` are row-local, and a
+    * `MaxCount` breach within one batch only undercounts the stream total.
+    * `MinCount` and `ClassConstraint` are REJECTED loudly — both can be
+    * cured by later arrivals (the missing triples may simply not have
+    * streamed yet), so a per-batch report would assert false violations;
+    * run them against the standing store (the [[coocMaintain]] pattern)
+    * instead. Reports are therefore SOUND always; they are also complete
+    * when each shape targets `targetSubjectsOf` of its own constrained
+    * predicate (focus and violating row arrive in the same batch by
+    * construction) — a `targetClass` focus whose type triple arrives in a
+    * LATER batch is checked only from that batch on, which the soundness
+    * contract permits and this scaladoc pins.
+    *
+    * Returns the configured `DataStreamWriter`; the caller sets
+    * checkpointLocation/trigger and starts it. */
+  def shaclStream(triples: DataFrame, shapes: Seq[graft.operators.Shacl.Shape])
+                 (onReport: (DataFrame, Long) => Unit) = {
+    import graft.operators.Shacl
+    val unsound = shapes.flatMap(s => s.constraints.collect {
+      case c: Shacl.MinCount        => s"${s.name}: minCount(${c.pred})"
+      case c: Shacl.ClassConstraint => s"${s.name}: class(${c.pred})"
+    })
+    require(unsound.isEmpty,
+      s"non-monotone constraints cannot be validated per batch (later arrivals " +
+        s"can cure them — validate against the standing store): ${unsound.mkString("; ")}")
+    triples.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        onReport(Shacl.validate(batch, shapes), batchId)
+    }
+  }
+
   /** One idempotent merge step of [[coocMaintain]] (package-visible so the
     * replay contract is directly testable). The applied-version marker IS
     * the parquet job's own `_SUCCESS` commit — there is no separate pointer

@@ -249,4 +249,49 @@ class StreamingSpec extends SparkTestBase {
         ("2024-01-01 10:01:00", "java", 0, 1L)))
     } finally query.stop()
   }
+
+  test("streaming SHACL: per-batch reports == batch validator; non-monotone constraints rejected") {
+    import graft.operators.Shacl
+    import graft.operators.Shacl._
+    implicit val sql = spark.sqlContext
+    val shapes = Seq(Shape("EdgeShape", targetSubjectsOf = Some("likes"),
+      constraints = Seq(
+        Pattern("likes", "^[a-z]+$"),
+        MaxCount("likes", 2),
+        Closed(Seq("likes")))))
+    val stream = MemoryStream[(String, String, String)]
+    val triples = stream.toDS().toDF("subj", "pred", "obj")
+    val collected = scala.collection.mutable.Map.empty[Long, Set[(String, String, String, String, String)]]
+    val query = StreamingOps.shaclStream(triples, shapes) { (report, id) =>
+      collected(id) = report.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))).toSet
+    }.start()
+    try {
+      val b0 = Seq(("a", "likes", "scala"), ("a", "likes", "SQL!"), ("a", "owns", "x"))
+      stream.addData(b0)
+      query.processAllAvailable()
+      val b1 = Seq(("b", "likes", "x"), ("b", "likes", "y"), ("b", "likes", "z"))
+      stream.addData(b1)
+      query.processAllAvailable()
+      // each batch's streamed report equals the batch validator on that data
+      def batchReport(rows: Seq[(String, String, String)]) =
+        Shacl.validate(rows.toDF("subj", "pred", "obj"), shapes)
+          .as[(String, String, String, String, String)].collect().toSet
+      assert(collected(0L) == batchReport(b0), s"${collected(0L)}")
+      assert(collected(0L).map(_._3) == Set("pattern(likes)", "closed"))
+      assert(collected(1L) == batchReport(b1))
+      assert(collected(1L).map(_._3) == Set("maxCount(likes)"))
+    } finally query.stop()
+    // minCount / class cannot be decided per batch — rejected loudly
+    intercept[IllegalArgumentException] {
+      StreamingOps.shaclStream(triples, Seq(Shape("bad",
+        targetSubjectsOf = Some("likes"), constraints = Seq(MinCount("likes", 1)))))(
+        (_, _) => ())
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.shaclStream(triples, Seq(Shape("bad2",
+        targetSubjectsOf = Some("likes"),
+        constraints = Seq(ClassConstraint("likes", "Thing")))))((_, _) => ())
+    }
+  }
 }
