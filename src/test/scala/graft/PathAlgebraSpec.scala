@@ -1,0 +1,102 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.TripleStore
+import graft.operators.TripleStore._
+
+/** Randomized equivalence sweep for the SPARQL property-path algebra: the
+  * Spark evaluator vs an independent driver-side brute-force evaluator of
+  * the same SPARQL 1.1 semantics, over seeded random graphs and seeded
+  * random expression trees (every combinator reachable, closures
+  * hop-bounded exactly as the operator contract requires). */
+class PathAlgebraSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- driver-side reference semantics ------------------------------------
+  private def zero(g: Set[(String, String, String)]): Set[(String, String)] =
+    g.flatMap(t => Seq(t._1, t._3)).map(n => (n, n))
+
+  private def closure(e: Set[(String, String)], maxHops: Int): Set[(String, String)] = {
+    var all = e
+    var delta = e
+    var hop = 1
+    while (hop < maxHops && delta.nonEmpty) {
+      val next = for ((s, m) <- delta; (m2, o) <- e if m == m2) yield (s, o)
+      delta = next -- all
+      all = all ++ delta
+      hop += 1
+    }
+    all
+  }
+
+  private def brute(g: Set[(String, String, String)], e: PathExpr): Set[(String, String)] =
+    e match {
+      case Pred(p)      => g.filter(_._2 == p).map(t => (t._1, t._3))
+      case Nps(ps)      => g.filter(t => !ps.contains(t._2)).map(t => (t._1, t._3))
+      case Inv(x)       => brute(g, x).map(_.swap)
+      case Chain(a, b)  =>
+        val l = brute(g, a); val r = brute(g, b)
+        for ((s, m) <- l; (m2, o) <- r if m == m2) yield (s, o)
+      case Alt(a, b)    => brute(g, a) ++ brute(g, b)
+      case Plus(x, h)   => closure(brute(g, x), h)
+      case Star(x, h)   => closure(brute(g, x), h) ++ zero(g)
+      case ZeroOrOne(x) => brute(g, x) ++ zero(g)
+    }
+
+  // ---- seeded generators ---------------------------------------------------
+  private val preds = Seq("p", "q", "r")
+
+  private def randomGraph(rnd: Random, nNodes: Int, nEdges: Int): Set[(String, String, String)] =
+    (0 until nEdges).map { _ =>
+      (s"n${rnd.nextInt(nNodes)}", preds(rnd.nextInt(preds.size)),
+        s"n${rnd.nextInt(nNodes)}")
+    }.toSet
+
+  private def randomExpr(rnd: Random, depth: Int): PathExpr =
+    if (depth == 0) {
+      if (rnd.nextInt(4) == 0) Nps(Seq(preds(rnd.nextInt(preds.size))))
+      else Pred(preds(rnd.nextInt(preds.size)))
+    } else rnd.nextInt(6) match {
+      case 0 => Inv(randomExpr(rnd, depth - 1))
+      case 1 => Chain(randomExpr(rnd, depth - 1), randomExpr(rnd, depth - 1))
+      case 2 => Alt(randomExpr(rnd, depth - 1), randomExpr(rnd, depth - 1))
+      case 3 => Plus(randomExpr(rnd, 0), 1 + rnd.nextInt(3))
+      case 4 => Star(randomExpr(rnd, 0), 1 + rnd.nextInt(3))
+      case _ => ZeroOrOne(randomExpr(rnd, depth - 1))
+    }
+
+  test("random expression trees: Spark evaluator == brute-force SPARQL semantics") {
+    val rnd = new Random(42)
+    for (trial <- 0 until 16) {
+      val g = randomGraph(rnd, nNodes = 5, nEdges = 3 + rnd.nextInt(10))
+      val expr = randomExpr(rnd, depth = 2)
+      val triples = g.toSeq.toDF("subj", "pred", "obj")
+      val got = TripleStore.path(triples, expr)
+        .as[(String, String)].collect().toSet
+      val want = brute(g, expr)
+      assert(got == want,
+        s"trial $trial: expr=$expr graph=${g.toSeq.sorted}\n got=$got\nwant=$want")
+    }
+  }
+
+  test("algebraic identities hold on a random graph") {
+    val rnd = new Random(7)
+    val g = randomGraph(rnd, nNodes = 6, nEdges = 14)
+    val triples = g.toSeq.toDF("subj", "pred", "obj")
+    def eval(e: PathExpr) =
+      TripleStore.path(triples, e).as[(String, String)].collect().toSet
+    val p = Pred("p"); val q = Pred("q")
+    // ^(a/b) == ^b/^a
+    assert(eval(Inv(Chain(p, q))) == eval(Chain(Inv(q), Inv(p))))
+    // ^^a == a
+    assert(eval(Inv(Inv(p))) == eval(p))
+    // a|b == b|a ; a|a == a
+    assert(eval(Alt(p, q)) == eval(Alt(q, p)))
+    assert(eval(Alt(p, p)) == eval(p))
+    // e? == e | zero-length  (Star with hop bound 1 is exactly that too)
+    assert(eval(ZeroOrOne(p)) == eval(Star(p, 1)))
+    // !(q|r) == p on a graph whose only preds are p,q,r
+    assert(eval(Nps(Seq("q", "r"))) == eval(p))
+  }
+}
