@@ -395,6 +395,26 @@ object KgQueries {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // OWL RL property rules to fixpoint over the mixed store: coOccursWith
+    // declared symmetric (term edges flip), isTopTermOf gets an inverse
+    // (hasTopTerm), and followedBy is transitive — its full reachability
+    // closure materializes (converge-or-throw; the oracle's recursive CTE
+    // is the true fixpoint, so truncation would hash-fail loudly)
+    "q_kg_owl" -> ((s, d) => {
+      import s.implicits._
+      val (top20, top1) = rankedStores(s, d)
+      val store = coocStore(top20).unionAll(topStore(top1))
+        .unionAll(edgesOf(s, d).select(col("src").as("subj"),
+          lit("followedBy").as("pred"), col("dst").as("obj")))
+      val schema = Seq(
+        ("isTopTermOf", "inverseOf", "hasTopTerm"),
+        ("coOccursWith", "type", "SymmetricProperty"),
+        ("followedBy", "type", "TransitiveProperty")
+      ).toDF("subj", "pred", "obj")
+      TripleStore.owlClosure(store, schema, maxRounds = 16)
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // RDF reification of the top-term store: four provenance-ready quads
     // per statement, content-addressed ids (two engines reify the same
     // graph to the same node ids — the oracle recomputes the md5s)
@@ -1105,6 +1125,27 @@ object KgQueries {
          |       UNION SELECT obj FROM store WHERE subj = 'spark')
          |SELECT DISTINCT subj, pred, obj FROM store
          |WHERE subj IN (SELECT node FROM r1)
+         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // rule-by-rule twin: symmetric flip, inverse, and the TRUE transitive
+    // fixpoint via a recursive CTE — a hop-truncated Spark closure cannot
+    // hash-match this
+    "q_kg_owl" ->
+      s"""${Queries.base.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$edgesCte,
+         |$rankedCte,
+         |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |clo AS (
+         |  SELECT src, dst FROM e1
+         |  UNION
+         |  SELECT c.src, e.dst FROM clo c JOIN e1 e ON c.dst = e.src)
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |  FROM ranked WHERE rnk <= 20
+         |  UNION ALL SELECT term, 'coOccursWith', entity FROM ranked WHERE rnk <= 20
+         |  UNION ALL SELECT term, 'isTopTermOf', entity FROM ranked WHERE rnk <= 1
+         |  UNION ALL SELECT entity, 'hasTopTerm', term FROM ranked WHERE rnk <= 1
+         |  UNION ALL SELECT src, 'followedBy', dst FROM clo)
          |ORDER BY subj, pred, obj""".stripMargin,
 
     // same content-addressing replayed: md5 over the chr(1)-joined terms

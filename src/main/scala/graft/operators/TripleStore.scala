@@ -513,6 +513,108 @@ object TripleStore {
       .distinct()
   }
 
+  /** OWL RL property-rule subset, run to FIXPOINT (converge-or-throw):
+    *
+    *  - prp-inv1/2: `(p inverseOf q)` ⇒ `(s p o) ⊢ (o q s)` and `(s q o) ⊢ (o p s)`
+    *  - prp-symp:   `(p type SymmetricProperty)` ⇒ `(s p o) ⊢ (o p s)`
+    *  - prp-trp:    `(p type TransitiveProperty)` ⇒ `(s p m), (m p o) ⊢ (s p o)`
+    *
+    * Semi-naive: each round derives only from the LAST round's fresh
+    * triples (the transitive rule joins fresh×all on BOTH sides, so chains
+    * double per round — convergence in O(log diameter) rounds), anti-joins
+    * the known closure, early-drains, and THROWS if `maxRounds` is hit
+    * before the fixpoint — a truncated closure would be silently wrong
+    * (same contract as connectedComponents; contrast pathPlus, where the
+    * hop bound IS the query semantics). Schema frames are ontology-sized
+    * by contract and broadcast; ≤3 pinned frames live. The transitive
+    * closure is inherently output-bounded work — on a 100 TB store apply
+    * it to preds whose reachability sets are meant to be materialized
+    * (hierarchies, containment), and route unbounded-graph reachability
+    * questions to the hop-bounded path operators or HyperBall. */
+  def owlClosure(instance: DataFrame, schema: DataFrame, maxRounds: Int = 16): DataFrame = {
+    import graft.plans.Pinned
+    val spark = instance.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+
+    val inv = schema.filter(col("pred") === "inverseOf")
+      .select(col("subj").as("pred"), col("obj").as("q"))
+    val invMap = inv.unionAll(inv.select(col("q").as("pred"), col("pred").as("q")))
+      .distinct()
+    def typed(cls: String) =
+      schema.filter(col("pred") === "type" && col("obj") === cls)
+        .select(col("subj").as("pred")).distinct()
+    val symPreds = typed("SymmetricProperty")
+    val trnPreds = typed("TransitiveProperty")
+
+    var (all, allH) = Pinned.pinTracked(
+      instance.select(col("subj"), col("pred"), col("obj")).distinct())
+    var delta = all
+    var deltaH = allH
+    var round = 0
+    var drained = false
+    while (!drained) {
+      if (round >= maxRounds) {
+        freeH(allH); if (deltaH ne allH) freeH(deltaH)
+        throw new IllegalStateException(
+          s"owlClosure did not reach the fixpoint in $maxRounds rounds — " +
+            "a truncated closure would be silently wrong; raise maxRounds")
+      }
+      val viaInv = delta.join(broadcast(invMap), Seq("pred"))
+        .select(col("obj").as("subj"), col("q").as("pred"), col("subj").as("obj"))
+      val viaSym = delta.join(broadcast(symPreds), Seq("pred"))
+        .select(col("obj").as("subj"), col("pred"), col("subj").as("obj"))
+      val trnDelta = delta.join(broadcast(trnPreds), Seq("pred"))
+      val trnAll = all.join(broadcast(trnPreds), Seq("pred"))
+      def step(l: DataFrame, r: DataFrame) =
+        l.select(col("pred"), col("subj"), col("obj").as("mid"))
+          .join(r.select(col("pred"), col("subj").as("mid"), col("obj")),
+            Seq("pred", "mid"))
+          .select(col("subj"), col("pred"), col("obj"))
+      val derived = viaInv.unionAll(viaSym)
+        .unionAll(step(trnDelta, trnAll)).unionAll(step(trnAll, trnDelta))
+        .distinct()
+      val (fresh, freshH) = Pinned.pinTracked(
+        derived.join(all, Seq("subj", "pred", "obj"), "left_anti"))
+      if (fresh.isEmpty) {
+        freeH(freshH)
+        drained = true
+      } else {
+        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
+        if (deltaH ne allH) freeH(deltaH)
+        freeH(allH)
+        all = nextAll; allH = nextAllH
+        delta = fresh; deltaH = freshH
+      }
+      round += 1
+    }
+    if (deltaH ne allH) freeH(deltaH)
+    all
+  }
+
+  /** OWL RL prp-fp — FunctionalProperty sameAs inference: for each pred
+    * declared `(p type FunctionalProperty)`, two objects of the same
+    * subject must denote the same resource ⇒ emit `(a, b)` alias pairs
+    * (a < b, distinct), ready for [[canonicalize]]. This is THE
+    * KG-construction dirty-data move: declare the key-like predicates
+    * functional, infer the aliases, canonicalize the store.
+    *
+    * One self-join keyed on (subj, pred), restricted to functional preds
+    * first (broadcast semi-join). Skew contract: a functional property has
+    * ~1 object per subject BY INTENT — violating subjects are the rare
+    * exceptions, so the self-join's per-key fanout is tiny everywhere it
+    * fires; a pred that is wildly non-functional is a modeling bug this
+    * operator would amplify, not a data-scale case to engineer for. */
+  def inferSameAs(instance: DataFrame, schema: DataFrame): DataFrame = {
+    val fp = schema.filter(col("pred") === "type" && col("obj") === "FunctionalProperty")
+      .select(col("subj").as("pred")).distinct()
+    val f = instance.join(broadcast(fp), Seq("pred"))
+      .select(col("subj"), col("pred"), col("obj"))
+    f.select(col("subj"), col("pred"), col("obj").as("a"))
+      .join(f.select(col("subj"), col("pred"), col("obj").as("b")), Seq("subj", "pred"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** RDFS-lite forward entailment: materialize the closure of the instance
     * graph under the core RDFS rules —
     *

@@ -479,6 +479,67 @@ class TripleStoreSpec extends SparkTestBase {
       ("carol", "likes", "sql")), s"$got")
   }
 
+  test("owl closure: inverse, symmetric, transitive to fixpoint; rule interaction; converge-or-throw") {
+    val schema = Seq(
+      ("childOf", "inverseOf", "parentOf"),
+      ("marriedTo", "type", "SymmetricProperty"),
+      ("ancestorOf", "type", "TransitiveProperty"),
+      ("parentOf", "type", "TransitiveProperty") // interacts with the inverse rule
+    ).toDF("subj", "pred", "obj")
+    val instance = Seq(
+      ("c", "childOf", "b"),
+      ("b", "childOf", "a"),
+      ("x", "marriedTo", "y"),
+      ("a1", "ancestorOf", "a2"),
+      ("a2", "ancestorOf", "a3"),
+      ("a3", "ancestorOf", "a4")
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.owlClosure(instance, schema, maxRounds = 8)
+      .as[(String, String, String)].collect().toSet
+    val want = Set(
+      ("c", "childOf", "b"), ("b", "childOf", "a"),
+      // inverse
+      ("b", "parentOf", "c"), ("a", "parentOf", "b"),
+      // transitivity of the INVERSE-derived edges (rule interaction)
+      ("a", "parentOf", "c"),
+      // ...and its inverse back again
+      ("c", "childOf", "a"),
+      // symmetric
+      ("x", "marriedTo", "y"), ("y", "marriedTo", "x"),
+      // transitive chain closes completely
+      ("a1", "ancestorOf", "a2"), ("a2", "ancestorOf", "a3"),
+      ("a3", "ancestorOf", "a4"), ("a1", "ancestorOf", "a3"),
+      ("a2", "ancestorOf", "a4"), ("a1", "ancestorOf", "a4"))
+    assert(got == want, s"got=$got\nmissing=${want -- got}\nextra=${got -- want}")
+    // converge-or-throw: one round cannot close a 4-chain + interactions
+    intercept[IllegalStateException] {
+      TripleStore.owlClosure(instance, schema, maxRounds = 1)
+    }
+    // no applicable rules: closure == input
+    val plain = TripleStore.owlClosure(instance,
+      Seq(("p", "inverseOf", "q")).toDF("subj", "pred", "obj"), maxRounds = 4)
+    assert(plain.count() == 6)
+  }
+
+  test("inferSameAs: functional-property violations become alias pairs; clean data infers nothing") {
+    val schema = Seq(("ssn", "type", "FunctionalProperty")).toDF("subj", "pred", "obj")
+    val instance = Seq(
+      ("p1", "ssn", "bob"),
+      ("p1", "ssn", "robert"),   // violation: two objects, same key
+      ("p1", "ssn", "bobby"),    // three-way
+      ("p2", "ssn", "carol"),    // clean
+      ("p3", "name", "bob"),     // non-functional pred ignored
+      ("p3", "name", "bobby")
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.inferSameAs(instance, schema)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("bob", "robert"), ("bob", "bobby"), ("bobby", "robert")), s"$got")
+    // end-to-end: infer + canonicalize collapses the aliases in the store
+    val canon = TripleStore.canonicalize(instance, TripleStore.inferSameAs(instance, schema))
+      .filter(col("subj") === "p1").select("obj").as[String].collect().toSet
+    assert(canon == Set("bob"))
+  }
+
   test("rdfs closure: subProperty/subClass transitivity, domain/range typing, stratification") {
     val schema = Seq(
       ("isTopTermOf", "subPropertyOf", "relatedTo"),
