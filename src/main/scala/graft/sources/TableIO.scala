@@ -58,6 +58,32 @@ object TableIO {
   def readTriples(spark: SparkSession, uri: String): DataFrame =
     spark.read.parquet(s"$uri/data").select("subj", "pred", "obj")
 
+  /** QUAD-store sink for the named-graph surface (`TripleStore.bgpQuads`):
+    * partitioned `graph` first, `pred` second, so a constant graph term
+    * prunes whole graph subtrees and a (graph, pred)-constant pattern
+    * prunes to single directories — the layout that makes per-graph
+    * rebuild/replace (graph-version maintenance, `TripleStore.diff`) a
+    * directory swap instead of a table rewrite. Same manifest/lineage
+    * contract as [[writeTriples]]. */
+  def writeQuads(quads: DataFrame, uri: String, inputFingerprint: String = ""): TableManifest = {
+    val t0 = System.nanoTime()
+    quads
+      .repartition(col("graph"), col("pred"))
+      .sortWithinPartitions("subj", "obj")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("graph", "pred")
+      .parquet(s"$uri/data")
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val files = parquetLineage(quads.sparkSession, s"$uri/data")
+    val m = TableManifest("quads", files.map(_.rows).sum, files, inputFingerprint,
+      Map("files" -> files.size.toLong), wallMs)
+    writeManifest(quads.sparkSession, s"$uri/_manifest.json", m)
+    m
+  }
+
+  def readQuads(spark: SparkSession, uri: String): DataFrame =
+    spark.read.parquet(s"$uri/data").select("graph", "subj", "pred", "obj")
+
   /** Small-file COMPACTION for a partitioned TableIO table — the Iceberg
     * `rewrite_data_files` binpack analogue, and the #1 operational
     * maintenance job of any 100 TB table (every incremental append

@@ -35,6 +35,34 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("pred"), plan)
   }
 
+  test("quad store: a constant GRAPH term prunes graph partitions at planning") {
+    import spark.implicits._
+    import operators.TripleStore.{C, V}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qpp").toString
+    try {
+      val quads = Seq(
+        ("v1", "a", "coOccursWith", "x"), ("v1", "b", "coOccursWith", "y"),
+        ("v2", "a", "coOccursWith", "x"), ("v2", "t", "isTopTermOf", "a"))
+        .toDF("graph", "subj", "pred", "obj")
+      sources.TableIO.writeQuads(quads, dir)
+      val store = sources.TableIO.readQuads(spark, dir)
+      // round-trip through the partitioned layout
+      assert(store.as[(String, String, String, String)].collect().toSet ==
+        quads.as[(String, String, String, String)].collect().toSet)
+      val out = operators.TripleStore.bgpQuads(store,
+        Seq((C("v2"), V("e"), C("isTopTermOf"), V("t"))))
+      val plan = out.queryExecution.executedPlan.toString
+      // BOTH constants land as partition filters — planning-time pruning,
+      // single-directory read for a (graph, pred)-constant pattern
+      assert(plan.contains("PartitionFilters") && plan.contains("graph")
+        && plan.contains("isTopTermOf"), plan)
+      // columns alphabetical (e, t): e = the subj binding "t", t = obj "a"
+      assert(out.as[(String, String)].collect().toSeq == Seq(("t", "a")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("term-statistics dictionary join is a broadcast, not a shuffle join") {
     val cs = Pipeline.coStats(CorpusSynth.fromDocuments(spark, sfDir), Queries.cfg)
     val plan = cs.contingency.queryExecution.executedPlan.toString
