@@ -54,8 +54,16 @@ object Shacl {
 
   /** Validate `triples` against `shapes`; returns the violation report
     * (empty = conforms). Deterministic: every detail string is a pure
-    * function of the violating data. */
+    * function of the violating data.
+    *
+    * EAGER: each shape's focus-triples frame is pinned (materialized) once
+    * and every constraint reads the pinned copy — without this, k
+    * constraints would re-scan the store k times; with it, the store is
+    * touched once per shape regardless of constraint count. The returned
+    * report is itself pinned (violation-sized) so the intermediates can be
+    * freed deterministically before returning. */
   def validate(triples: DataFrame, shapes: Seq[Shape]): DataFrame = {
+    import graft.plans.Pinned
     require(shapes.nonEmpty, "validate needs at least one shape")
     val spark = triples.sparkSession
     import spark.implicits._
@@ -73,9 +81,12 @@ object Shacl {
           triples.filter(col("pred") === shape.targetSubjectsOf.get)
             .select(col("subj").as("focus"))
       }).distinct()
-      // the focus's own triples, re-keyed — shared by every constraint
-      val mine = triples.join(focus, triples("subj") === focus("focus"))
-        .select(col("focus"), col("pred"), col("obj"))
+      // the focus's own triples, re-keyed and PINNED — every constraint
+      // reads this one materialization instead of re-scanning the store
+      val (pinnedFocus, focusH) = Pinned.pinTracked(focus)
+      val (mine, mineH) = Pinned.pinTracked(
+        triples.join(pinnedFocus, triples("subj") === pinnedFocus("focus"))
+          .select(col("focus"), col("pred"), col("obj")))
 
       def report(df: DataFrame, constraint: String,
                  value: org.apache.spark.sql.Column,
@@ -85,7 +96,7 @@ object Shacl {
 
       val perConstraint = shape.constraints.map {
         case MinCount(p, n) =>
-          val counts = focus.join(
+          val counts = pinnedFocus.join(
               mine.filter(col("pred") === p).groupBy("focus")
                 .agg(count(lit(1)).as("cnt")),
               Seq("focus"), "left")
@@ -116,8 +127,15 @@ object Shacl {
             "closed", col("pred"),
             lit(s"pred not in {${allowed.sorted.mkString(", ")}}"))
       }
-      perConstraint.foldLeft(empty)(_ unionAll _)
+      (perConstraint.foldLeft(empty)(_ unionAll _), Seq(focusH, mineH))
     }
-    reports.reduce(_ unionAll _)
+    // pin the (violation-sized) final report, then free every per-shape
+    // intermediate deterministically — callers get a frozen frame, never a
+    // plan that re-reads the store per action
+    // the report itself stays pinned for the caller; ContextCleaner
+    // reclaims it once dropped (same contract as connectedComponents)
+    val (out, _) = Pinned.pinTracked(reports.map(_._1).reduce(_ unionAll _))
+    reports.flatMap(_._2).foreach(Pinned.free(spark, _))
+    out
   }
 }

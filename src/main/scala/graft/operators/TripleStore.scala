@@ -411,22 +411,36 @@ object TripleStore {
     * reached-set frame stays node-sized and the early-drain check stops
     * paying for hops the graph doesn't have. */
   def describe(triples: DataFrame, nodes: DataFrame, hops: Int): DataFrame = {
+    import graft.plans.Pinned
     require(hops >= 0, "describe needs hops >= 0")
-    var reached = nodes.select(col("node")).distinct()
+    val spark = triples.sparkSession
+    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
+    // reached/frontier rotate through pins (node-sized): the loop body
+    // references each twice, so an unpinned chain would re-execute the
+    // whole prior frontier history per round (plans are trees, not DAGs)
+    var (reached, reachedH) = Pinned.pinTracked(nodes.select(col("node")).distinct())
     var frontier = reached
+    var frontierH = reachedH
     var h = 0
     var drained = false
     while (h < hops && !drained) {
-      val next = triples.join(frontier, triples("subj") === frontier("node"))
-        .select(col("obj").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
-      if (next.isEmpty) drained = true
-      else {
-        reached = reached.unionAll(next)
-        frontier = next
+      val (next, nextH) = Pinned.pinTracked(
+        triples.join(frontier, triples("subj") === frontier("node"))
+          .select(col("obj").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti"))
+      if (next.isEmpty) {
+        freeH(nextH)
+        drained = true
+      } else {
+        val (nextReached, nextReachedH) = Pinned.pinTracked(reached.unionAll(next))
+        if (frontierH ne reachedH) freeH(frontierH)
+        freeH(reachedH)
+        reached = nextReached; reachedH = nextReachedH
+        frontier = next; frontierH = nextH
       }
       h += 1
     }
+    if (frontierH ne reachedH) freeH(frontierH)
     triples.join(reached, triples("subj") === reached("node"))
       .select(col("subj"), col("pred"), col("obj")).distinct()
   }
