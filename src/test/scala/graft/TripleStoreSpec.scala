@@ -515,6 +515,10 @@ class TripleStoreSpec extends SparkTestBase {
     intercept[IllegalStateException] {
       TripleStore.owlClosure(instance, schema, maxRounds = 1)
     }
+    // deterministic across partitionings: same fixpoint from any layout
+    val repart = TripleStore.owlClosure(instance.repartition(7), schema, maxRounds = 8)
+      .as[(String, String, String)].collect().toSet
+    assert(repart == want)
     // no applicable rules: closure == input
     val plain = TripleStore.owlClosure(instance,
       Seq(("p", "inverseOf", "q")).toDF("subj", "pred", "obj"), maxRounds = 4)
