@@ -53,6 +53,58 @@ object TripleStore {
     out.toSeq
   }
 
+  /** Statistics-aware BGP pattern order — the cost-based counterpart to
+    * [[orderPatterns]], fed by THIS engine's own [[voidStats]] output.
+    * Per-pattern cardinality estimate under the standard uniformity
+    * assumption: a constant predicate starts from that predicate's triple
+    * count (else the `*` total), divided by its distinct-subject count for
+    * a constant subject and distinct-object count for a constant object.
+    * Greedy order: cheapest-estimate pattern first, then repeatedly the
+    * cheapest pattern CONNECTED to the bindings so far (disconnected
+    * patterns wait for their own component — same no-accidental-cross-join
+    * guarantee as the heuristic form). Deterministic: ties break on the
+    * estimate, then the pattern rendering.
+    *
+    * `void` is the [[voidStats]] frame — predicate-count rows are
+    * ontology-sized by contract, collected to the driver (bounded pull,
+    * same class as the dictionary/model pulls elsewhere). Unknown
+    * predicates fall back to the `*` row. Result sets are order-independent
+    * (a BGP is a join); only plan cost moves. */
+  def orderPatternsByStats(patterns: Seq[(Term, Term, Term)],
+                           void: DataFrame): Seq[(Term, Term, Term)] = {
+    val stats = void.collect().map { r =>
+      r.getString(0) -> (r.getLong(1).max(1L), r.getLong(2).max(1L), r.getLong(3).max(1L))
+    }.toMap
+    require(stats.contains("*"), "voidStats frame must carry the * summary row")
+    def est(p: (Term, Term, Term)): Double = {
+      val (s, pr, o) = p
+      val (n, nSubj, nObj) = pr match {
+        case C(v) => stats.getOrElse(v, stats("*"))
+        case _    => stats("*")
+      }
+      var e = n.toDouble
+      if (s.isInstanceOf[C]) e /= nSubj
+      if (o.isInstanceOf[C]) e /= nObj
+      e
+    }
+    def vars(p: (Term, Term, Term)) =
+      p.productIterator.collect { case V(n) => n }.toSet
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Term, Term, Term)]
+    val bound = scala.collection.mutable.Set.empty[String]
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(p => (vars(p) intersect bound).nonEmpty)
+      // stay inside the current component while any pattern connects;
+      // a new component starts from the global cheapest
+      val pool = if (connected.nonEmpty) connected else remaining
+      val next = pool.minBy(p => (est(p), p.toString))
+      remaining -= next
+      bound ++= vars(next)
+      out += next
+    }
+    out.toSeq
+  }
+
   /** Match `patterns` against `triples`; returns one column per distinct
     * variable name (alphabetical — deterministic schema), one row per
     * binding. A variable repeated WITHIN a pattern constrains equality

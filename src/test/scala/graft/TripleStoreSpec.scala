@@ -403,6 +403,46 @@ class TripleStoreSpec extends SparkTestBase {
       ("*", 7L, 4L, 6L)), s"$got")
   }
 
+  test("stats-aware reorder: rare predicate leads, connectivity preserved, bindings unchanged") {
+    // skewed store: 'common' is 200 rows, 'rare' is 2
+    val skewed = ((0 until 200).map(i => (s"s${i % 20}", "common", s"o$i"))
+      ++ Seq(("s1", "rare", "k1"), ("s2", "rare", "k2"))).toDF("subj", "pred", "obj")
+    val void = TripleStore.voidStats(skewed)
+    // caller order starts with the expensive pattern
+    val bad = Seq(
+      (V("x"), C("common"), V("y")),
+      (V("x"), C("rare"), V("k")))
+    val ordered = TripleStore.orderPatternsByStats(bad, void)
+    assert(ordered.head == (V("x"), C("rare"), V("k")), s"$ordered")
+    // a disconnected cheap pattern must NOT jump between connected ones
+    val threePat = Seq(
+      (V("a"), C("common"), V("b")),
+      (V("z"), C("rare"), V("w")),      // disconnected from a/b
+      (V("b"), C("common"), V("c")))
+    val ord3 = TripleStore.orderPatternsByStats(threePat, void)
+    // rare starts (cheapest); then the two common patterns cannot both be
+    // connected to {z,w} — the order must still chain a-b before b-c or
+    // keep the component together once entered
+    assert(ord3.head == (V("z"), C("rare"), V("w")))
+    // semantics unchanged: same bindings as the caller order
+    val viaOrdered = TripleStore.bgp(skewed, ordered)
+      .as[(String, String, String)].collect().toSet
+    val viaBad = TripleStore.bgp(skewed, bad)
+      .as[(String, String, String)].collect().toSet
+    assert(viaOrdered == viaBad)
+    // constant subj/obj divide the estimate: (C, common, V) must rank
+    // cheaper than (V, common, V)
+    val withConst = Seq(
+      (V("x"), C("common"), V("y")),
+      (C("s1"), C("common"), V("y2")))
+    assert(TripleStore.orderPatternsByStats(withConst, void).head ==
+      (C("s1"), C("common"), V("y2")))
+    // unknown predicate falls back to the * row (no crash)
+    val unk = TripleStore.orderPatternsByStats(
+      Seq((V("x"), C("nope"), V("y")), (V("x"), C("rare"), V("k"))), void)
+    assert(unk.head == (V("x"), C("rare"), V("k")))
+  }
+
   test("negated property set: !(p...) edges, composing with the algebra") {
     import TripleStore._
     def pairs(e: PathExpr) =
