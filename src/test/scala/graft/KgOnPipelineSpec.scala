@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Shacl, TripleStore}
+import graft.operators.TripleStore.{C, V}
+import graft.sources.CorpusSynth
+
+/** The SPARQL/KG store surface consuming the REAL flagship output: run the
+  * planted E1 pipeline once, then drive bgp / property paths / SHACL /
+  * describe / reify / voidStats over the (hasSense, coOccursWith) graph it
+  * actually emits — the integration seam between construction (E1) and the
+  * query surface (G13+). */
+class KgOnPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ONE pipeline run shared by every test in the suite
+  private lazy val triples: org.apache.spark.sql.DataFrame = {
+    val corpus = CorpusSynth.planted(docsPerEntity = 150)
+    val docs = spark.createDataset(corpus.docs).repartition(4)
+    val cfg = WsidConfig(entities = Seq("python", "java"), window = 64, kSenses = 2)
+    Pipeline.induceAndEmit(spark, docs, cfg).triples.cache()
+  }
+
+  test("bgp over the emitted graph: every mention binds exactly one sense") {
+    val senses = TripleStore.bgp(triples, Seq((V("m"), C("hasSense"), V("s"))))
+    assert(senses.count() > 0)
+    // functionality of hasSense on the REAL output: SHACL maxCount finds no
+    // violation (each mention context links to exactly one sense)
+    val report = Shacl.validate(triples,
+      Seq(Shacl.Shape("MentionShape", targetSubjectsOf = Some("hasSense"),
+        constraints = Seq(Shacl.MaxCount("hasSense", 1), Shacl.MinCount("hasSense", 1)))))
+    assert(report.isEmpty,
+      s"hasSense must be functional on the emitted graph: ${report.collect().toSeq}")
+  }
+
+  test("property path hasSense/^hasSense groups co-sensed mentions; describe walks the graph") {
+    // mentions sharing a sense, via the path algebra over the real store
+    val coSensed = TripleStore.path(triples,
+      TripleStore.Chain(TripleStore.Pred("hasSense"),
+        TripleStore.Inv(TripleStore.Pred("hasSense"))))
+    // reflexive by construction (every mention shares its own sense)
+    val n = TripleStore.bgp(triples, Seq((V("m"), C("hasSense"), V("s")))).count()
+    assert(coSensed.filter(col("subj") === col("obj")).count() == n)
+    // describe from one sense node: its own outgoing triples (senses have
+    // none — they are objects), so describe from a mention yields its edges
+    val m = triples.filter(col("pred") === "hasSense")
+      .agg(min(col("subj"))).as[String].head()
+    val d = TripleStore.describe(triples, Seq(m).toDF("node"), hops = 1)
+    assert(d.filter(col("subj") === m).count() >= 1)
+  }
+
+  test("reify round-trips the emitted graph; voidStats sees both predicate families") {
+    val distinctTriples = triples.distinct()
+    val r = TripleStore.reify(distinctTriples)
+    val rebuilt = TripleStore.bgp(r, Seq(
+        (V("st"), C("subject"), V("subj")),
+        (V("st"), C("predicate"), V("pred")),
+        (V("st"), C("object"), V("obj"))))
+      .select("subj", "pred", "obj")
+    assert(rebuilt.as[(String, String, String)].collect().toSet ==
+      distinctTriples.as[(String, String, String)].collect().toSet)
+    val preds = TripleStore.voidStats(triples)
+      .select("pred").as[String].collect().toSet
+    assert(preds.contains("hasSense") && preds.contains("coOccursWith")
+      && preds.contains("*"), s"$preds")
+  }
+}

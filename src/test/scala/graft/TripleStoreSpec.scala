@@ -517,6 +517,10 @@ class TripleStoreSpec extends SparkTestBase {
       ("bob", "likes", "scala"),
       ("alice", "knows", "bob"),
       ("carol", "likes", "sql")), s"$got")
+    // no aliases: the store passes through (distinct only)
+    val noAlias = TripleStore.canonicalize(store,
+      Seq.empty[(String, String)].toDF("a", "b"))
+    assert(noAlias.count() == 4)
   }
 
   test("owl closure: inverse, symmetric, transitive to fixpoint; rule interaction; converge-or-throw") {
