@@ -171,6 +171,42 @@ object KgQueries {
         .orderBy("e", "t")
     }),
 
+    // SPARQL MINUS over the same store, TWO groups: the shared-variable
+    // group removes exactly what NOT EXISTS removes, and the second group
+    // binds only fresh variables (?z isTopTermOf ?w) — it HAS matches, yet
+    // per SPARQL 1.1 §8.3 a variable-disjoint MINUS removes NOTHING. An
+    // implementation that wrongly treats MINUS as NOT EXISTS empties the
+    // result and hash-fails; the oracle carries only the first group.
+    "q_kg_minus" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, top1) = rankedStores(s, d)
+      val triples = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.minus(triples,
+          first = Seq((V("e"), C("coOccursWith"), V("t"))),
+          groups = Seq(
+            Seq((V("t"), C("isTopTermOf"), V("e2"))),
+            Seq((V("z"), C("isTopTermOf"), V("w")))))
+        .orderBy("e", "t")
+    }),
+
+    // SPARQL 1.1 §11 aggregation: per context term, how many tracked
+    // entities share it, plus the sorted entity list — GROUP BY ?t,
+    // COUNT(*), GROUP_CONCAT(?e ORDER pinned), HAVING n_entities >= 2.
+    // One hash aggregation over the BGP bindings.
+    "q_kg_agg" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      TripleStore.bgpAgg(coocStore(top20),
+          where = Seq((V("e"), C("coOccursWith"), V("t"))),
+          groupVars = Seq("t"),
+          aggs = Seq(
+            TripleStore.CountAll("n_entities"),
+            TripleStore.MinOf("e", "first_entity"),
+            TripleStore.GroupConcat("e", "|", "entities")),
+          having = Some(col("n_entities") >= 2))
+        .orderBy("t")
+    }),
+
     // graph-version delta: rebuild the store at topK=15 plus a new
     // predicate, diff against the topK=20 version — ranks 16–20 come back
     // `removed`, the new predicate's triples `added`, ranks 1–15 silent
@@ -805,6 +841,31 @@ object KgQueries {
          |  SELECT 1 FROM (SELECT term FROM ranked WHERE rnk <= 1) b
          |  WHERE b.term = a.term)
          |ORDER BY e, t""".stripMargin,
+
+    // MINUS twin: ONLY the shared-variable group filters (the
+    // variable-disjoint second group is a spec-mandated no-op, so it has
+    // no SQL footprint — that absence IS the check)
+    "q_kg_minus" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT a.entity AS e, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM (SELECT term FROM ranked WHERE rnk <= 1) b
+         |  WHERE b.term = a.term)
+         |ORDER BY e, t""".stripMargin,
+
+    // GROUP BY / HAVING twin; string_agg with ORDER BY pins the
+    // GROUP_CONCAT order the SPARQL spec leaves undefined
+    "q_kg_agg" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT term AS t, count(*) AS n_entities,
+         |       min(entity) AS first_entity,
+         |       string_agg(entity, '|' ORDER BY entity) AS entities
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20)
+         |GROUP BY term HAVING count(*) >= 2
+         |ORDER BY t""".stripMargin,
 
     // set-EXCEPT twin of the one-shuffle tagged-union diff
     "q_kg_diff" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SPARQL-style basic-graph-pattern (BGP) matching over a materialized
@@ -297,6 +297,67 @@ object TripleStore {
         s"NOT EXISTS group ${group.mkString(", ")} shares no variable with the required bindings")
       acc.join(g, common, "left_anti")
     }
+
+  /** SPARQL `MINUS` (SPARQL 1.1 §8.3, DiffMinus): drop a binding μ1 of the
+    * first group when some binding μ2 of a MINUS group is compatible with
+    * it AND their domains overlap. BGP bindings are always fully bound, so
+    * with shared variables this is one left-anti equi-join per group —
+    * identical execution to [[bgpNotExists]]. The two constructs part ways
+    * ONLY when a group shares no variable with the first arm: the spec says
+    * dom(μ1) ∩ dom(μ2) = ∅ removes NOTHING (every μ2 is disjoint from μ1),
+    * whereas FILTER NOT EXISTS would empty the result whenever the group
+    * matches at all. That variable-disjoint case is exactly what
+    * bgpNotExists `require`-rejects as a probable query bug — MINUS is the
+    * construct whose semantics make it legal, so here it is honored, not
+    * rejected: the group evaluates to a no-op without ever being joined
+    * (zero added jobs). */
+  def minus(triples: DataFrame, first: Seq[(Term, Term, Term)],
+            groups: Seq[Seq[(Term, Term, Term)]]): DataFrame =
+    groups.foldLeft(bgp(triples, first)) { (acc, group) =>
+      val groupVars = group.flatMap { case (s, p, o) =>
+        Seq(s, p, o).collect { case V(n) => n }
+      }.toSet
+      val common = acc.columns.toSet.intersect(groupVars).toSeq.sorted
+      if (common.isEmpty) acc // disjoint domains: spec-mandated no-op
+      else acc.join(bgp(triples, group), common, "left_anti")
+    }
+
+  /** SPARQL 1.1 §11 aggregate specification for [[bgpAgg]]. `GroupConcat`
+    * SORTS its values before joining: the SPARQL spec leaves GROUP_CONCAT
+    * order undefined, and an undefined order is exactly what breaks
+    * determinism under repartition — so this engine pins it, the same
+    * discipline as every other operator (DuckDB twin:
+    * `string_agg(x, sep ORDER BY x)`). */
+  sealed trait AggSpec
+  final case class CountAll(as: String) extends AggSpec
+  final case class CountDistinctOf(variable: String, as: String) extends AggSpec
+  final case class MinOf(variable: String, as: String) extends AggSpec
+  final case class MaxOf(variable: String, as: String) extends AggSpec
+  final case class GroupConcat(variable: String, sep: String, as: String) extends AggSpec
+
+  /** SPARQL 1.1 grouped aggregation over BGP bindings: `GROUP BY` the
+    * given variables, evaluate the aggregates, then apply the optional
+    * `HAVING` predicate over the aggregate columns. Bag semantics in,
+    * one row per group out — execution is the one hash aggregation Spark
+    * plans for groupBy/agg (partial map-side combine for count/min/max;
+    * collect_list ships only the grouped column, not the binding row). */
+  def bgpAgg(triples: DataFrame, where: Seq[(Term, Term, Term)],
+             groupVars: Seq[String], aggs: Seq[AggSpec],
+             having: Option[Column] = None): DataFrame = {
+    require(aggs.nonEmpty, "bgpAgg needs at least one aggregate")
+    val b = bgp(triples, where)
+    val exprs = aggs.map {
+      case CountAll(as)              => count(lit(1)).as(as)
+      case CountDistinctOf(v, as)    => countDistinct(col(v)).as(as)
+      case MinOf(v, as)              => min(col(v)).as(as)
+      case MaxOf(v, as)              => max(col(v)).as(as)
+      case GroupConcat(v, sep, as)   =>
+        array_join(array_sort(collect_list(col(v))), sep).as(as)
+    }
+    val grouped = b.groupBy(groupVars.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+    having.fold(grouped)(grouped.filter)
+  }
 
   /** SPARQL `CONSTRUCT`: instantiate `template` triple patterns from every
     * binding of the `where` BGP and return the resulting GRAPH — i.e. a

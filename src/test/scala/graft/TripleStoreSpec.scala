@@ -253,6 +253,61 @@ class TripleStoreSpec extends SparkTestBase {
     }
   }
 
+  test("MINUS: shared vars == NOT EXISTS; variable-disjoint group is a spec no-op") {
+    // shared-variable arm: identical to the NOT EXISTS result
+    val viaMinus = TripleStore.minus(triples,
+        first = Seq((V("x"), C("knows"), V("y"))),
+        groups = Seq(Seq((V("y"), C("likes"), V("w")))))
+      .as[(String, String)].collect().toSet
+    assert(viaMinus == Set(("loop", "loop")), s"$viaMinus")
+    // variable-disjoint group with MATCHES (likes has 3): SPARQL 1.1 §8.3
+    // says dom-disjoint bindings remove nothing — first arm unchanged.
+    // (bgpNotExists rejects this shape outright; MINUS must honor it.)
+    val first = TripleStore.bgp(triples, Seq((V("x"), C("knows"), V("y"))))
+      .as[(String, String)].collect().toSet
+    val disjoint = TripleStore.minus(triples,
+        first = Seq((V("x"), C("knows"), V("y"))),
+        groups = Seq(Seq((V("a"), C("likes"), V("b")))))
+      .as[(String, String)].collect().toSet
+    assert(disjoint == first, s"disjoint-domain MINUS must be a no-op: $disjoint")
+    // groups apply sequentially: disjoint no-op then shared filter
+    val both = TripleStore.minus(triples,
+        first = Seq((V("x"), C("knows"), V("y"))),
+        groups = Seq(
+          Seq((V("a"), C("likes"), V("b"))),
+          Seq((V("y"), C("likes"), V("w")))))
+      .as[(String, String)].collect().toSet
+    assert(both == viaMinus)
+  }
+
+  test("bgpAgg: GROUP BY + COUNT/MIN/GROUP_CONCAT + HAVING; concat order pinned under repartition") {
+    val got = TripleStore.bgpAgg(triples,
+        where = Seq((V("e"), C("likes"), V("t"))),
+        groupVars = Seq("t"),
+        aggs = Seq(TripleStore.CountAll("n"), TripleStore.MinOf("e", "first_e"),
+          TripleStore.GroupConcat("e", "|", "es")),
+        having = Some(col("n") >= 2))
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == Set(("scala", 2L, "alice", "alice|bob")), s"$got")
+    // HAVING off: sql's singleton group present; concat deterministic
+    // under repartition (array_sort pins the order SPARQL leaves undefined)
+    val all = TripleStore.bgpAgg(triples.repartition(7),
+        where = Seq((V("e"), C("likes"), V("t"))),
+        groupVars = Seq("t"),
+        aggs = Seq(TripleStore.CountAll("n"), TripleStore.GroupConcat("e", "|", "es")))
+      .as[(String, Long, String)].collect().toSet
+    assert(all == Set(("scala", 2L, "alice|bob"), ("sql", 1L, "carol")), s"$all")
+    // CountDistinctOf and MaxOf over a bag with duplicate bindings
+    val dup = triples.unionAll(triples) // every binding twice
+    val agg = TripleStore.bgpAgg(dup,
+        where = Seq((V("e"), C("likes"), V("t"))),
+        groupVars = Seq("t"),
+        aggs = Seq(TripleStore.CountAll("n"),
+          TripleStore.CountDistinctOf("e", "n_e"), TripleStore.MaxOf("e", "last_e")))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(agg == Set(("scala", 4L, 2L, "bob"), ("sql", 2L, 1L, "carol")), s"$agg")
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
