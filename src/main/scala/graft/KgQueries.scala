@@ -207,6 +207,23 @@ object KgQueries {
         .orderBy("t")
     }),
 
+    // SPARQL 1.1 Update DELETE/INSERT WHERE: context edges whose term is
+    // somebody's top term get rewritten coOccursWith → hadTopContext in
+    // one pre-state pass; isTopTermOf triples and unmatched context edges
+    // ride through untouched
+    "q_kg_update" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, top1) = rankedStores(s, d)
+      val store = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.updateWhere(store,
+          where = Seq(
+            (V("e"), C("coOccursWith"), V("t")),
+            (V("t"), C("isTopTermOf"), V("e2"))),
+          delete = Seq((V("e"), C("coOccursWith"), V("t"))),
+          insert = Seq((V("e"), C("hadTopContext"), V("t"))))
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // graph-version delta: rebuild the store at topK=15 plus a new
     // predicate, diff against the topK=20 version — ranks 16–20 come back
     // `removed`, the new predicate's triples `added`, ranks 1–15 silent
@@ -866,6 +883,26 @@ object KgQueries {
          |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20)
          |GROUP BY term HAVING count(*) >= 2
          |ORDER BY t""".stripMargin,
+
+    // DELETE-then-INSERT twin, both templates bound from the PRE-state
+    "q_kg_update" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |cooc_st AS (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |            FROM ranked WHERE rnk <= 20),
+         |top_st AS (SELECT term AS subj, 'isTopTermOf' AS pred, entity AS obj
+         |           FROM ranked WHERE rnk <= 1),
+         |store_st AS (SELECT * FROM cooc_st UNION ALL SELECT * FROM top_st),
+         |matched_st AS (
+         |  SELECT c.subj AS e, c.obj AS t FROM cooc_st c
+         |  WHERE EXISTS (SELECT 1 FROM top_st tt WHERE tt.subj = c.obj))
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT s.* FROM store_st s
+         |  WHERE NOT (s.pred = 'coOccursWith' AND EXISTS (
+         |    SELECT 1 FROM matched_st m WHERE m.e = s.subj AND m.t = s.obj))
+         |  UNION ALL
+         |  SELECT e, 'hadTopContext', t FROM matched_st)
+         |ORDER BY subj, pred, obj""".stripMargin,
 
     // set-EXCEPT twin of the one-shuffle tagged-union diff
     "q_kg_diff" ->

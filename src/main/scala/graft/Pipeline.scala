@@ -258,4 +258,34 @@ object Pipeline {
     triples.select(
       concat(subjIri, lit(" "), predIri, lit(" "), objNode, lit(" .")).as("nt"))
   }
+
+  /** N-Triples INGEST — the exact inverse of [[toNTriples]], closing the
+    * interchange round-trip (export a graft store, re-read it as a graft
+    * store; or ingest a store another engine serialized with the same
+    * urn:graft vocabulary). Percent-decoding runs the encode chain in
+    * REVERSE ('%25' → '%' LAST, so self-escaped percents can never forge
+    * another token), literal unescaping likewise ('\\"' before '\\\\';
+    * sound because no ECHAR token ends in '\\' and none starts with '"',
+    * so a token boundary can never be mis-paired). Same scale shape as the
+    * export: pure codegen'd string expressions, map-only, no shuffle —
+    * `spark.read.text` on a 100 TB N-Triples dump feeds straight in. */
+  def fromNTriples(nt: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Seq("%60" -> "`", "%5E" -> "^", "%7C" -> "|", "%7D" -> "}", "%7B" -> "{",
+          "%5C" -> "\\", "%3E" -> ">", "%3C" -> "<", "%22" -> "\"",
+          "%20" -> " ", "%25" -> "%")
+        .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    def unescape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      replace(replace(c, lit("\\\""), lit("\"")), lit("\\\\"), lit("\\"))
+    val line = col("nt")
+    val subj = dec(regexp_extract(line, "^<urn:graft:ent:([^>]*)> ", 1))
+    val pred = regexp_extract(line, "^<[^>]*> <urn:graft:([^>]*)> ", 1)
+    val objIri = regexp_extract(line, "> <urn:graft:sense:([^>]*)> \\.$", 1)
+    // literal body: between the outer quotes, lazily up to the final '" .'
+    val objLit = regexp_extract(line, "> \"(.*)\" \\.$", 1)
+    nt.select(
+      subj.as("subj"), pred.as("pred"),
+      when(line.rlike("> <urn:graft:sense:[^>]*> \\.$"), dec(objIri))
+        .otherwise(unescape(objLit)).as("obj"))
+  }
 }

@@ -158,6 +158,19 @@ object Queries {
       val cs = coStatsOf(s, d)
       val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
       Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)).orderBy("nt")
+    }),
+
+    // RDF interchange, ingest direction: serialize the L3 graph to
+    // N-Triples and PARSE it back — the oracle is the plain L3 store SQL,
+    // so any encode/decode asymmetry (percent chain order, ECHAR pairing)
+    // breaks the hash. fromNTriples is what a 100 TB external dump feeds
+    // through via spark.read.text.
+    "q_kg_ntriples_parse" -> ((s, d) => {
+      val cs = coStatsOf(s, d)
+      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
+      Pipeline.fromNTriples(
+          Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)))
+        .orderBy("subj", "obj")
     })
   )
 
@@ -299,6 +312,22 @@ object Queries {
          |WHERE rnk <= 20 ORDER BY entity, rnk""".stripMargin,
 
     "q_l3_cooc_triples" ->
+      s"""$base,
+         |top20 AS (
+         |  SELECT entity, term FROM (
+         |    SELECT entity, term,
+         |           row_number() OVER (PARTITION BY entity
+         |             ORDER BY CAST(round(logp * 10000) AS BIGINT), term) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 20
+         |)
+         |SELECT DISTINCT w.entity || '@' || regexp_replace(w.docid, '@[^@]*$$', '') AS subj,
+         |       'coOccursWith' AS pred, w.term AS obj
+         |FROM win w JOIN top20 s ON w.entity = s.entity AND w.term = s.term
+         |ORDER BY subj, obj""".stripMargin,
+
+    // parse(serialize(store)) == store: identical SQL to q_l3_cooc_triples
+    "q_kg_ntriples_parse" ->
       s"""$base,
          |top20 AS (
          |  SELECT entity, term FROM (

@@ -373,8 +373,15 @@ object TripleStore {
   def construct(triples: DataFrame, where: Seq[(Term, Term, Term)],
                 template: Seq[(Term, Term, Term)]): DataFrame = {
     require(template.nonEmpty, "construct needs at least one template pattern")
-    val b = bgp(triples, where)
-    val bound = b.columns.toSet
+    instantiate(bgp(triples, where), template)
+  }
+
+  /** Instantiate triple `template` patterns from a binding frame — the
+    * shared engine of [[construct]] and [[updateWhere]]: one projection
+    * per template pattern, a union, one distinct (set semantics). */
+  private def instantiate(bindings: DataFrame,
+                          template: Seq[(Term, Term, Term)]): DataFrame = {
+    val bound = bindings.columns.toSet
     def slot(t: Term, as: String) = t match {
       case V(n) =>
         require(bound.contains(n), s"template variable ?$n is not bound by the WHERE patterns")
@@ -382,8 +389,35 @@ object TripleStore {
       case C(v) => lit(v).as(as)
     }
     template.map { case (s, p, o) =>
-      b.select(slot(s, "subj"), slot(p, "pred"), slot(o, "obj"))
+      bindings.select(slot(s, "subj"), slot(p, "pred"), slot(o, "obj"))
     }.reduce(_ unionAll _).distinct()
+  }
+
+  /** SPARQL 1.1 Update `DELETE { … } INSERT { … } WHERE { … }`: evaluate
+    * the WHERE BGP once against the PRE-state (per spec both templates
+    * bind from the same solution sequence — an inserted triple can never
+    * feed its own delete and vice versa), instantiate both template sets,
+    * and produce the post-state graph `(store ∖ deleted) ∪ inserted` with
+    * set semantics. Either template set may be empty (`DELETE WHERE` /
+    * `INSERT WHERE`), not both.
+    *
+    * Execution: the WHERE bgp's joins + one left-anti on the triple key
+    * (the delete frame is binding-sized — AQE broadcasts it under the
+    * threshold, so the store is never shuffled for the subtraction) + a
+    * union with the insert frame and its distinct. */
+  def updateWhere(store: DataFrame, where: Seq[(Term, Term, Term)],
+                  delete: Seq[(Term, Term, Term)],
+                  insert: Seq[(Term, Term, Term)]): DataFrame = {
+    require(delete.nonEmpty || insert.nonEmpty,
+      "updateWhere needs at least one DELETE or INSERT template")
+    val bindings = bgp(store, where)
+    val key = Seq("subj", "pred", "obj")
+    val afterDelete =
+      if (delete.isEmpty) store.select(key.map(col): _*)
+      else store.select(key.map(col): _*)
+        .join(instantiate(bindings, delete), key, "left_anti")
+    if (insert.isEmpty) afterDelete.distinct()
+    else afterDelete.unionAll(instantiate(bindings, insert)).distinct()
   }
 
   /** SPARQL 1.1 property path `pred+`, hop-bounded: all (subj, obj) pairs

@@ -107,4 +107,31 @@ class CoStatsSpec extends SparkTestBase {
     val lineRe = "^<[^<>\\s]+> <[^<>\\s]+> (\"(?:[^\"\\\\]|\\\\.)*\"|<[^<>\\s]+>) \\.$".r
     assert(nt.forall(l => lineRe.findFirstIn(l).isDefined), "malformed N-Triples line")
   }
+
+  test("fromNTriples inverts toNTriples on adversarial terms; parses foreign lines") {
+    import spark.implicits._
+    // every encode-sensitive character, stacked and adjacent: percent
+    // signs before their own escape digits, backslash-quote runs, the
+    // full IRI-unsafe set, empty-ish literals
+    val nasty = Seq(
+      ("plain@repo/a.txt", "coOccursWith", "term_1"),
+      ("spaced entity@r/p", "coOccursWith", "say \"hi\" \\ there"),
+      ("pct%<>{}|^`@r/p", "coOccursWith", "\\\" \\\\ \"\" %25 %3C end\\"),
+      ("e@r/p", "hasSense", "sense 7%"),
+      ("pp%25%20@r", "hasSense", "%2520 ` ^ | {x}"),
+      ("q@r", "coOccursWith", " ")
+    ).toDF("subj", "pred", "obj")
+    val back = Pipeline.fromNTriples(Pipeline.toNTriples(nasty))
+      .as[(String, String, String)].collect().toSet
+    assert(back == nasty.as[(String, String, String)].collect().toSet,
+      back.mkString("\n"))
+    // a hand-written (foreign) line parses too — ingest is not tied to our
+    // own serializer's output ordering or spacing of escapes
+    val foreign = Seq(
+      "<urn:graft:ent:x%20y@r/p> <urn:graft:coOccursWith> \"a \\\"b\\\" c\" .")
+      .toDF("nt")
+    val got = Pipeline.fromNTriples(foreign)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("x y@r/p", "coOccursWith", "a \"b\" c")), got.toString)
+  }
 }

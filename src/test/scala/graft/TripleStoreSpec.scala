@@ -308,6 +308,40 @@ class TripleStoreSpec extends SparkTestBase {
     assert(agg == Set(("scala", 4L, 2L, "bob"), ("sql", 2L, 1L, "carol")), s"$agg")
   }
 
+  test("updateWhere: pre-state binding, delete-only, insert-only, constants in templates") {
+    // rewrite: whoever knows a scala-liker now 'mentored' them
+    val got = TripleStore.updateWhere(triples,
+        where = Seq((V("x"), C("knows"), V("y")), (V("y"), C("likes"), C("scala"))),
+        delete = Seq((V("x"), C("knows"), V("y"))),
+        insert = Seq((V("x"), C("mentored"), V("y"))))
+      .as[(String, String, String)].collect().toSet
+    val pre = triples.as[(String, String, String)].collect().toSet
+    val expect = pre -- Set(("carol", "knows", "alice")) ++ // alice likes scala; bob too but alice->bob also matches
+      Set(("alice", "mentored", "bob"), ("carol", "mentored", "alice")) --
+      Set(("alice", "knows", "bob"))
+    assert(got == expect, s"$got")
+    // pre-state semantics: an inserted triple does NOT feed its own WHERE —
+    // inserting (x knows x) for every knower while deleting nothing keeps
+    // the original edges and adds exactly the knower self-loops
+    val ins = TripleStore.updateWhere(triples,
+        where = Seq((V("x"), C("knows"), V("y"))),
+        delete = Nil,
+        insert = Seq((V("x"), C("knows"), V("x"))))
+      .as[(String, String, String)].collect().toSet
+    assert(ins == pre ++ Set(("alice", "knows", "alice"), ("bob", "knows", "bob"),
+      ("carol", "knows", "carol")), s"$ins")
+    // DELETE WHERE form: drop every likes edge; set semantics on the rest
+    val del = TripleStore.updateWhere(triples.unionAll(triples),
+        where = Seq((V("x"), C("likes"), V("w"))),
+        delete = Seq((V("x"), C("likes"), V("w"))),
+        insert = Nil)
+      .as[(String, String, String)].collect().toSet
+    assert(del == pre.filter(_._2 != "likes"), s"$del")
+    intercept[IllegalArgumentException] {
+      TripleStore.updateWhere(triples, Seq((V("x"), C("knows"), V("y"))), Nil, Nil)
+    }
+  }
+
   test("no-variable pattern is rejected; empty patterns are rejected") {
     intercept[IllegalArgumentException] {
       TripleStore.bgp(triples, Seq((C("alice"), C("likes"), C("scala"))))
