@@ -190,6 +190,29 @@ object StreamingOps {
     }
   }
 
+  /** Streaming RDFS entailment maintenance: entail each micro-batch ALONE
+    * against the fixed, closed schema and append the entailments. Exact,
+    * not approximate, by the per-triple-locality theorem the batch spec
+    * proves (TripleStoreSpec "rdfs closure is per-triple local"): for the
+    * stratified rule subset each instance triple's entailments depend only
+    * on itself plus the schema closure, so union-of-per-batch-closures ==
+    * closure-of-the-union — the standing entailed store never needs
+    * recomputation as triples stream in. The schema is ontology-sized and
+    * broadcast inside rdfsClosure; per-batch work is delta-sized.
+    *
+    * Append-mode duplicates across batches are possible (two batches can
+    * entail the same triple); a triple store is a SET, so dedup belongs to
+    * the standing sink (e.g. TableIO's distinct on compact), mirroring how
+    * the batch operator ends in one distinct. Contrast owlClosure, whose
+    * transitive rules are NOT per-triple local and must run against the
+    * standing store — this entry point deliberately does not accept them. */
+  def rdfsStream(instance: DataFrame, schema: DataFrame, maxDepth: Int)
+                (onEntailed: (DataFrame, Long) => Unit) =
+    instance.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        onEntailed(graft.operators.TripleStore.rdfsClosure(batch, schema, maxDepth), batchId)
+    }
+
   /** One idempotent merge step of [[coocMaintain]] (package-visible so the
     * replay contract is directly testable). The applied-version marker IS
     * the parquet job's own `_SUCCESS` commit — there is no separate pointer

@@ -250,6 +250,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming RDFS maintenance: union of per-batch entailments == batch closure of the full stream") {
+    import graft.operators.TripleStore
+    implicit val sql = spark.sqlContext
+    val schema = Seq(
+      ("p", "subPropertyOf", "q"),
+      ("p", "domain", "D"),
+      ("q", "range", "R"),
+      ("D", "subClassOf", "E")
+    ).toDF("subj", "pred", "obj")
+    val stream = MemoryStream[(String, String, String)]
+    val triples = stream.toDS().toDF("subj", "pred", "obj")
+    val standing = scala.collection.mutable.Set.empty[(String, String, String)]
+    val query = StreamingOps.rdfsStream(triples, schema, maxDepth = 3) { (ent, _) =>
+      standing ++= ent.as[(String, String, String)].collect()
+    }.start()
+    try {
+      val b0 = Seq(("a", "p", "b"), ("c", "q", "d"))
+      val b1 = Seq(("e", "p", "f"), ("a", "p", "b")) // cross-batch duplicate
+      stream.addData(b0); query.processAllAvailable()
+      stream.addData(b1); query.processAllAvailable()
+      val batch = TripleStore.rdfsClosure((b0 ++ b1).toDF("subj", "pred", "obj"),
+          schema, maxDepth = 3)
+        .as[(String, String, String)].collect().toSet
+      assert(standing.toSet == batch, s"standing=$standing batch=$batch")
+      // sanity: the stream really entailed beyond its inputs
+      assert(standing.contains(("a", "q", "b")), "subPropertyOf edge missing")
+      assert(standing.contains(("a", "type", "E")), "domain + subClassOf typing missing")
+    } finally query.stop()
+  }
+
   test("streaming SHACL: per-batch reports == batch validator; non-monotone constraints rejected") {
     import graft.operators.Shacl
     import graft.operators.Shacl._
