@@ -793,8 +793,23 @@ object TripleStore {
     * broadcast onto the instance side, so the instance graph shuffles only
     * for the final distinct. Returns asserted ∪ entailed, set semantics. */
   def rdfsClosure(instance: DataFrame, schema: DataFrame, maxDepth: Int): DataFrame = {
+    // OWL RL cax-eqc1/2 + prp-eqp1/2: equivalence IS bidirectional
+    // subsumption — expand each equivalence axiom into both sub-axiom
+    // directions BEFORE closing the hierarchies, so equivalent classes/
+    // properties form a 2-cycle of the sub* graph and entail both ways
+    // (boundedClosure's semi-naive anti-join terminates on cycles; the
+    // resulting self-subsumptions are absorbed by the final distinct).
+    def eqAsSub(eqPred: String, subPred: String): DataFrame = {
+      val eq = schema.filter(col("pred") === eqPred)
+      eq.select(col("subj"), lit(subPred).as("pred"), col("obj"))
+        .unionAll(eq.select(col("obj").as("subj"),
+          lit(subPred).as("pred"), col("subj").as("obj")))
+    }
+    val schemaX = schema
+      .unionAll(eqAsSub("equivalentClass", "subClassOf"))
+      .unionAll(eqAsSub("equivalentProperty", "subPropertyOf"))
     def closureOf(pred: String): DataFrame = {
-      val edges = schema.filter(col("pred") === pred).select(col("subj"), col("obj"))
+      val edges = schemaX.filter(col("pred") === pred).select(col("subj"), col("obj"))
       if (edges.isEmpty) edges
       else boundedClosure(edges, maxDepth).select(col("subj"), col("obj"))
     }

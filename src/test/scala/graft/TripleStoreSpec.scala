@@ -592,6 +592,38 @@ class TripleStoreSpec extends SparkTestBase {
     assert(full == merged, s"full=$full merged=$merged")
   }
 
+  test("rdfs closure: equivalentClass/equivalentProperty entail both ways and compose with sub* rules") {
+    val schema = Seq(
+      ("C1", "equivalentClass", "C2"),
+      ("C2", "subClassOf", "D"),
+      ("p", "equivalentProperty", "r"),
+      ("r", "domain", "DD")
+    ).toDF("subj", "pred", "obj")
+    val instance = Seq(
+      ("x", "type", "C1"),
+      ("y", "type", "C2"),
+      ("u", "p", "v"),
+      ("w", "r", "z")
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.rdfsClosure(instance, schema, maxDepth = 4)
+      .as[(String, String, String)].collect().toSet
+    // both equivalence directions + composition with subClassOf
+    assert(got.contains(("x", "type", "C2")), s"$got")
+    assert(got.contains(("x", "type", "D")), "eqClass must feed subClassOf")
+    assert(got.contains(("y", "type", "C1")), "equivalence is symmetric")
+    // property equivalence both ways; domain applies through it
+    assert(got.contains(("u", "r", "v")), s"$got")
+    assert(got.contains(("w", "p", "z")), "equivalentProperty is symmetric")
+    assert(got.contains(("u", "type", "DD")), "domain through equivalent property")
+    // nothing leaks beyond the expected closure
+    val want = instance.as[(String, String, String)].collect().toSet ++ Set(
+      ("x", "type", "C2"), ("x", "type", "D"), ("y", "type", "C1"),
+      ("y", "type", "D"),
+      ("u", "r", "v"), ("w", "p", "z"),
+      ("u", "type", "DD"), ("w", "type", "DD"))
+    assert(got == want, s"got=$got\nextra=${got -- want}\nmissing=${want -- got}")
+  }
+
   test("canonicalize: alias chains collapse to the min representative; set semantics") {
     val sameAs = Seq(("bob", "bobby"), ("bobby", "robert")).toDF("a", "b")
     val store = Seq(
