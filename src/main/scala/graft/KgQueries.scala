@@ -484,6 +484,104 @@ object KgQueries {
         .select(col("subj"), lit("type").as("pred"), lit("Entity").as("obj"))
       TripleStore.voidStats(coocStore(top20).unionAll(topStore(top1)).unionAll(typ))
         .orderBy("pred")
+    }),
+
+    // SPARQL FILTER EXISTS (positive): context edges whose term IS
+    // somebody's top term — the semi-join complement of q_kg_bgp_notexists
+    // (together the two partition q_kg_bgp_optional's bindings exactly)
+    "q_kg_exists" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, top1) = rankedStores(s, d)
+      val triples = coocStore(top20).unionAll(topStore(top1))
+      TripleStore.bgpExists(triples,
+          required = Seq((V("e"), C("coOccursWith"), V("t"))),
+          groups = Seq(Seq((V("t"), C("isTopTermOf"), V("e2")))))
+        .orderBy("e", "t")
+    }),
+
+    // SPARQL BIND + FILTER over expressions (§10.1): extend each context
+    // edge with the term's length and a capitalized form, keep len >= 4 —
+    // pure codegen column exprs over the bindings, zero added shuffles
+    "q_kg_bind" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      val b = TripleStore.bgp(coocStore(top20),
+        Seq((V("e"), C("coOccursWith"), V("t"))))
+      TripleStore.bind(b, Seq(
+          "len" -> length(col("t")).cast("long"),
+          "tcap" -> concat(upper(substring(col("t"), 1, 1)), expr("substring(t, 2)"))))
+        .filter(col("len") >= 4 && col("e") =!= col("t"))
+        .select("e", "t", "len", "tcap")
+        .orderBy("e", "t")
+    }),
+
+    // SPARQL solution modifiers (§15): top-10 shared-context entity pairs
+    // after skipping the podium — ORDER BY n_shared DESC (total order via
+    // e1, e2 tie-break) OFFSET 3 LIMIT 10. Plans as TakeOrderedAndProject
+    // (per-partition heap + one merged 13-row frame), never a global sort
+    "q_kg_orderlimit" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      val pairs = TripleStore.bgp(coocStore(top20), Seq(
+          (V("e1"), C("coOccursWith"), V("t")),
+          (V("e2"), C("coOccursWith"), V("t"))))
+        .filter(col("e1") < col("e2"))
+        .groupBy("e1", "e2").agg(count(lit(1)).as("n_shared"))
+      TripleStore.orderLimit(pairs,
+        Seq(col("n_shared").desc, col("e1"), col("e2")), limit = 10, offset = 3)
+    }),
+
+    // SPARQL numeric aggregates (§11) over a BOUND expression: per entity,
+    // SUM/AVG(strlen of its context terms) + pinned SAMPLE — exercises
+    // SumOf/AvgE4Of/SampleOf through the BIND → aggregate composition
+    "q_kg_agg_num" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      val b = TripleStore.bind(
+        TripleStore.bgp(coocStore(top20),
+          Seq((V("e"), C("coOccursWith"), V("t")))),
+        Seq("len" -> length(col("t")).cast("long")))
+      TripleStore.aggregate(b, Seq("e"), Seq(
+          TripleStore.SumOf("len", "sum_len"),
+          TripleStore.AvgE4Of("len", "avg_len_e4"),
+          TripleStore.SampleOf("t", "sample_t"),
+          TripleStore.CountAll("n")))
+        .orderBy("e")
+    }),
+
+    // SPARQL 1.1 §12 subquery: outer pattern (?e coOccursWith ?t) joined
+    // with the nested `SELECT ?t (COUNT(DISTINCT ?e2) AS ?n_entities)
+    // GROUP BY ?t` — evaluated bottom-up (Spark's natural dataflow) and
+    // equi-joined on the projected variable, exactly the spec's semantics
+    "q_kg_subquery" -> ((s, d) => {
+      import TripleStore.{C, V}
+      val (top20, _) = rankedStores(s, d)
+      val store = coocStore(top20)
+      val outer = TripleStore.bgp(store, Seq((V("e"), C("coOccursWith"), V("t"))))
+      val inner = TripleStore.bgpAgg(store,
+        where = Seq((V("e2"), C("coOccursWith"), V("t"))),
+        groupVars = Seq("t"),
+        aggs = Seq(TripleStore.CountDistinctOf("e2", "n_entities")))
+      outer.join(inner, Seq("t"))
+        .select("e", "t", "n_entities")
+        .orderBy("e", "t")
+    }),
+
+    // OWL RL prp-spo2 (property chain, length 2): coOccursWith ∘
+    // isTopTermOf ⊑ relatedEntity, with relatedEntity symmetric — the
+    // chain fires in round 1, the symmetric rule closes its output in
+    // round 2, fixpoint in round 3 (two interacting rule strata)
+    "q_kg_owl_chain" -> ((s, d) => {
+      import s.implicits._
+      val (top20, top1) = rankedStores(s, d)
+      val store = coocStore(top20).unionAll(topStore(top1))
+      val schema = Seq(
+        ("relatedEntity", "chainFirst", "coOccursWith"),
+        ("relatedEntity", "chainSecond", "isTopTermOf"),
+        ("relatedEntity", "type", "SymmetricProperty")
+      ).toDF("subj", "pred", "obj")
+      TripleStore.owlClosure(store, schema, maxRounds = 8)
+        .orderBy("subj", "pred", "obj")
     })
   )
 
@@ -1279,6 +1377,85 @@ object KgQueries {
          |SELECT '*', CAST(count(*) AS BIGINT), CAST(count(DISTINCT subj) AS BIGINT),
          |       CAST(count(DISTINCT obj) AS BIGINT)
          |FROM store
-         |ORDER BY pred""".stripMargin
+         |ORDER BY pred""".stripMargin,
+
+    // positive-EXISTS twin via semi-join SQL (complement of q_kg_bgp_notexists)
+    "q_kg_exists" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT a.entity AS e, a.term AS t
+         |FROM (SELECT entity, term FROM ranked WHERE rnk <= 20) a
+         |WHERE EXISTS (
+         |  SELECT 1 FROM (SELECT term FROM ranked WHERE rnk <= 1) b
+         |  WHERE b.term = a.term)
+         |ORDER BY e, t""".stripMargin,
+
+    // BIND/FILTER twin: the same scalar expressions in DuckDB dialect
+    "q_kg_bind" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT entity AS e, term AS t,
+         |       CAST(length(term) AS BIGINT) AS len,
+         |       upper(substr(term, 1, 1)) || substr(term, 2) AS tcap
+         |FROM ranked
+         |WHERE rnk <= 20 AND length(term) >= 4 AND entity <> term
+         |ORDER BY e, t""".stripMargin,
+
+    // ORDER BY / OFFSET / LIMIT twin over the shared-context pair counts
+    "q_kg_orderlimit" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |top20 AS (SELECT entity, term FROM ranked WHERE rnk <= 20),
+         |pairs AS (
+         |  SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_shared
+         |  FROM top20 a JOIN top20 b ON a.term = b.term AND a.entity < b.entity
+         |  GROUP BY 1, 2)
+         |SELECT e1, e2, n_shared FROM pairs
+         |ORDER BY n_shared DESC, e1, e2
+         |LIMIT 10 OFFSET 3""".stripMargin,
+
+    // numeric-aggregate twin; floor(avg*1e4) is the engine's standing e4
+    // fixed-point discipline, SAMPLE pinned to min
+    "q_kg_agg_num" ->
+      s"""${Queries.base},
+         |$rankedCte
+         |SELECT entity AS e,
+         |       CAST(sum(length(term)) AS BIGINT) AS sum_len,
+         |       CAST(floor(avg(length(term)) * 10000) AS BIGINT) AS avg_len_e4,
+         |       min(term) AS sample_t, count(*) AS n
+         |FROM ranked WHERE rnk <= 20
+         |GROUP BY entity ORDER BY e""".stripMargin,
+
+    // subquery twin: the nested grouped SELECT joined to the outer scan
+    "q_kg_subquery" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |top20 AS (SELECT entity, term FROM ranked WHERE rnk <= 20)
+         |SELECT a.entity AS e, a.term AS t, sub.n_entities
+         |FROM top20 a
+         |JOIN (SELECT term, count(DISTINCT entity) AS n_entities
+         |      FROM top20 GROUP BY term) sub
+         |  ON sub.term = a.term
+         |ORDER BY e, t""".stripMargin,
+
+    // property-chain twin: the chain fires only on base predicates and the
+    // symmetric rule only on the chain's output, so the fixpoint is two
+    // plain strata in SQL — no recursion needed
+    "q_kg_owl_chain" ->
+      s"""${Queries.base},
+         |$rankedCte,
+         |cooc_st AS (SELECT entity AS subj, 'coOccursWith' AS pred, term AS obj
+         |            FROM ranked WHERE rnk <= 20),
+         |top_st AS (SELECT term AS subj, 'isTopTermOf' AS pred, entity AS obj
+         |           FROM ranked WHERE rnk <= 1),
+         |chain AS (
+         |  SELECT c.subj, 'relatedEntity' AS pred, t.obj
+         |  FROM cooc_st c JOIN top_st t ON t.subj = c.obj)
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT * FROM cooc_st
+         |  UNION ALL SELECT * FROM top_st
+         |  UNION ALL SELECT * FROM chain
+         |  UNION ALL SELECT obj, pred, subj FROM chain)
+         |ORDER BY subj, pred, obj""".stripMargin
   )
 }

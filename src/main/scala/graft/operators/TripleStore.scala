@@ -289,14 +289,71 @@ object TripleStore {
     * differ) is rejected for the same reason as in bgpOptional: its
     * all-or-nothing semantics is almost certainly a query bug. */
   def bgpNotExists(triples: DataFrame, required: Seq[(Term, Term, Term)],
-                   negated: Seq[Seq[(Term, Term, Term)]]): DataFrame =
-    negated.foldLeft(bgp(triples, required)) { (acc, group) =>
+                   negated: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    val out = negated.foldLeft(bgp(triples, required)) { (acc, group) =>
       val g = bgp(triples, group)
       val common = acc.columns.toSet.intersect(g.columns.toSet).toSeq.sorted
       require(common.nonEmpty,
         s"NOT EXISTS group ${group.mkString(", ")} shares no variable with the required bindings")
       acc.join(g, common, "left_anti")
     }
+    // using-column joins move the join key first — restore bgp's
+    // documented alphabetical column contract
+    out.select(out.columns.sorted.map(col).toSeq: _*)
+  }
+
+  /** SPARQL `FILTER EXISTS` (positive): keep only the required BGP's
+    * bindings for which every `groups` pattern group has at least one
+    * match — the semi-join twin of [[bgpNotExists]] (one left-semi
+    * equi-join per group on the shared variables; the group's own
+    * bindings are tested for existence, never projected). Same
+    * well-designed-pattern guard: each group must share ≥1 variable with
+    * the required bindings, because a variable-disjoint EXISTS is an
+    * all-or-nothing global switch — route that through [[ask]] instead. */
+  def bgpExists(triples: DataFrame, required: Seq[(Term, Term, Term)],
+                groups: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    val out = groups.foldLeft(bgp(triples, required)) { (acc, group) =>
+      val g = bgp(triples, group)
+      val common = acc.columns.toSet.intersect(g.columns.toSet).toSeq.sorted
+      require(common.nonEmpty,
+        s"EXISTS group ${group.mkString(", ")} shares no variable with the required bindings" +
+          " — a variable-disjoint EXISTS is a global switch; use ask() for that")
+      acc.join(g, common, "left_semi")
+    }
+    out.select(out.columns.sorted.map(col).toSeq: _*) // see bgpNotExists
+  }
+
+  /** SPARQL `BIND` (§10.1) / projection expressions: extend a binding
+    * frame with computed columns, applied IN ORDER so later expressions
+    * may reference earlier ones (SPARQL's sequential-scope rule). Binding
+    * an already-bound variable is an error in SPARQL — enforced. Pure
+    * column expressions stay inside whole-stage codegen; no shuffle.
+    * SPARQL `FILTER` over expressions is plain `.filter(column)` on the
+    * result — no wrapper needed. */
+  def bind(bindings: DataFrame, exprs: Seq[(String, Column)]): DataFrame =
+    exprs.foldLeft(bindings) { (acc, e) =>
+      val (name, expr) = e
+      require(!acc.columns.contains(name),
+        s"BIND target ?$name is already bound (SPARQL forbids rebinding)")
+      acc.withColumn(name, expr)
+    }
+
+  /** SPARQL solution modifiers (§15): `ORDER BY … OFFSET k LIMIT n` over a
+    * binding frame. The order must be a TOTAL order for deterministic
+    * results (tie-break on the binding columns — enforced nowhere, pinned
+    * by every caller in this repo).
+    *
+    * Execution: Spark plans orderBy+limit as TakeOrderedAndProject — a
+    * per-partition top-(k+n) heap plus a single-partition merge of one
+    * (k+n)-row frame per task — NEVER a global range-partitioned sort, so
+    * the cost at 100 TB is one scan plus a driver-side merge of
+    * partition-count × (k+n) rows (PlanSpec asserts the plan shape). */
+  def orderLimit(bindings: DataFrame, order: Seq[Column],
+                 limit: Int, offset: Int = 0): DataFrame = {
+    require(limit > 0 && offset >= 0, s"need limit > 0, offset >= 0; got $limit/$offset")
+    val sorted = bindings.orderBy(order: _*)
+    (if (offset == 0) sorted else sorted.offset(offset)).limit(limit)
+  }
 
   /** SPARQL `MINUS` (SPARQL 1.1 §8.3, DiffMinus): drop a binding μ1 of the
     * first group when some binding μ2 of a MINUS group is compatible with
@@ -312,8 +369,8 @@ object TripleStore {
     * rejected: the group evaluates to a no-op without ever being joined
     * (zero added jobs). */
   def minus(triples: DataFrame, first: Seq[(Term, Term, Term)],
-            groups: Seq[Seq[(Term, Term, Term)]]): DataFrame =
-    groups.foldLeft(bgp(triples, first)) { (acc, group) =>
+            groups: Seq[Seq[(Term, Term, Term)]]): DataFrame = {
+    val out = groups.foldLeft(bgp(triples, first)) { (acc, group) =>
       val groupVars = group.flatMap { case (s, p, o) =>
         Seq(s, p, o).collect { case V(n) => n }
       }.toSet
@@ -321,6 +378,8 @@ object TripleStore {
       if (common.isEmpty) acc // disjoint domains: spec-mandated no-op
       else acc.join(bgp(triples, group), common, "left_anti")
     }
+    out.select(out.columns.sorted.map(col).toSeq: _*) // see bgpNotExists
+  }
 
   /** SPARQL 1.1 §11 aggregate specification for [[bgpAgg]]. `GroupConcat`
     * SORTS its values before joining: the SPARQL spec leaves GROUP_CONCAT
@@ -334,6 +393,18 @@ object TripleStore {
   final case class MinOf(variable: String, as: String) extends AggSpec
   final case class MaxOf(variable: String, as: String) extends AggSpec
   final case class GroupConcat(variable: String, sep: String, as: String) extends AggSpec
+  /** SPARQL `SUM` over an integer-valued binding (LONG; non-numeric
+    * strings become NULL under the cast, matching SQL). */
+  final case class SumOf(variable: String, as: String) extends AggSpec
+  /** SPARQL `AVG`, returned as `floor(avg × 10⁴)` LONG — the engine's
+    * standing e4 fixed-point discipline for cross-engine hash equality
+    * (floor, not round: both engines compute the same IEEE double, and
+    * floor has no tie to disagree on). */
+  final case class AvgE4Of(variable: String, as: String) extends AggSpec
+  /** SPARQL `SAMPLE` — spec says "any value from the group"; an arbitrary
+    * value is exactly what breaks determinism under repartition, so this
+    * engine pins SAMPLE = MIN (a legal choice; DuckDB twin `min(x)`). */
+  final case class SampleOf(variable: String, as: String) extends AggSpec
 
   /** SPARQL 1.1 grouped aggregation over BGP bindings: `GROUP BY` the
     * given variables, evaluate the aggregates, then apply the optional
@@ -343,9 +414,19 @@ object TripleStore {
     * collect_list ships only the grouped column, not the binding row). */
   def bgpAgg(triples: DataFrame, where: Seq[(Term, Term, Term)],
              groupVars: Seq[String], aggs: Seq[AggSpec],
-             having: Option[Column] = None): DataFrame = {
-    require(aggs.nonEmpty, "bgpAgg needs at least one aggregate")
-    val b = bgp(triples, where)
+             having: Option[Column] = None): DataFrame =
+    aggregate(bgp(triples, where), groupVars, aggs, having)
+
+  /** The aggregation core of [[bgpAgg]] over an ALREADY-EVALUATED binding
+    * frame — the hook SPARQL 1.1 §12 subqueries and §10.1 BIND need: a
+    * nested `SELECT (agg(…) AS ?x) WHERE {…} GROUP BY ?g` is evaluated
+    * bottom-up and joined with the outer group, and an aggregate over a
+    * BOUND expression (`SUM(?len)` where `?len` came from BIND) aggregates
+    * the extended frame. One hash aggregation, map-side partial combine
+    * for count/min/max/sum; collect_list ships only the grouped column. */
+  def aggregate(bindings: DataFrame, groupVars: Seq[String], aggs: Seq[AggSpec],
+                having: Option[Column] = None): DataFrame = {
+    require(aggs.nonEmpty, "aggregate needs at least one aggregate")
     val exprs = aggs.map {
       case CountAll(as)              => count(lit(1)).as(as)
       case CountDistinctOf(v, as)    => countDistinct(col(v)).as(as)
@@ -353,8 +434,12 @@ object TripleStore {
       case MaxOf(v, as)              => max(col(v)).as(as)
       case GroupConcat(v, sep, as)   =>
         array_join(array_sort(collect_list(col(v))), sep).as(as)
+      case SumOf(v, as)              => sum(col(v).cast("long")).as(as)
+      case AvgE4Of(v, as)            =>
+        floor(avg(col(v).cast("long")) * 10000).cast("long").as(as)
+      case SampleOf(v, as)           => min(col(v)).as(as)
     }
-    val grouped = b.groupBy(groupVars.map(col): _*)
+    val grouped = bindings.groupBy(groupVars.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
     having.fold(grouped)(grouped.filter)
   }
@@ -679,6 +764,11 @@ object TripleStore {
     *  - prp-inv1/2: `(p inverseOf q)` ⇒ `(s p o) ⊢ (o q s)` and `(s q o) ⊢ (o p s)`
     *  - prp-symp:   `(p type SymmetricProperty)` ⇒ `(s p o) ⊢ (o p s)`
     *  - prp-trp:    `(p type TransitiveProperty)` ⇒ `(s p m), (m p o) ⊢ (s p o)`
+    *  - prp-spo2 (length 2): `(p chainFirst q), (p chainSecond r)` ⇒
+    *    `(x q y), (y r z) ⊢ (x p z)` — the flat encoding of
+    *    `p owl:propertyChainAxiom (q r)` (the RDF-list form, flattened the
+    *    way this store flattens all list-valued schema; longer chains
+    *    compose from length-2 links through fresh predicates)
     *
     * Semi-naive: each round derives only from the LAST round's fresh
     * triples (the transitive rule joins fresh×all on BOTH sides, so chains
@@ -706,6 +796,14 @@ object TripleStore {
         .select(col("subj").as("pred")).distinct()
     val symPreds = typed("SymmetricProperty")
     val trnPreds = typed("TransitiveProperty")
+    // (head pred p, first leg q, second leg r) — ontology-sized, broadcast;
+    // the one-off emptiness probe (schema is a KB, not a corpus) keeps
+    // chain-free ontologies from paying two extra joins per round
+    val chains = schema.filter(col("pred") === "chainFirst")
+      .select(col("subj").as("cp"), col("obj").as("cq"))
+      .join(schema.filter(col("pred") === "chainSecond")
+        .select(col("subj").as("cp"), col("obj").as("cr")), Seq("cp"))
+    val hasChains = !chains.isEmpty
 
     var (all, allH) = Pinned.pinTracked(
       instance.select(col("subj"), col("pred"), col("obj")).distinct())
@@ -731,9 +829,20 @@ object TripleStore {
           .join(r.select(col("pred"), col("subj").as("mid"), col("obj")),
             Seq("pred", "mid"))
           .select(col("subj"), col("pred"), col("obj"))
-      val derived = viaInv.unionAll(viaSym)
+      // prp-spo2: first-leg rows tagged (head pred, second-leg pred),
+      // joined on (second-leg pred, mid) — semi-naive like prp-trp, fresh
+      // on either leg
+      def chainStep(l: DataFrame, r: DataFrame) =
+        l.join(broadcast(chains), l("pred") === chains("cq"))
+          .select(col("cp"), col("cr"), col("subj"), col("obj").as("mid"))
+          .join(r.select(col("pred").as("cr"), col("subj").as("mid"), col("obj")),
+            Seq("cr", "mid"))
+          .select(col("subj"), col("cp").as("pred"), col("obj"))
+      val base = viaInv.unionAll(viaSym)
         .unionAll(step(trnDelta, trnAll)).unionAll(step(trnAll, trnDelta))
-        .distinct()
+      val derived = (if (hasChains)
+        base.unionAll(chainStep(delta, all)).unionAll(chainStep(all, delta))
+      else base).distinct()
       val (fresh, freshH) = Pinned.pinTracked(
         derived.join(all, Seq("subj", "pred", "obj"), "left_anti"))
       if (fresh.isEmpty) {

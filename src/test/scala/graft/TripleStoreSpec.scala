@@ -732,4 +732,114 @@ class TripleStoreSpec extends SparkTestBase {
       ("spark", "type", "Entity"),            // rdfs3 on the INHERITED relatedTo edge
       ("spark", "type", "Resource")), s"$got")
   }
+
+  test("EXISTS: semi-join partitions the bindings with NOT EXISTS; disconnected group rejected") {
+    val req = Seq((V("a"), C("knows"), V("b")))
+    val grp = Seq(Seq((V("b"), C("likes"), V("w"))))
+    val pos = TripleStore.bgpExists(triples, req, grp)
+      .as[(String, String)].collect().toSet
+    // knows-edges whose target likes something: alice->bob, carol->alice
+    assert(pos == Set(("alice", "bob"), ("carol", "alice"), ("bob", "carol")), s"$pos")
+    val neg = TripleStore.bgpNotExists(triples, req, grp)
+      .as[(String, String)].collect().toSet
+    val all = TripleStore.bgp(triples, req).as[(String, String)].collect().toSet
+    assert((pos union neg) == all && (pos intersect neg).isEmpty, s"$pos / $neg")
+    // a group binding only fresh variables is a global switch — rejected
+    intercept[IllegalArgumentException] {
+      TripleStore.bgpExists(triples, req, Seq(Seq((V("x"), C("likes"), V("y")))))
+    }
+  }
+
+  test("BIND: sequential scope, later exprs see earlier ones, rebinding rejected") {
+    val b = TripleStore.bgp(triples, Seq((V("who"), C("likes"), V("what"))))
+    val got = TripleStore.bind(b, Seq(
+        "len" -> length(col("what")).cast("long"),
+        "len2" -> (col("len") * 2)))                 // references the prior BIND
+      .filter(col("len") >= 5)                       // SPARQL FILTER = plain .filter
+      .select("who", "what", "len", "len2")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("alice", "scala", 5L, 10L), ("bob", "scala", 5L, 10L)), s"$got")
+    intercept[IllegalArgumentException] {
+      TripleStore.bind(b, Seq("who" -> lit("x")))    // ?who is already bound
+    }
+  }
+
+  test("orderLimit: offset window under a total order; plans as TakeOrderedAndProject, no global sort") {
+    val b = TripleStore.bgp(triples, Seq((V("s"), V("p"), V("o"))))
+      .repartition(8)
+    val window = TripleStore.orderLimit(b, Seq(col("s"), col("p"), col("o")),
+      limit = 3, offset = 2)
+    val full = b.orderBy(col("s"), col("p"), col("o"))
+      .as[(String, String, String)].collect().toSeq
+    assert(window.as[(String, String, String)].collect().toSeq ==
+      full.slice(2, 5), "offset 2 limit 3 must be rows [2,5) of the total order")
+    val plan = window.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), s"global sort exchange leaked:\n$plan")
+    intercept[IllegalArgumentException] {
+      TripleStore.orderLimit(b, Seq(col("s")), limit = 0)
+    }
+  }
+
+  test("aggregate: SUM/AVG-e4/SAMPLE over a BIND-extended frame; avg floors, sample pinned to min") {
+    val b = TripleStore.bind(
+      TripleStore.bgp(triples, Seq((V("who"), V("p"), V("o")))),
+      Seq("len" -> length(col("o")).cast("long")))
+    val got = TripleStore.aggregate(b, Seq("who"), Seq(
+        TripleStore.SumOf("len", "sum_len"),
+        TripleStore.AvgE4Of("len", "avg_e4"),
+        TripleStore.SampleOf("o", "sample_o"),
+        TripleStore.CountAll("n")))
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // alice: objs bob(3), scala(5) — sum 8, avg 4.0 → 40000, sample "bob"
+    assert(got("alice") == ((8L, 40000L, "bob", 2L)), s"${got("alice")}")
+    // carol: alice(5), sql(3) — sum 8, avg 4.0 → 40000, sample "alice"
+    assert(got("carol") == ((8L, 40000L, "alice", 2L)), s"${got("carol")}")
+    // loop: loop(4) — avg 4.0
+    assert(got("loop") == ((4L, 40000L, "loop", 1L)), s"${got("loop")}")
+    // floor, not round: 2 objs of len 3 and 4 → avg 3.5 → 35000 exactly,
+    // while 3 objs len 3,3,4 → avg 10/3 → 33333 (floor of 33333.33…)
+    val tri = Seq(("x", "p", "abc"), ("x", "p", "abd"), ("x", "p", "abcd"))
+      .toDF("subj", "pred", "obj")
+    val g2 = TripleStore.aggregate(
+      TripleStore.bind(TripleStore.bgp(tri, Seq((C("x"), C("p"), V("o")))),
+        Seq("len" -> length(col("o")).cast("long"))),
+      Seq.empty, Seq(TripleStore.AvgE4Of("len", "avg_e4")))
+      .as[Long].collect().head
+    assert(g2 == 33333L, s"$g2")
+  }
+
+  test("owl closure: property chain (prp-spo2) fires, composes with symmetric, converges") {
+    val schema = Seq(
+      ("uncleOf", "chainFirst", "brotherOf"),
+      ("uncleOf", "chainSecond", "parentOf"),
+      ("uncleOf", "type", "SymmetricProperty")   // nonsense ontology, real stratum test
+    ).toDF("subj", "pred", "obj")
+    val instance = Seq(
+      ("sam", "brotherOf", "tom"),
+      ("tom", "parentOf", "ana"),
+      ("tom", "parentOf", "ben")
+    ).toDF("subj", "pred", "obj")
+    val got = TripleStore.owlClosure(instance, schema, maxRounds = 8)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("sam", "brotherOf", "tom"),
+      ("tom", "parentOf", "ana"),
+      ("tom", "parentOf", "ben"),
+      ("sam", "uncleOf", "ana"),   // chain round 1
+      ("sam", "uncleOf", "ben"),
+      ("ana", "uncleOf", "sam"),   // symmetric over the chain's output, round 2
+      ("ben", "uncleOf", "sam")), s"$got")
+    // chain output feeding the chain itself: q∘q ⊑ q reaches transitive
+    // closure of 2^k hops per round and converges
+    val hopSchema = Seq(
+      ("hop", "chainFirst", "hop"),
+      ("hop", "chainSecond", "hop")).toDF("subj", "pred", "obj")
+    val path = Seq(("a", "hop", "b"), ("b", "hop", "c"), ("c", "hop", "d"))
+      .toDF("subj", "pred", "obj")
+    val closed = TripleStore.owlClosure(path, hopSchema, maxRounds = 8)
+      .filter(col("subj") === "a").select("obj").as[String].collect().toSet
+    assert(closed == Set("b", "c", "d"), s"$closed")
+  }
 }
