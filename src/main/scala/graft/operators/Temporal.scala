@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Temporal operators over event streams — the reference-class time-series
+  * joins Spark lacks as built-ins, composed from Catalyst primitives so the
+  * whole family is one hash shuffle each (never a range cross-join):
+  *
+  *  - [[asofJoin]]: backward as-of join (latest right row at/before each
+  *    left row, per key) via union + partitioned forward-fill — zero joins.
+  *  - [[bandedPairs]]: |Δt| ≤ band self range-join via time-bucket
+  *    candidate generation — each qualifying pair produced EXACTLY once.
+  *  - [[sessionize]]: gap-based session assignment, one partitioned scan.
+  *
+  * All time columns are LONG epoch-micros BY CONTRACT (callers convert with
+  * `unix_micros`): timestamps hash/compare identically across engines and
+  * integer arithmetic is exact — the same e4/cents discipline as the rest
+  * of the engine. Determinism everywhere requires a total per-key order:
+  * ties at equal time break on the caller-named unique id column.
+  *
+  * Spec: BASELINE.json (reference tree empty, SURVEY.md §0); the as-of /
+  * range-join operator class is named in the build contract's custom-
+  * operator list.
+  */
+object Temporal {
+
+  private def requireLong(df: DataFrame, c: String, what: String): Unit =
+    require(df.schema(c).dataType == LongType,
+      s"$what column `$c` must be LONG epoch-micros (convert with unix_micros); " +
+        s"got ${df.schema(c).dataType.simpleString}")
+
+  /** Backward as-of join: for every `left` row, the most recent `right`
+    * row with the same `key` and `right.time <= left.time` (and, with
+    * `toleranceUs`, within that many micros — a staler match nulls out,
+    * it never falls back to an older row). Left rows ride through
+    * unconditionally (left-outer semantics): unmatched rows carry NULL in
+    * `asof_t` and every `asof_<v>` column.
+    *
+    * Tie pin: several right rows at one (key, time) resolve to the MAX
+    * `rightTie` (a unique id by caller contract) — "latest wins" needs a
+    * total order to be deterministic under repartition.
+    *
+    * Execution — the 100 TB shape: tag both sides, union, ONE hash
+    * exchange on `key`, in-partition sort by (time, side, tie), and a
+    * running `last(_, ignoreNulls)` forward-fill; left rows filter back
+    * out with their fill. No join node exists in the plan (PlanSpec
+    * asserts this): the naive per-key range join is O(|L|·|R|) per key,
+    * this is O((|L|+|R|) log) for the sort — and the sort is exactly what
+    * a sort-merge join would have paid anyway. Right rows sort BEFORE
+    * left rows at equal time (side 0 < 1), giving `<=` semantics. Skew =
+    * one hot key, the standing caveat of every keyed operator here. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               valueCols: Seq[String], rightTie: String,
+               toleranceUs: Option[Long] = None): DataFrame = {
+    requireLong(left, time, "left time")
+    requireLong(right, time, "right time")
+    require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    val badNames = valueCols.map("asof_" + _) :+ "asof_t"
+    require(!leftCols.exists(badNames.contains),
+      s"left already has a reserved output column (${badNames.mkString(", ")})")
+
+    val l = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(1).as("__side"),
+        lit(null).cast("long").as("__rt"),
+        lit(null).cast(right.schema(rightTie).dataType).as("__tie")) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")): _*)
+    val r = right.select(
+      leftCols.map(c =>
+        if (c == key || c == time) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        lit(0).as("__side"),
+        col(time).as("__rt"),
+        col(rightTie).as("__tie")) ++
+        valueCols.map(v => col(v).as(s"__v_$v")): _*)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn("__mt", last(col("__rt"), ignoreNulls = true).over(w))
+      .select((leftCols :+ "__side" :+ "__mt").map(col) ++
+        valueCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w).as(s"__f_$v")): _*)
+
+    val within = toleranceUs match {
+      case Some(tol) => col("__mt").isNotNull && (col(time) - col("__mt") <= tol)
+      case None      => col("__mt").isNotNull
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        Seq(when(within, col("__mt")).as("asof_t")) ++
+        valueCols.map(v => when(within, col(s"__f_$v")).as(s"asof_$v")): _*)
+  }
+
+  /** Banded self range-join: all UNORDERED pairs of `events` rows sharing
+    * `key` with `0 <= t_b - t_a <= bandUs`, each pair emitted exactly once
+    * as (earlier `a`, later `b`; ties on time ordered by `id`). Output:
+    * key, id_a, id_b, t_a, t_b, dt (= t_b - t_a).
+    *
+    * Execution — candidate banding, the standard defeat of the O(n²/key)
+    * range join: every row lands in time bucket ⌊t/band⌋; the probe side
+    * duplicates into {bucket, bucket−1}. A qualifying pair spans at most
+    * one bucket boundary, so it meets exactly once — same-bucket pairs
+    * join through the identity copy (the reversed duplicate fails the
+    * order predicate), boundary pairs through the −1 copy — hence NO
+    * de-dup shuffle afterwards. Cost: one equi-join on (key, bucket) with
+    * ≤2× the input as candidates, versus per-key quadratic for the naive
+    * theta-join; a hot (key, bucket) cell means the band genuinely packs
+    * that many co-occurring events — the output itself is that large. */
+  def bandedPairs(events: DataFrame, key: String, time: String, id: String,
+                  bandUs: Long): DataFrame = {
+    requireLong(events, time, "event time")
+    require(bandUs > 0, s"bandUs must be positive; got $bandUs")
+    val b = events.select(col(key), col(time), col(id))
+      .withColumn("__b", expr(s"`$time` DIV $bandUs"))
+    val lhs = b.select(col(key), col("__b"),
+      col(time).as("t_a"), col(id).as("id_a"))
+    val rhs = b.withColumn("__b", explode(array(col("__b"), col("__b") - 1)))
+      .select(col(key), col("__b"), col(time).as("t_b"), col(id).as("id_b"))
+    lhs.join(rhs, Seq(key, "__b"))
+      .filter((col("t_a") < col("t_b") ||
+        (col("t_a") === col("t_b") && col("id_a") < col("id_b"))) &&
+        col("t_b") - col("t_a") <= bandUs)
+      .select(col(key), col("id_a"), col("id_b"), col("t_a"), col("t_b"),
+        (col("t_b") - col("t_a")).as("dt"))
+  }
+
+  /** Gap-based sessionization: per `key`, order events by (time, id) and
+    * start a new session whenever the gap from the previous event exceeds
+    * `gapUs` (a gap of EXACTLY gapUs stays in-session). Adds `session` —
+    * the key-local 1-based session index — to every input row.
+    *
+    * Execution: one hash exchange on `key`, one in-partition sort, a lag
+    * and a running sum over the same window (single Window node, no second
+    * shuffle). The standing no-GLOBAL-window discipline doesn't apply:
+    * this window is partitioned by key, so it distributes. Per-key volume
+    * is user-stream-sized; a key whose whole history overflows one task
+    * is split upstream by time range, coarsest first (documented contract,
+    * same as every per-key scan here). */
+  def sessionize(events: DataFrame, key: String, time: String, id: String,
+                 gapUs: Long): DataFrame = {
+    requireLong(events, time, "event time")
+    require(gapUs > 0, s"gapUs must be positive; got $gapUs")
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col(id).asc)
+    val newSess = when(
+      lag(col(time), 1).over(w).isNull ||
+        col(time) - lag(col(time), 1).over(w) > gapUs, 1L).otherwise(0L)
+    events.withColumn("session",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Tumbling-window bucket column: ⌊t / widthUs⌋ over a LONG epoch-micros
+    * column — exact integer division (`DIV`), so Spark and any SQL twin
+    * bucket identically. Aggregation on top is a plain groupBy. */
+  def tumble(time: Column, widthUs: Long): Column = {
+    require(widthUs > 0, s"widthUs must be positive; got $widthUs")
+    call_function("div", time.cast("long"), lit(widthUs))
+  }
+}

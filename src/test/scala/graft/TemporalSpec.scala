@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Temporal operators: as-of join (hand fixture + randomized sweep vs a
+  * brute-force reference), banded range join (exactly-once vs quadratic
+  * reference, bucket-boundary pairs included), sessionization boundaries,
+  * and the no-join / single-shuffle plan shapes the operators promise. */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, t, key) probes and (id, t, key, v) quotes
+  private val probes = Seq(
+    (100L, 50L, "a"),   // between q1(10) and q2(70) -> q1
+    (101L, 70L, "a"),   // exactly at q2 -> q2 (<= semantics)
+    (102L, 5L, "a"),    // before everything -> null
+    (103L, 200L, "a"),  // after everything -> q3=100, but tolerance may cut
+    (104L, 60L, "b"),   // b has one quote at 60 with a TIE (two rows) -> max id
+    (105L, 10L, "c")    // key with no quotes at all -> null
+  ).toDF("event_id", "t", "k")
+  private val quotes = Seq(
+    (1L, 10L, "a", 11L),
+    (2L, 70L, "a", 22L),
+    (3L, 100L, "a", 33L),
+    (4L, 60L, "b", 44L),
+    (5L, 60L, "b", 55L)  // same (key, t) as id 4 -> the tie pin must pick id 5
+  ).toDF("event_id", "t", "k", "v")
+
+  test("asofJoin: <= semantics, ties pin to max id, tolerance nulls, unmatched ride through") {
+    val got = Temporal.asofJoin(probes, quotes, key = "k", time = "t",
+        valueCols = Seq("v"), rightTie = "event_id", toleranceUs = Some(80L))
+      .select("event_id", "asof_t", "asof_v")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) == ((Some(10L), Some(11L))))
+    assert(got(101L) == ((Some(70L), Some(22L))), "same-instant quote must match (<=)")
+    assert(got(102L) == ((None, None)))
+    assert(got(103L) == ((None, None)), "match at distance 100 > tolerance 80 must null")
+    assert(got(104L) == ((Some(60L), Some(55L))), "tie at equal (key,t) pins to max id")
+    assert(got(105L) == ((None, None)))
+    // without tolerance the stale match comes back
+    val loose = Temporal.asofJoin(probes, quotes, "k", "t", Seq("v"), "event_id")
+      .filter(col("event_id") === 103L)
+      .select("asof_t", "asof_v").as[(Option[Long], Option[Long])].collect().head
+    assert(loose == ((Some(100L), Some(33L))))
+  }
+
+  test("asofJoin: plan has ONE hash exchange and NO join node") {
+    val out = Temporal.asofJoin(probes, quotes, "k", "t", Seq("v"), "event_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("asofJoin: randomized sweep vs brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val keys = Vector("k1", "k2", "k3")
+      val l = (1 to 60).map(i =>
+        (1000L + i, rnd.nextInt(500).toLong, keys(rnd.nextInt(3))))
+      val r = (1 to 40).map(i =>
+        (2000L + i, rnd.nextInt(500).toLong, keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong))
+      val tol = 60L + rnd.nextInt(100)
+      val expect = l.map { case (lid, lt, lk) =>
+        val cand = r.filter(q => q._3 == lk && q._2 <= lt && lt - q._2 <= tol)
+        if (cand.isEmpty) lid -> ((None: Option[Long], None: Option[Long]))
+        else {
+          val best = cand.maxBy(q => (q._2, q._1)) // latest t, then max id
+          lid -> ((Some(best._2), Some(best._4)))
+        }
+      }.toMap
+      val got = Temporal.asofJoin(
+          l.toDF("event_id", "t", "k"), r.toDF("event_id", "t", "k", "v"),
+          "k", "t", Seq("v"), "event_id", Some(tol))
+        .select("event_id", "asof_t", "asof_v")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(got == expect, s"trial $trial tol=$tol")
+    }
+  }
+
+  test("bandedPairs: exactly once vs quadratic reference; boundary and same-t pairs included") {
+    val rnd = new scala.util.Random(11)
+    val band = 50L
+    val rows = (1 to 120).map(i =>
+      (i.toLong, rnd.nextInt(400).toLong, if (rnd.nextBoolean()) "x" else "y"))
+    // force a same-t pair and an exact-band-width pair across a bucket edge
+    val data = rows ++ Seq((900L, 149L, "x"), (901L, 149L, "x"), (902L, 199L, "x"))
+    val expect = (for {
+      a <- data; b <- data
+      if a._3 == b._3 && (a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)) &&
+        b._2 - a._2 <= band
+    } yield (a._3, a._1, b._1, b._2 - a._2)).toSet
+    val gotSeq = Temporal.bandedPairs(
+        data.toDF("event_id", "t", "k"), "k", "t", "event_id", band)
+      .select("k", "id_a", "id_b", "dt")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gotSeq.size == gotSeq.toSet.size, "a pair was produced more than once")
+    assert(gotSeq.toSet == expect)
+    assert(expect.contains(("x", 900L, 901L, 0L)), "fixture must exercise the same-t tie")
+    // 149 and 199 sit in adjacent 50-wide buckets at exactly band distance
+    assert(expect.contains(("x", 900L, 902L, band)), "fixture must exercise the exact-band bucket edge")
+  }
+
+  test("sessionize: gap boundary stays in-session, 1-based index, rollup matches hand count") {
+    val ev = Seq(
+      // user 1: gaps 10, 100 (break at gap>100? gapUs=100 -> 100 stays), 101 breaks
+      (1L, 0L, 1L), (2L, 10L, 1L), (3L, 110L, 1L), (4L, 211L, 1L),
+      // user 2: single event
+      (5L, 7L, 2L)
+    ).toDF("event_id", "t", "user_id")
+    val got = Temporal.sessionize(ev, "user_id", "t", "event_id", gapUs = 100L)
+      .select("event_id", "session").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, // 110-10=100 == gap stays
+      4L -> 2L,                                      // 211-110=101 > gap breaks
+      5L -> 1L), s"$got")
+    val plan = Temporal.sessionize(ev, "user_id", "t", "event_id", 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"sessionize must be one keyed exchange:\n$plan")
+  }
+
+  test("tumble: exact integer bucketing, no double-precision drift") {
+    val big = 86400000000L * 19676L // bucket-aligned epoch-micros magnitude
+    val got = Seq(big, big + 86399999999L, big + 86400000000L)
+      .toDF("t").select(Temporal.tumble(col("t"), 86400000000L).as("b"))
+      .as[Long].collect().toSeq
+    assert(got(0) == got(1) && got(2) == got(0) + 1, s"$got")
+  }
+
+  test("asofJoin/bandedPairs/sessionize reject non-long time columns and bad params") {
+    val tsFrame = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("event_id", "t", "k")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(tsFrame, quotes, "k", "t", Seq("v"), "event_id")
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.bandedPairs(tsFrame, "k", "t", "event_id", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.sessionize(probes, "k", "t", "event_id", gapUs = 0L)
+    }
+  }
+}
