@@ -266,6 +266,89 @@ object StreamingOps {
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")))
       .sorted.lastOption
 
+  /** Streaming gap-sessionization — the batch [[graft.operators.Temporal.sessionize]]
+    * semantics under Structured Streaming, via `flatMapGroupsWithState`
+    * with an EVENT-TIME timeout (the custom-state streaming shape the
+    * build contract names). State per user is ONE open session, REMOVED on
+    * close — state volume is bounded by the users active inside the
+    * watermark horizon, not by history. Closed sessions emit in append
+    * mode as `(user_id, start_t, end_t, n_events, sum_cents)`: a session's
+    * identity is its (user, start time) — stable across engines and
+    * restarts — rather than the batch rollup's per-user running index,
+    * which a streaming operator could only maintain by keeping every
+    * user's state forever.
+    *
+    * Closure invariant: the timeout is set to `end + gap` in event time.
+    * Once the watermark passes that instant, NO admissible future event
+    * can extend the session — any extender would carry `ts <= end + gap <
+    * watermark` and be dropped as late anyway — so every emitted session
+    * is FINAL (no retraction needed, which append mode could not express).
+    *
+    * Equivalence contract (StreamingSpec): streamed == batch sessionize
+    * when each user's events arrive in event-time order ACROSS batches;
+    * WITHIN a batch arrival order is irrelevant (events sort in-memory per
+    * key per batch — bounded by that user's share of one micro-batch). A
+    * cross-batch straggler inside the watermark that would retroactively
+    * BRIDGE two already-split sessions is the one divergence (the standard
+    * streaming-sessionization caveat); it extends the open session or
+    * starts its own, it never corrupts state. */
+  def sessionizeStream(events: Dataset[TimedEvent], gapUs: Long,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapUs > 0, s"gapUs must be positive; got $gapUs")
+    val gapMs = gapUs / 1000L
+
+    def close(uid: Long, s: OpenSession): SessionRow =
+      SessionRow(uid, s.start, s.end, s.n, s.cents)
+
+    def step(uid: Long, it: Iterator[TimedEvent],
+             state: GroupState[OpenSession]): Iterator[SessionRow] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).iterator
+        state.remove()
+        out
+      } else {
+        val evs = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption.orNull
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        evs.foreach { e =>
+          val t = e.ts.getTime * 1000L // ms → µs, exact
+          if (open == null)
+            open = OpenSession(t, t, 1L, e.cents)
+          else if (t - open.end <= gapUs) // gap EXACTLY equal stays (batch parity)
+            open = open.copy(end = math.max(open.end, t), n = open.n + 1L,
+              cents = open.cents + e.cents)
+          else {
+            closed += close(uid, open)
+            open = OpenSession(t, t, 1L, e.cents)
+          }
+        }
+        if (open != null) {
+          state.update(open)
+          state.setTimeoutTimestamp(open.end / 1000L + gapMs + 1L) // first ms past end+gap
+        }
+        closed.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+      .toDF("user_id", "start_t", "end_t", "n_events", "sum_cents")
+  }
+
+  /** One open session of [[sessionizeStream]] state: µs bounds, running
+    * count/sum. */
+  final case class OpenSession(start: Long, end: Long, n: Long, cents: Long)
+
+  /** Emitted (closed) session row of [[sessionizeStream]]. */
+  final case class SessionRow(user_id: Long, start_t: Long, end_t: Long,
+                              n_events: Long, sum_cents: Long)
+
+  /** Timestamped event row for the streaming-sessionization path. */
+  final case class TimedEvent(ts: Timestamp, event_id: Long, user_id: Long, cents: Long)
+
   /** Timestamped document row for the streaming-dedup path. */
   final case class TimedDoc(ts: Timestamp, repo: String, path: String, content: String)
 

@@ -324,4 +324,66 @@ class StreamingSpec extends SparkTestBase {
         constraints = Seq(ClassConstraint("likes", "Thing")))))((_, _) => ())
     }
   }
+
+  test("streaming sessionization: gap closes in-batch, event-time timeout closes idle; matches batch rollup") {
+    import graft.operators.Temporal
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedEvent]
+    val gapUs = 10L * 60L * 1000000L // 10 minutes
+    val out = StreamingOps.sessionizeStream(stream.toDS(), gapUs, watermark = "1 minutes")
+    val query = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+      // user 1: 10:00, 10:10 (gap EXACTLY 10 min -> same session), 10:30 (new)
+      // user 2: 10:00 alone — deliberately added in reversed/mixed order:
+      // within-batch arrival order must not matter
+      val batch1 = Seq(
+        StreamingOps.TimedEvent(ts(10, 30), 3L, 1L, 7L),
+        StreamingOps.TimedEvent(ts(10, 0), 4L, 2L, 11L),
+        StreamingOps.TimedEvent(ts(10, 10), 2L, 1L, 5L),
+        StreamingOps.TimedEvent(ts(10, 0), 1L, 1L, 3L))
+      stream.addData(batch1: _*)
+      query.processAllAvailable()
+      // user 1's first session closed by the in-batch gap; user 2's by the
+      // event-time timeout (batch1's own watermark 10:29 already passes its
+      // 10:10 close instant — Spark runs the no-data timeout batch eagerly);
+      // user 1's 10:30 session is still inside the horizon and stays open
+      val afterB1 = spark.table("sess_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00").getTime * 1000L
+      assert(afterB1 == Set(
+        (1L, t(10, 0), t(10, 10), 2L, 8L),
+        (2L, t(10, 0), t(10, 0), 1L, 11L)), s"$afterB1")
+      // two sentinel batches push the watermark far past every timeout
+      stream.addData(StreamingOps.TimedEvent(ts(12, 0), 100L, 99L, 0L))
+      query.processAllAvailable()
+      stream.addData(StreamingOps.TimedEvent(ts(13, 0), 101L, 98L, 0L))
+      query.processAllAvailable()
+      val all = spark.table("sess_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // the second sentinel's watermark also times out the first sentinel's
+      // own session; the LAST sentinel (user 98) is the only state left open
+      assert(all.contains((99L, t(12, 0), t(12, 0), 1L, 0L)), s"$all")
+      assert(!all.exists(_._1 == 98L), s"last sentinel must still be open: $all")
+      val closed = all.filter(_._1 < 98L)
+      assert(closed == Set(
+        (1L, t(10, 0), t(10, 10), 2L, 8L),
+        (1L, t(10, 30), t(10, 30), 1L, 7L),
+        (2L, t(10, 0), t(10, 0), 1L, 11L)), s"$closed")
+      // batch twin: same events through Temporal.sessionize + rollup,
+      // compared on the engine-stable (user, start, end, n, sum) identity
+      val batchRows = batch1.map(e =>
+        (e.event_id, e.ts.getTime * 1000L, e.user_id, e.cents))
+        .toDF("event_id", "t", "user_id", "cents")
+      val batchSessions = Temporal.sessionize(batchRows, "user_id", "t", "event_id", gapUs)
+        .groupBy("user_id", "session")
+        .agg(min(col("t")).as("start_t"), max(col("t")).as("end_t"),
+          count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .select("user_id", "start_t", "end_t", "n_events", "sum_cents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(batchSessions == closed,
+        s"stream/batch divergence: batch=$batchSessions stream=$closed")
+    } finally query.stop()
+  }
 }
