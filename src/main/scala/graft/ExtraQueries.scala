@@ -632,6 +632,17 @@ object ExtraQueries {
     "q_vocab_topk" -> ((s, d) =>
       TextStats.vocabulary(tokdocsWhere(s, d, lit(true)), 50).orderBy("rank")),
 
+    // EXACT heavy hitters (terms with >= N/40 of the token stream) via
+    // per-partition Misra-Gries candidates + exact recount — the
+    // candidate-then-verify path that never shuffles the full vocabulary;
+    // threshold derived from the stream itself so the query is sf-stable
+    "q_vocab_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      val td = tokdocsWhere(s, d, lit(true))
+      val n = td.toDF().agg(sum(size(col("terms"))).as("n")).as[Long].head()
+      TextStats.heavyHitters(td, minCount = n / 40L, capacity = 1024)
+    }),
+
     "q_text_fingerprint" -> ((s, d) => {
       val td = tokdocsWhere(s, d, lit(true))
       // per-doc rows (not one aggregate): a regression in the rolling hash
@@ -1706,6 +1717,22 @@ object ExtraQueries {
         |       CAST(round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |                  * 10000.0 / total) AS BIGINT) AS coverage_e4
         |FROM topk CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    // heavy hitters: plain GROUP BY + HAVING over the full stream — the
+    // oracle pays the vocabulary shuffle the engine's candidate-then-verify
+    // path avoids; threshold (N // 40) derived from the same stream
+    "q_vocab_heavyhitters" ->
+      """WITH t AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT unnest(arr) AS term FROM t),
+        |tot AS (SELECT count(*) AS n_tok FROM tok)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM tok CROSS JOIN tot
+        |GROUP BY term, n_tok
+        |HAVING count(*) >= n_tok // 40
+        |ORDER BY n DESC, term""".stripMargin,
 
     // connected components over the planted near-dup pair graph: the pair
     // set is the exact n-gram Jaccard (same CTE shape as q_dedup_ngram's

@@ -283,6 +283,68 @@ object TextStats {
       .select("rank", "term", "n", "share_e4", "coverage_e4")
   }
 
+  /** EXACT distributed heavy hitters: every term with global count ≥
+    * `minCount`, with its exact count — WITHOUT the vocabulary-sized
+    * shuffle exact top-k ([[vocabulary]]) pays. Two stages:
+    *
+    *  1. per-partition Misra–Gries summaries of `capacity` counters
+    *     (mapPartitions, zero shuffle) — the candidate generator. MG's
+    *     guarantee: a term absent from partition p's summary has
+    *     partition count ≤ n_p/(capacity+1), so a term absent from EVERY
+    *     summary has global count ≤ N/(capacity+1) < minCount — NO false
+    *     negatives (the operator THROWS if `minCount` doesn't clear that
+    *     bound, converge-or-throw style, instead of silently missing
+    *     hitters).
+    *  2. exact recount restricted to the candidate set (≤ partitions ×
+    *     capacity rows, broadcast semi-join) — false positives die here.
+    *
+    * 100 TB shape: the only shuffle is the recount aggregation over
+    * candidate terms only; state per task is `capacity` counters. This is
+    * the candidate-then-verify pattern (same as LSH-dedup): sketch for
+    * recall, exact pass for precision. */
+  def heavyHitters(td: Dataset[TokDoc], minCount: Long, capacity: Int = 1024): DataFrame = {
+    require(minCount > 0 && capacity > 0, s"need minCount/capacity > 0; got $minCount/$capacity")
+    import td.sparkSession.implicits._
+    val terms = td.flatMap(_.terms.iterator)
+    // (term, n_p): candidate rows carry term, one marker row per partition
+    // (term = null) carries the partition's token count for the bound check
+    val summaries = terms.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      it.foreach { t =>
+        np += 1L
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None if m.size < capacity => m.update(t, 1L)
+          case None => // Misra–Gries decrement-all; zeros evict
+            val dead = m.iterator.collect { case (k, 1L) => k }.toList
+            m.mapValuesInPlace((_, c) => c - 1L)
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator.map(k => (k, 0L)) ++ Iterator((null: String, np))
+    }.toDF("term", "np")
+    val (cand, h) = graft.plans.Pinned.pinTracked(summaries)
+    val keys = try {
+      val n = cand.filter(col("term").isNull)
+        .agg(coalesce(sum(col("np")), lit(0L))).as[Long].head()
+      val bound = n / (capacity + 1L)
+      require(minCount > bound,
+        s"minCount=$minCount does not clear the Misra–Gries no-false-negative bound " +
+          s"N/(capacity+1)=$bound — raise capacity or the threshold")
+      // bounded pull (≤ partitions × capacity rows) — same class as the
+      // dictionary/model pulls elsewhere; frees the pin before returning
+      // the lazy recount so no lineage escapes the pin's lifetime
+      cand.filter(col("term").isNotNull).select("term").distinct()
+        .as[String].collect().sorted
+    } finally graft.plans.Pinned.free(td.sparkSession, h)
+    terms.toDF("term")
+      .join(broadcast(keys.toSeq.toDF("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** ASCII-case-insensitive literal as an explicit character-class regex
     * ("script" -> "[sS][cC]..."): dialect-neutral case folding — an inline
     * (?i) would be ASCII-only in Java but Unicode in RE2 (U+017F 'ſ' folds

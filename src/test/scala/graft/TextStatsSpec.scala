@@ -191,4 +191,36 @@ class TextStatsSpec extends SparkTestBase {
     // short-doc edge: fewer tokens than k
     assert(TextStats.kgramHashes(Array("a", "b"), 5).isEmpty)
   }
+
+  test("heavyHitters: MG candidates + exact recount == brute force; eviction fires; bound guard throws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocabN = 60
+    // skewed stream (r^3 concentrates mass on low ids) so some terms are
+    // heavy and most are not
+    val stream = (1 to 3000).map { _ =>
+      s"t${math.min(vocabN - 1, (math.pow(rnd.nextDouble(), 3) * vocabN).toInt)}"
+    }
+    val docs = stream.grouped(50).zipWithIndex
+      .map { case (ts, i) => TokDoc(s"d$i", ts.toArray) }.toSeq.toDS()
+      .repartition(6) // several partitions -> several MG summaries
+    val exact = stream.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val minCount = 200L // bound with capacity 32: 3000/33 = 90 < 200 (guard clears)
+    val expect = exact.filter(_._2 >= minCount).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    // capacity 32 < 60-term vocab: the decrement-all eviction path runs
+    val got = TextStats.heavyHitters(docs, minCount, capacity = 32)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(expect.nonEmpty && expect.size < vocabN,
+      s"fixture must have a non-trivial heavy set: ${expect.size}")
+    // a capacity big enough to never evict agrees exactly
+    val gotBig = TextStats.heavyHitters(docs, minCount, capacity = 4096)
+      .as[(String, Long)].collect().toSeq
+    assert(gotBig == expect)
+    // threshold below N/(capacity+1): no-false-negative guarantee gone -> throw
+    intercept[IllegalArgumentException] {
+      TextStats.heavyHitters(docs, minCount = 50L, capacity = 32)
+    }
+  }
 }
