@@ -75,6 +75,34 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
         .orderBy("event_type", "bucket"))
+        ,
+
+    // forward as-of join: each view joined to the user's NEXT click at/after
+    // it, 24 h tolerance — the time-reversal dual of q_events_asof, same
+    // no-join single-exchange plan
+    "q_events_asof_fwd" -> ((s, d) => {
+      val ev = eventsOf(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "t", "user_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "t", "user_id", "cents")
+      Temporal.asofJoinForward(views, clicks, key = "user_id", time = "t",
+          valueCols = Seq("cents"), rightTie = "event_id",
+          toleranceUs = Some(24L * hourUs))
+        .select("event_id", "user_id", "t", "asof_t", "asof_cents")
+        .orderBy("event_id")
+    }),
+
+    // sliding (hopping) windows: 6 h windows hopping hourly per event type —
+    // closed-form window-index array (exactly width/step entries), explode,
+    // one map-side-combinable aggregation; no range join, no post-filter
+    "q_events_sliding" -> ((s, d) =>
+      eventsOf(s, d)
+        .select(col("event_type"), col("cents"),
+          explode(Temporal.slideIndexes(col("t"), 6L * hourUs, hourUs)).as("w"))
+        .groupBy(col("event_type"), (col("w") * hourUs).as("win_start"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type", "win_start"))
   )
 
   private val evCte: String =
@@ -142,6 +170,43 @@ object EventQueries {
          |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
          |       min(cents) AS min_cents, max(cents) AS max_cents
          |FROM ev GROUP BY 1, 2
-         |ORDER BY event_type, bucket""".stripMargin
+         |ORDER BY event_type, bucket""".stripMargin,
+
+    // forward dual of the q_events_asof oracle: argmin time per view via a
+    // correlated group-by, max-id row at that time — again an independent
+    // quadratic formulation, not a replay of the time-reversal reduction
+    "q_events_asof_fwd" ->
+      s"""WITH $evCte,
+         |l AS (SELECT * FROM ev WHERE event_type = 'view'),
+         |r AS (SELECT * FROM ev WHERE event_type = 'click'),
+         |m AS (
+         |  SELECT l.event_id AS lid, min(r.t) AS mt
+         |  FROM l JOIN r ON r.user_id = l.user_id AND r.t >= l.t
+         |                AND r.t - l.t <= CAST(86400 AS BIGINT) * 1000000
+         |  GROUP BY 1),
+         |mm AS (
+         |  SELECT m.lid, m.mt, max(r.event_id) AS rid
+         |  FROM m JOIN l ON l.event_id = m.lid
+         |         JOIN r ON r.user_id = l.user_id AND r.t = m.mt
+         |  GROUP BY 1, 2)
+         |SELECT l.event_id, l.user_id, l.t, mm.mt AS asof_t, r2.cents AS asof_cents
+         |FROM l LEFT JOIN mm ON mm.lid = l.event_id
+         |       LEFT JOIN r r2 ON r2.event_id = mm.rid
+         |ORDER BY l.event_id""".stripMargin,
+
+    // independent membership formulation: an event at t is in window k iff
+    // k*step <= t < k*step + width — enumerated via generate_series over the
+    // hop offsets (floor-division `//` equals Spark's DIV on the
+    // non-negative epoch-micros contract)
+    "q_events_sliding" ->
+      s"""WITH $evCte
+         |SELECT event_type,
+         |       (t // 3600000000 - gs.j) * 3600000000 AS win_start,
+         |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM ev CROSS JOIN generate_series(0, 5) AS gs(j)
+         |WHERE t >= (t // 3600000000 - gs.j) * 3600000000
+         |  AND t <  (t // 3600000000 - gs.j) * 3600000000 + 6 * 3600000000
+         |GROUP BY 1, 2
+         |ORDER BY event_type, win_start""".stripMargin
   )
 }

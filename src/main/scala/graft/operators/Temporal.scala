@@ -160,4 +160,49 @@ object Temporal {
     require(widthUs > 0, s"widthUs must be positive; got $widthUs")
     call_function("div", time.cast("long"), lit(widthUs))
   }
+
+  /** Forward as-of join: for every `left` row, the EARLIEST `right` row
+    * with the same `key` and `right.time >= left.time` (with `toleranceUs`,
+    * within that many micros). Ties at the matched instant pin to MAX
+    * `rightTie`, same total-order rule as the backward direction.
+    *
+    * Execution: exact time-reversal reduction onto [[asofJoin]] — negate
+    * both time columns (LONG epoch-micros negate losslessly; the order
+    * dual of `>=`-nearest-above is `<=`-nearest-below), forward-fill once,
+    * un-negate the outputs. Inherits the backward operator's whole plan
+    * shape: one hash exchange, zero join nodes, O((|L|+|R|) log) sort. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      time: String, valueCols: Seq[String], rightTie: String,
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    requireLong(left, time, "left time")
+    requireLong(right, time, "right time")
+    asofJoin(
+      left.withColumn(time, -col(time)),
+      right.withColumn(time, -col(time)),
+      key, time, valueCols, rightTie, toleranceUs)
+      .withColumn(time, -col(time))
+      .withColumn("asof_t", -col("asof_t"))
+  }
+
+  /** Sliding (hopping) window indexes for one event: the window with start
+    * `k * stepUs` covers `[k*stepUs, k*stepUs + widthUs)`, so an event at
+    * `t` belongs to EXACTLY `widthUs / stepUs` consecutive windows,
+    * `k ∈ [t DIV stepUs − hops + 1, t DIV stepUs]` — a closed-form ARRAY
+    * column (no range join, no post-filter). `explode` it and groupBy the
+    * index; aggregation stays map-side-combinable with a fixed, known ×hops
+    * input amplification (the unavoidable cost of overlapping windows —
+    * Spark's own streaming `window(slide)` does the same replication).
+    * Requires `widthUs % stepUs == 0` (hop-aligned windows) and a
+    * non-negative time column (epoch-micros by contract; `DIV` truncates
+    * toward zero, which equals floor only on non-negatives — the caller's
+    * SQL twin can then use floor-division `//` interchangeably). */
+  def slideIndexes(time: Column, widthUs: Long, stepUs: Long): Column = {
+    require(stepUs > 0, s"stepUs must be positive; got $stepUs")
+    require(widthUs >= stepUs, s"widthUs ($widthUs) must be >= stepUs ($stepUs)")
+    require(widthUs % stepUs == 0,
+      s"widthUs ($widthUs) must be a multiple of stepUs ($stepUs)")
+    val hops = widthUs / stepUs
+    val hi = call_function("div", time.cast("long"), lit(stepUs))
+    sequence(hi - lit(hops - 1), hi)
+  }
 }

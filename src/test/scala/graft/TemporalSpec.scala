@@ -131,6 +131,72 @@ class TemporalSpec extends SparkTestBase {
     assert(got(0) == got(1) && got(2) == got(0) + 1, s"$got")
   }
 
+  test("asofJoinForward: >= semantics, tie pin, tolerance; randomized sweep vs brute force") {
+    // hand fixture: the mirror of the backward cases
+    val got = Temporal.asofJoinForward(probes, quotes, key = "k", time = "t",
+        valueCols = Seq("v"), rightTie = "event_id", toleranceUs = Some(80L))
+      .select("event_id", "asof_t", "asof_v")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) == ((Some(70L), Some(22L))), "next quote at/after 50 is q2@70")
+    assert(got(101L) == ((Some(70L), Some(22L))), "same-instant quote must match (>=)")
+    assert(got(102L) == ((Some(10L), Some(11L))), "t=5 -> next is q1@10")
+    assert(got(103L) == ((None, None)), "nothing at/after 200")
+    assert(got(104L) == ((Some(60L), Some(55L))), "tie at equal (key,t) pins to max id")
+    assert(got(105L) == ((None, None)))
+    // randomized sweep
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val keys = Vector("k1", "k2", "k3")
+      val l = (1 to 60).map(i =>
+        (1000L + i, rnd.nextInt(500).toLong, keys(rnd.nextInt(3))))
+      val r = (1 to 40).map(i =>
+        (2000L + i, rnd.nextInt(500).toLong, keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong))
+      val tol = 60L + rnd.nextInt(100)
+      val expect = l.map { case (lid, lt, lk) =>
+        val cand = r.filter(q => q._3 == lk && q._2 >= lt && q._2 - lt <= tol)
+        if (cand.isEmpty) lid -> ((None: Option[Long], None: Option[Long]))
+        else {
+          val best = cand.minBy(q => (q._2, -q._1)) // earliest t, then max id
+          lid -> ((Some(best._2), Some(best._4)))
+        }
+      }.toMap
+      val gotR = Temporal.asofJoinForward(
+          l.toDF("event_id", "t", "k"), r.toDF("event_id", "t", "k", "v"),
+          "k", "t", Seq("v"), "event_id", Some(tol))
+        .select("event_id", "asof_t", "asof_v")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(gotR == expect, s"trial $trial tol=$tol")
+    }
+  }
+
+  test("asofJoinForward: inherits the no-join single-exchange plan") {
+    val plan = Temporal.asofJoinForward(probes, quotes, "k", "t", Seq("v"), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"forward as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("slideIndexes: every event in exactly width/step windows; membership exact vs definition") {
+    val width = 60L; val step = 20L // 3 hops
+    val ts = Seq(0L, 1L, 19L, 20L, 59L, 60L, 61L, 999L, 1000L, 1001L)
+    val got = ts.toDF("t")
+      .select(col("t"), explode(Temporal.slideIndexes(col("t"), width, step)).as("w"))
+      .as[(Long, Long)].collect().toSeq
+    // definitional reference: t in window k iff k*step <= t < k*step + width
+    val expect = (for { t <- ts; k <- (t / step - 2) to (t / step) } yield (t, k)).toSet
+    assert(got.size == ts.size * 3, "each event must land in exactly width/step windows")
+    assert(got.toSet == expect)
+    got.foreach { case (t, k) =>
+      assert(k * step <= t && t < k * step + width, s"($t, $k) violates window membership")
+    }
+    intercept[IllegalArgumentException] {
+      Seq(1L).toDF("t").select(Temporal.slideIndexes(col("t"), 50L, 20L)).collect()
+    }
+  }
+
   test("asofJoin/bandedPairs/sessionize reject non-long time columns and bad params") {
     val tsFrame = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
       .toDF("event_id", "t", "k")
