@@ -661,6 +661,27 @@ object ExtraQueries {
       val toks = tokdocsWhere(s, d, lit(true)).toDF()
         .select(col("docid"), explode(col("terms")).as("term"))
       operators.Search.bm25(toks, Seq("spark", "join", "table"), topN = 20)
+    }),
+
+    // bloom-pruned fact⋈dim join: lineitem joined to the ~10% of orders
+    // above the price cut, with the fact side bloom-pruned BEFORE its
+    // shuffle (operators.BloomPrune; the probe is the codegen'd
+    // BloomMightContain expression). Bloom filters have no false
+    // negatives, so the oracle is the PLAIN SQL join — the prune must be
+    // invisible in the result; BloomSpec separately asserts the plan shape
+    // (probe filter below the exchange) and the prune's effectiveness.
+    "q_join_bloom" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      val dim = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") >= 450000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      operators.BloomPrune.prunedEquiJoin(li, dim, "l_orderkey", "o_orderkey", fpp = 0.01)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("rev_cents_sum"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1985,6 +2006,16 @@ object ExtraQueries {
         |                  * 10000) AS BIGINT) AS score_e4
         |FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.docid = dl.docid
         |GROUP BY tf.docid
-        |ORDER BY score_e4 DESC, tf.docid LIMIT 20""".stripMargin
+        |ORDER BY score_e4 DESC, tf.docid LIMIT 20""".stripMargin,
+
+    // the plain join IS the oracle: bloom pruning has no false negatives,
+    // so any leaked difference is a bug in the probe/build path
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice >= 450000.0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, NullType, ShortType}
 
-import graft.functions.{ArrayDot, HyperGeom, LogHypergeomTail}
+import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail}
 
 /** Public SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions. Activate with
@@ -61,12 +61,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ArrayDot(c(0), c(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomMightContainName),
+      new ExpressionInfo(classOf[BloomMightContain].getName, GraftFunctions.BloomMightContainName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"${GraftFunctions.BloomMightContainName} expects (key, filterBinary)")
+        // no builder-side coercion: an INT key hashing differently from the
+        // LONG the filter was built over must fail analysis, not truncate
+        BloomMightContain(children(0), children(1))
+      }))
   }
 }
 
 object GraftFunctions {
   val LogHypergeomName = "graft_log_hypergeom_tail"
   val ArrayDotName = "graft_array_dot"
+  val BloomMightContainName = "graft_bloom_might_contain"
 
   /** Make graft functions callable on any session, including ones the driver
     * built without our extensions: if the native Catalyst expression is not
@@ -101,6 +112,18 @@ object GraftFunctions {
             if (ok) java.lang.Double.valueOf(s) else null.asInstanceOf[java.lang.Double]
           }
         })
+    }
+    if (!spark.catalog.functionExists(GraftFunctions.BloomMightContainName)) {
+      // fallback for sessions without the extension: the per-filter
+      // deserialization is amortized by the content-keyed JVM cache in
+      // BloomMightContain (one readFrom per executor per filter, not per
+      // row); key type is LONG here — the fallback serves the engine's own
+      // operators, which align keys to LONG before probing
+      spark.udf.register(GraftFunctions.BloomMightContainName,
+        (key: java.lang.Long, bits: Array[Byte]) =>
+          if (key == null) null.asInstanceOf[java.lang.Boolean]
+          else java.lang.Boolean.valueOf(
+            BloomMightContain.filterFrom(bits).mightContainLong(key.longValue())))
     }
   }
 }

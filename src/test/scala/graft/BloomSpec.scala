@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomPrune
+
+/** Bloom-pruned join: the no-false-negative contract (pruned join ==
+  * plain join, bit-for-bit, randomized), actual prune effectiveness, the
+  * string-key probe path, and the plan shape the operator exists for —
+  * the probe filter runs strictly BELOW the join's shuffle, with no
+  * exchange beneath it. */
+class BloomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(17)
+  private val big = (1 to 4000)
+    .map(i => (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100)))
+    .toDF("row_id", "k", "payload")
+  // small side keeps ~10% of the key space
+  private val small = (0 until 1000).filter(_ % 10 == 3)
+    .map(k => (k.toLong, s"dim_$k")).toDF("sk", "dim")
+
+  test("pruned join result is bit-identical to the plain join (no false negatives)") {
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("row_id", "k", "payload", "dim")
+      .collect().map(_.toString).sorted.toSeq
+    for (fpp <- Seq(0.2, 0.01)) { // even a sloppy filter must stay exact
+      val pruned = BloomPrune.prunedEquiJoin(big, small, "k", "sk", fpp = fpp)
+        .select("row_id", "k", "payload", "dim")
+        .collect().map(_.toString).sorted.toSeq
+      assert(pruned == plain, s"fpp=$fpp changed the join result")
+    }
+  }
+
+  test("probe actually prunes: survivor count is near the true match rate") {
+    val bf = BloomPrune.buildFilter(small, col("sk"), expectedItems = 100L, fpp = 0.01)
+    val survivors = big.filter(BloomPrune.mightContain(bf, col("k"))).count()
+    val trueMatches = big.join(small, col("k") === col("sk")).count()
+    assert(survivors >= trueMatches, "bloom can never drop a true match")
+    // 1% fpp on a 90%-droppable side: survivors should sit well under half
+    assert(survivors <= trueMatches + (big.count() * 0.05).toLong,
+      s"prune too leaky: $survivors survivors for $trueMatches true matches")
+  }
+
+  test("string keys probe through mightContainString") {
+    val bigS = (1 to 500).map(i => (i.toLong, s"key_${i % 40}")).toDF("row_id", "k")
+    val smallS = (0 until 40).filter(_ % 4 == 1).map(k => s"key_$k").toDF("sk")
+    val bf = BloomPrune.buildFilter(smallS, col("sk"), 10L, 0.01)
+    val got = bigS.filter(BloomPrune.mightContain(bf, col("k")))
+      .join(smallS, col("k") === col("sk")).count()
+    val want = bigS.join(smallS, col("k") === col("sk")).count()
+    assert(got == want)
+    // NULL keys drop (cannot match an equi-join anyway)
+    val withNull = Seq((1L, "key_1"), (2L, null)).toDF("row_id", "k")
+    assert(withNull.filter(BloomPrune.mightContain(bf, col("k"))).count() == 1L)
+  }
+
+  test("plan shape: probe filter sits below the join exchange, no exchange beneath it") {
+    // real datasource scans (range), not LocalRelation — the optimizer
+    // evaluates filters over local tables at PLAN time, which would make
+    // the probe invisible; and force the shuffle join the prune exists for
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bigR = spark.range(4000).select(col("id").as("row_id"),
+        pmod(col("id") * 2654435761L, lit(1000)).cast("long").as("k"))
+      val smallR = spark.range(100).select((col("id") * 10 + 3).as("sk"))
+      val joined = BloomPrune.prunedEquiJoin(bigR, smallR, "k", "sk",
+        fpp = 0.01, expectedItems = Some(100L))
+      joined.collect() // finalize the adaptive plan
+      // plan.collect stops at AQE query-stage boundaries — descend through
+      // them to see the per-stage subtrees where the probe filter lives
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(joined.queryExecution.executedPlan)
+      val probeFilters = nodes.collect {
+        case f: FilterExec if f.condition.toString.contains("graft_bloom_might_contain") => f
+      }
+      assert(probeFilters.nonEmpty,
+        s"no bloom probe filter in plan:\n${joined.queryExecution.executedPlan}")
+      probeFilters.foreach { f =>
+        val below = f.collect { case e: Exchange => e }
+        assert(below.isEmpty, s"bloom probe must run pre-shuffle, found exchange beneath:\n$f")
+      }
+      assert(nodes.exists(_.isInstanceOf[Exchange]),
+        "fixture must actually exercise a shuffle join")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("builder rejects bad sizing parameters") {
+    intercept[IllegalArgumentException] {
+      BloomPrune.buildFilter(small, col("sk"), expectedItems = 0L, fpp = 0.01)
+    }
+    intercept[IllegalArgumentException] {
+      BloomPrune.buildFilter(small, col("sk"), expectedItems = 10L, fpp = 1.5)
+    }
+  }
+}
