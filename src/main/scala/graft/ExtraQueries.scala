@@ -682,7 +682,28 @@ object ExtraQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("rev_cents_sum"))
         .orderBy("o_orderpriority")
-    })
+    }),
+
+    // exact per-label embedding centroids through the VectorSumAgg custom
+    // aggregate (one partial array per label×partition rides the shuffle,
+    // never the ×dim exploded stream); emitted per (label, dim) so the
+    // oracle's parallel-unnest formulation compares every component
+    "q_emb_centroid" -> ((s, d) =>
+      operators.Embeddings.centroids(emb(s, d, Int.MaxValue), "label", "embedding")
+        .select(col("label"), col("n"),
+          posexplode(col("qsum")).as(Seq("dim", "qsum_d")))
+        .withColumn("mean_q",
+          operators.Embeddings.fdiv(col("qsum_d"), col("n")))
+        .select("label", "dim", "n", "qsum_d", "mean_q")
+        .orderBy("label", "dim")),
+
+    // SemDeDup-style centroid-distance outliers: top-2 farthest vectors
+    // per label in exact µ-unit integer L2²; centroid table broadcasts,
+    // the corpus never shuffles for scoring
+    "q_emb_outliers" -> ((s, d) =>
+      operators.Embeddings.outliers(emb(s, d, Int.MaxValue),
+          "vec_id", "label", "embedding", k = 2)
+        .orderBy("label", "rnk"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -2016,6 +2037,51 @@ object ExtraQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice >= 450000.0
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // independent ×dim formulation: parallel unnest (zips value and 0-based
+    // dim index) + plain GROUP BY — the posexplode shape VectorSumAgg
+    // exists to avoid, which is exactly why it is the right oracle; the
+    // floor-div identity (s - pmod)/n is exact in both dialects
+    "q_emb_centroid" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS qv,
+        |         unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim, count(*) AS n,
+        |       CAST(sum(qv) AS BIGINT) AS qsum_d,
+        |       (CAST(sum(qv) AS BIGINT)
+        |         - ((CAST(sum(qv) AS BIGINT) % count(*) + count(*)) % count(*)))
+        |         // count(*) AS mean_q
+        |FROM q GROUP BY 1, 2
+        |ORDER BY label, dim""".stripMargin,
+
+    "q_emb_outliers" ->
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+        |         unnest(list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS qv,
+        |         unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, dim,
+        |         (CAST(sum(qv) AS BIGINT)
+        |           - ((CAST(sum(qv) AS BIGINT) % count(*) + count(*)) % count(*)))
+        |           // count(*) AS mean_q
+        |  FROM q GROUP BY 1, 2),
+        |d AS (
+        |  SELECT q.vec_id, q.label,
+        |         CAST(sum((q.qv - c.mean_q) * (q.qv - c.mean_q)) AS BIGINT) AS dist
+        |  FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, dist,
+        |         row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk
+        |  FROM d)
+        |SELECT label, vec_id, dist, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 2
+        |ORDER BY label, rnk""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, NullType, ShortType}
 
-import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail}
+import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail, VectorSumAgg}
 
 /** Public SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions. Activate with
@@ -71,6 +71,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // LONG the filter was built over must fail analysis, not truncate
         BloomMightContain(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.VectorSumName),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, GraftFunctions.VectorSumName),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"${GraftFunctions.VectorSumName} expects 1 argument")
+        // integral element types widen to LONG; fractional arrays must be
+        // quantized explicitly upstream (Embeddings.quantize) — a silent
+        // float truncation here would corrupt every centroid
+        val c = children.head match {
+          case e if e.resolved => e.dataType match {
+            case ArrayType(LongType, _) => e
+            case ArrayType(ByteType | ShortType | IntegerType, _) =>
+              Cast(e, ArrayType(LongType))
+            case other => throw new IllegalArgumentException(
+              s"${GraftFunctions.VectorSumName} expects ARRAY of integral; got ${other.sql}")
+          }
+          case e => Cast(e, ArrayType(LongType))
+        }
+        VectorSumAgg(c)
+      }))
   }
 }
 
@@ -78,6 +98,7 @@ object GraftFunctions {
   val LogHypergeomName = "graft_log_hypergeom_tail"
   val ArrayDotName = "graft_array_dot"
   val BloomMightContainName = "graft_bloom_might_contain"
+  val VectorSumName = "graft_vector_sum"
 
   /** Make graft functions callable on any session, including ones the driver
     * built without our extensions: if the native Catalyst expression is not
@@ -125,5 +146,51 @@ object GraftFunctions {
           else java.lang.Boolean.valueOf(
             BloomMightContain.filterFrom(bits).mightContainLong(key.longValue())))
     }
+    if (!spark.catalog.functionExists(GraftFunctions.VectorSumName)) {
+      // Aggregator-based fallback with the same pinned semantics as the
+      // native TypedImperativeAggregate: NULL arrays skipped, dimension
+      // mismatch / null slot fails loudly, zero rows -> NULL
+      spark.udf.register(GraftFunctions.VectorSumName,
+        org.apache.spark.sql.functions.udaf(VectorSumFallback))
+    }
+  }
+
+  private object VectorSumFallback
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[java.lang.Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Seq[java.lang.Long]): Array[Long] =
+      if (a == null) b
+      else {
+        require(a.nonEmpty, s"${GraftFunctions.VectorSumName}: empty vector")
+        val buf = if (b.length == 0) new Array[Long](a.length)
+          else {
+            require(b.length == a.length,
+              s"${GraftFunctions.VectorSumName}: dimension mismatch (${b.length} vs ${a.length})")
+            b
+          }
+        var i = 0
+        while (i < buf.length) {
+          require(a(i) != null, s"${GraftFunctions.VectorSumName}: null element at slot $i")
+          buf(i) += a(i).longValue(); i += 1
+        }
+        buf
+      }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (y.length == 0) x
+      else if (x.length == 0) y
+      else {
+        require(x.length == y.length,
+          s"${GraftFunctions.VectorSumName}: dimension mismatch on merge")
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Long]): Seq[Long] =
+      if (b.length == 0) null else b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 }

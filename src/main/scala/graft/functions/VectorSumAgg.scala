@@ -1,0 +1,111 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Elementwise sum of ARRAY<BIGINT> columns — the exact distributed
+  * vector-centroid aggregate Spark lacks as a built-in.
+  *
+  * Why an aggregate and not posexplode+groupBy: exploding amplifies the row
+  * stream ×dim BEFORE partial aggregation (billions of rows × 64-1024 dims
+  * at corpus scale); this aggregate folds each vector into one
+  * per-partition buffer in place, so the shuffle carries exactly one
+  * partial array per (group × partition) — the same map-side-combine
+  * shape as `sum`, just vector-valued. EmbeddingsSpec proves bit-equality
+  * with the posexplode formulation.
+  *
+  * Null/edge semantics (pinned by spec + oracle): NULL arrays are skipped
+  * like `sum` skips NULL; a NULL ELEMENT poisons that slot's sum to NULL?
+  * No — a null slot FAILS LOUDLY (IllegalArgumentException), as does a
+  * dimension mismatch: both mean a broken upstream quantization, and a
+  * silently partial centroid would mis-rank every distance downstream.
+  * Zero non-null rows → NULL result (like `sum`). Overflow wraps like
+  * LongType arithmetic everywhere else in non-ANSI Spark; callers
+  * quantize to µ-units (|q| ≤ ~2^21), leaving 2^42 rows of headroom.
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vector_sum"
+
+  // empty array = "no rows seen yet" sentinel (a real vector is never
+  // zero-length; quantize rejects empty embeddings upstream)
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      require(n > 0, s"$prettyName: empty vector")
+      val buf =
+        if (buffer.length == 0) new Array[Long](n)
+        else {
+          require(buffer.length == n,
+            s"$prettyName: dimension mismatch (${buffer.length} vs $n)")
+          buffer
+        }
+      var i = 0
+      while (i < n) {
+        require(!arr.isNullAt(i), s"$prettyName: null element at slot $i")
+        buf(i) += arr.getLong(i)
+        i += 1
+      }
+      buf
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.length == 0) buffer
+    else if (buffer.length == 0) other
+    else {
+      require(buffer.length == other.length,
+        s"$prettyName: dimension mismatch on merge (${buffer.length} vs ${other.length})")
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(java.lang.Long.BYTES * buffer.length)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / java.lang.Long.BYTES)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
