@@ -40,6 +40,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("entity"), col("senseid"), col("n"))
 
+  /** Streaming sliding (hopping) window counts per key — the streaming
+    * twin of the batch `Temporal.slideIndexes` family. Spark's streaming
+    * `window(ts, width, slide)` replicates each event into width/slide
+    * windows exactly like the batch operator's closed-form index array;
+    * state is bounded by the watermark (one row per open window × key).
+    * StreamingSpec proves batch parity: window starts here equal the batch
+    * operator's `k·stepUs` in epoch-micros. */
+  def slidingCounts(events: DataFrame, keyCol: String, tsCol: String = "ts",
+                    watermark: String = "2 minutes",
+                    windowLen: String = "1 minute",
+                    slide: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col(keyCol), col("n"))
+
   /** Streaming exact dedup: drop any document whose content sha256 was
     * already seen within the watermark horizon. State is BOUNDED — sha keys
     * are evicted once older than the watermark (the streaming analogue of

@@ -250,6 +250,42 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sliding windows == batch slideIndexes on the same events") {
+    import graft.operators.Temporal
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[StreamingOps.TimedAssignment]
+    val counts = StreamingOps.slidingCounts(stream.toDS().toDF(), keyCol = "entity",
+      tsCol = "ts", windowLen = "1 minute", slide = "30 seconds")
+    val query = counts.writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      def t(min: Int, sec: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+      val data = Seq(
+        StreamingOps.TimedAssignment(t(0, 10), "python", 0),
+        StreamingOps.TimedAssignment(t(0, 40), "python", 0),
+        StreamingOps.TimedAssignment(t(0, 59), "java", 0),
+        StreamingOps.TimedAssignment(t(1, 0), "java", 0), // exact hop boundary
+        StreamingOps.TimedAssignment(t(2, 30), "python", 1))
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .as[(Long, String, Long)].collect().toSet
+      // batch twin: the closed-form index array over epoch-micros
+      val stepUs = 30L * 1000000L
+      val batch = data.toDS().toDF()
+        .select(col("entity"), unix_micros(col("ts")).as("t"))
+        .select(col("entity"),
+          explode(Temporal.slideIndexes(col("t"), 2 * stepUs, stepUs)).as("w"))
+        .groupBy(col("entity"), (col("w") * stepUs).as("win_start_us"))
+        .agg(count(lit(1)).as("n"))
+        .select("win_start_us", "entity", "n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence:\n  stream: $streamed\n  batch:  $batch")
+      assert(streamed.size == 8, s"each event must land in exactly 2 windows: $streamed")
+    } finally query.stop()
+  }
+
   test("streaming RDFS maintenance: union of per-batch entailments == batch closure of the full stream") {
     import graft.operators.TripleStore
     implicit val sql = spark.sqlContext
