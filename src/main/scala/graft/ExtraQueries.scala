@@ -703,7 +703,16 @@ object ExtraQueries {
     "q_emb_outliers" -> ((s, d) =>
       operators.Embeddings.outliers(emb(s, d, Int.MaxValue),
           "vec_id", "label", "embedding", k = 2)
-        .orderBy("label", "rnk"))
+        .orderBy("label", "rnk")),
+
+    // cross-doc shared-span detection (MOSS): doc pairs sharing >= 10
+    // winnowed fingerprints, boilerplate fingerprints (> 20 docs) excluded
+    // by the count-first guard; pairs explode only inside a fingerprint's
+    // bounded doc list
+    "q_dedup_spans_crossdoc" -> ((s, d) =>
+      TextStats.sharedSpanPairs(tokdocsWhere(s, d, lit(true)),
+          minShared = 10, hotCap = 20)
+        .orderBy("da", "db"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -909,6 +918,45 @@ object ExtraQueries {
        |SELECT tok.docid, count(*) AS ntok, CAST(sum(m.nsub) AS BIGINT) AS n_subwords
        |FROM tok JOIN wmap m USING (w)
        |GROUP BY tok.docid ORDER BY tok.docid""".stripMargin
+
+  /** The winnowing-fingerprint replay (FNV-1a over padded k-grams, signed
+    * reinterpretation BEFORE the window-min, w=4 windows, per-doc DISTINCT)
+    * shared by q_text_fingerprint and q_dedup_spans_crossdoc — ends in
+    * `fp(docid, fingerprint)`. */
+  private val winnowFpCte =
+    """t AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+      |  FROM documents
+      |),
+      |grams AS (
+      |  SELECT docid, i, array_to_string(arr[i:i+4], ' ') || ' ' AS g
+      |  FROM t, unnest(generate_series(1, len(arr) - 4)) AS u(i)
+      |  WHERE len(arr) >= 5
+      |),
+      |hashes AS (
+      |  SELECT docid, i,
+      |         CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+      |              THEN hu - CAST(18446744073709551616 AS HUGEINT)
+      |              ELSE hu END AS BIGINT) AS h
+      |  FROM (
+      |    SELECT docid, i,
+      |           list_reduce(
+      |             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+      |               list_transform(string_split(g, ''), c -> CAST(ascii(c) AS HUGEINT))),
+      |             (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+      |    FROM grams)
+      |),
+      |hl AS (SELECT docid, list(h ORDER BY i) AS hs FROM hashes GROUP BY docid),
+      |wins AS (
+      |  SELECT docid,
+      |         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |              ELSE list_transform(generate_series(1, len(hs) - 3),
+      |                                  j -> list_min(hs[j:j+3]))
+      |         END AS fps
+      |  FROM hl
+      |),
+      |fp AS (SELECT DISTINCT docid, u.f AS fingerprint FROM wins, unnest(fps) AS u(f))""".stripMargin
 
   private val d40Cte =
     """d40 AS (
@@ -1507,41 +1555,23 @@ object ExtraQueries {
     // the Scala side winnows java Longs — the min of a window straddling the
     // sign boundary differs between signed and unsigned comparison.
     "q_text_fingerprint" ->
-      """WITH t AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
-        |  FROM documents
-        |),
-        |grams AS (
-        |  SELECT docid, i, array_to_string(arr[i:i+4], ' ') || ' ' AS g
-        |  FROM t, unnest(generate_series(1, len(arr) - 4)) AS u(i)
-        |  WHERE len(arr) >= 5
-        |),
-        |hashes AS (
-        |  SELECT docid, i,
-        |         CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
-        |              THEN hu - CAST(18446744073709551616 AS HUGEINT)
-        |              ELSE hu END AS BIGINT) AS h
-        |  FROM (
-        |    SELECT docid, i,
-        |           list_reduce(
-        |             list_prepend(CAST(1469598103934665603 AS HUGEINT),
-        |               list_transform(string_split(g, ''), c -> CAST(ascii(c) AS HUGEINT))),
-        |             (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
-        |    FROM grams)
-        |),
-        |hl AS (SELECT docid, list(h ORDER BY i) AS hs FROM hashes GROUP BY docid),
-        |wins AS (
-        |  SELECT docid,
-        |         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
-        |              ELSE list_transform(generate_series(1, len(hs) - 3),
-        |                                  j -> list_min(hs[j:j+3]))
-        |         END AS fps
-        |  FROM hl
-        |),
-        |fp AS (SELECT DISTINCT docid, u.f AS fingerprint FROM wins, unnest(fps) AS u(f))
+      s"""WITH $winnowFpCte
         |SELECT docid, count(*) AS n_fps, min(fingerprint) AS min_fp, max(fingerprint) AS max_fp
         |FROM fp GROUP BY docid ORDER BY docid""".stripMargin,
+
+    // cross-doc shared spans: pair join inside each fingerprint's doc list
+    // (the same winnowing replay as q_text_fingerprint feeds it), with the
+    // count-first boilerplate guard in the HAVING — an independent pair
+    // enumeration, the Spark side never materializes per-pair lists
+    "q_dedup_spans_crossdoc" ->
+      s"""WITH $winnowFpCte,
+        |pairable AS (
+        |  SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20),
+        |fpp AS (SELECT fp.* FROM fp JOIN pairable USING (fingerprint))
+        |SELECT a.docid AS da, b.docid AS db, count(*) AS n_shared
+        |FROM fpp a JOIN fpp b ON a.fingerprint = b.fingerprint AND a.docid < b.docid
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY da, db""".stripMargin,
 
     // markup extraction: identical planted HTML, identical RE2/Java-neutral
     // patterns (explicit ASCII classes, (?s), no \s, no lookaround), same

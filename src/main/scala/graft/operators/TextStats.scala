@@ -404,6 +404,41 @@ object TextStats {
     }).toDF("docid", "fingerprint")
   }
 
+  /** Cross-document shared-span detection (the MOSS use case — Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): pairs of documents sharing at least `minShared`
+    * winnowing fingerprints, i.e. at least that many distinct k-token runs
+    * in common — the cross-doc complement of the doc-LOCAL duplicate-span
+    * operator. Output (da, db, n_shared), each unordered pair once
+    * (da < db).
+    *
+    * Execution — the standing bucketed-candidate shape: fingerprints are
+    * already winnowed to ~2/(w+1) density; a count-first prune drops
+    * singleton fingerprints (cannot pair) and fingerprints in more than
+    * `hotCap` docs (corpus boilerplate — a license header's fingerprint
+    * would otherwise emit a near-quadratic pair blowup, same pathology and
+    * same cure as the LSH hot-bucket guard). Pairs then explode only
+    * inside a fingerprint's ≤hotCap doc list and aggregate per pair; the
+    * quadratic is bounded per bucket BY the guard, and the guard's
+    * exclusions are part of the operator contract, not a silent cap. */
+  def sharedSpanPairs(td: Dataset[TokDoc], k: Int = 5, w: Int = 4,
+                      minShared: Long = 2, hotCap: Long = 20): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1; got $minShared")
+    require(hotCap >= 2, s"hotCap must allow pairs (>= 2); got $hotCap")
+    val fp = fingerprints(td, k, w)
+    val pairable = fp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= 2 && col("nf") <= hotCap)
+      .select("fingerprint")
+    val pruned = fp.join(pairable, "fingerprint")
+    val lhs = pruned.select(col("fingerprint"), col("docid").as("da"))
+    val rhs = pruned.select(col("fingerprint"), col("docid").as("db"))
+    lhs.join(rhs, Seq("fingerprint"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private[graft] def kgramHashes(terms: Array[String], k: Int): Array[Long] = {
     if (terms.length < k) return Array.empty
     val out = new Array[Long](terms.length - k + 1)

@@ -192,6 +192,33 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.kgramHashes(Array("a", "b"), 5).isEmpty)
   }
 
+  test("sharedSpanPairs: shared-run pair found with brute-force count; hot fingerprints excluded") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val docs = Seq(
+      TokDoc("da", Tokenize.tokensOf(s"prefix words here $shared and a tail", Set.empty)),
+      TokDoc("db", Tokenize.tokensOf(s"$shared completely different ending words now", Set.empty)),
+      TokDoc("dc", Tokenize.tokensOf("nothing in common with anything else at all here today friends", Set.empty))
+    ).toDS()
+    // brute-force expectation from the same primitives
+    def fps(d: TokDoc) = TextStats.winnow(TextStats.kgramHashes(d.terms, 5), 4)
+    val byId = docs.collect().map(d => d.docid -> fps(d)).toMap
+    val wantAB = (byId("da") & byId("db")).size.toLong
+    assert(wantAB >= 2, s"fixture must actually share fingerprints (got $wantAB)")
+    val got = TextStats.sharedSpanPairs(docs, minShared = 2, hotCap = 20)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("da", "db", wantAB)), s"$got")
+    // hot-cap guard: the same fingerprints spread over MORE than hotCap docs
+    // must produce no pairs at all
+    val many = (1 to 5).map(i =>
+      TokDoc(f"h$i%02d", Tokenize.tokensOf(shared, Set.empty))).toDS()
+    assert(TextStats.sharedSpanPairs(many, minShared = 1, hotCap = 4).count() == 0L,
+      "boilerplate fingerprints above hotCap must be excluded")
+    assert(TextStats.sharedSpanPairs(many, minShared = 1, hotCap = 5).count() == 10L,
+      "at hotCap the full pair set appears (5 choose 2)")
+  }
+
   test("heavyHitters: MG candidates + exact recount == brute force; eviction fires; bound guard throws") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
