@@ -712,7 +712,18 @@ object ExtraQueries {
     "q_dedup_spans_crossdoc" -> ((s, d) =>
       TextStats.sharedSpanPairs(tokdocsWhere(s, d, lit(true)),
           minShared = 10, hotCap = 20)
-        .orderBy("da", "db"))
+        .orderBy("da", "db")),
+
+    // exact order statistics WITHOUT a global sort: histogram-refinement
+    // selection (<= 6 counting aggregations per quantile), deterministic
+    // under any partitioning — percentile_approx can never be oracle'd,
+    // this can (ORDER BY/OFFSET twin)
+    "q_rank_stats" -> ((s, d) => {
+      val cents = s.read.parquet(s"$d/lineitem.parquet")
+        .select(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("c"))
+      operators.Selection.quantileFrame(cents, "c", Seq(0.25, 0.5, 0.9, 0.99))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -1572,6 +1583,22 @@ object ExtraQueries {
         |FROM fpp a JOIN fpp b ON a.fingerprint = b.fingerprint AND a.docid < b.docid
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY da, db""".stripMargin,
+
+    // order statistics twin: the full sort the operator exists to avoid —
+    // row_number over the sorted column, joined at the ceil-rank of each q
+    "q_rank_stats" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+        |qs(q_e4, q) AS (VALUES (2500, 0.25), (5000, 0.5), (9000, 0.9), (9900, 0.99)),
+        |r AS (SELECT CAST(q_e4 AS BIGINT) AS q_e4,
+        |             GREATEST(1, CAST(ceil(q * n.n) AS BIGINT)) AS rank_k
+        |      FROM qs, n)
+        |SELECT r.q_e4, r.rank_k, s.c AS value
+        |FROM r JOIN s ON s.rk = r.rank_k
+        |ORDER BY q_e4""".stripMargin,
 
     // markup extraction: identical planted HTML, identical RE2/Java-neutral
     // patterns (explicit ASCII classes, (?s), no \s, no lookaround), same

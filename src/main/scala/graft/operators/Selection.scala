@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics — rank-k selection and exact
+  * quantiles over a LONG column, WITHOUT a global sort.
+  *
+  * Why not `orderBy(...).limit(k)`: a global sort range-partitions and
+  * sorts the ENTIRE column to read one value, and `limit` after a sort
+  * still materializes every partition's prefix. Why not
+  * `percentile_approx`: the engine's standing determinism discipline —
+  * approximate quantile sketches are compaction-randomized and
+  * merge-order-dependent, so their output can differ run to run and can
+  * never be oracle-hashed.
+  *
+  * Algorithm — histogram refinement (distributed quickselect): maintain a
+  * candidate value range [lo, hi] containing the target rank. Each round
+  * is ONE aggregation: bucket the in-range values into B equi-width
+  * buckets (integer arithmetic, exact), count per bucket, walk the counts
+  * on the driver to find the bucket holding the residual rank, recurse
+  * into it. The range shrinks ×B per round, so LONG values need at most
+  * ⌈64 / log₂B⌉ rounds (B = 4096 ⇒ ≤ 6; real data with a bounded value
+  * range converges in 2–3). Each round reads only a (column, filter)
+  * projection — at 100 TB the caller persists the single-column frame
+  * once and every round is a counting scan of it; nothing ever shuffles
+  * more than B partial counts per partition (map-side combined), and the
+  * driver holds B longs. Deterministic: same input multiset ⇒ same
+  * answer, any partitioning.
+  *
+  * Rank semantics: k is 1-based over the sorted NON-NULL values
+  * (`ORDER BY v LIMIT 1 OFFSET k−1` — the oracle's formulation);
+  * quantile(q) maps to k = max(1, ⌈q·n⌉), i.e. the inverted-CDF /
+  * `quantile_disc` convention.
+  *
+  * Spec: BASELINE.json (reference tree empty, SURVEY §0). SelectionSpec
+  * proves equality with local sort on randomized data (negatives,
+  * duplicates, skew) and pins the round bound; `q_rank_stats` carries the
+  * ORDER BY/OFFSET DuckDB twin.
+  */
+object Selection {
+
+  private val Buckets = 4096L
+
+  /** The k-th smallest (1-based) non-null value of LONG column `valueCol`.
+    * Throws on k out of range. One counting aggregation per refinement
+    * round, ≤ ⌈64/12⌉ = 6 rounds for full-range LONGs. */
+  def exactRank(df: DataFrame, valueCol: String, k: Long): Long = {
+    require(k >= 1, s"rank k must be >= 1 (1-based); got $k")
+    val v = col(valueCol)
+    val base = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
+    val n = head.getLong(0)
+    require(k <= n, s"rank k=$k out of range (only $n non-null values)")
+    var lo = head.getLong(1)
+    var hi = head.getLong(2)
+    require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
+      s"value range [$lo, $hi] spans more than 2^63 — shift/scale the column first " +
+        "(the per-row offset v - lo must stay in LONG)")
+    var residual = k
+    var guard = 0
+    while (lo < hi) {
+      guard += 1
+      require(guard <= 8, s"selection failed to converge (range [$lo,$hi])")
+      // ceil-width so B buckets always cover [lo, hi]; integer `div` per
+      // row (Spark's `/` on LONGs is DOUBLE division and would drift)
+      val width = ((BigInt(hi) - BigInt(lo)) / Buckets + 1).toLong
+      val counts = base
+        .filter(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(call_function("div", col("__v") - lo, lit(width)).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var i = 0
+      var found = false
+      while (i < counts.length && !found) {
+        val (b, cnt) = counts(i)
+        if (residual <= cnt) {
+          val bLo = lo + b * width
+          lo = bLo
+          hi = math.min(hi, bLo + width - 1)
+          found = true
+        } else { residual -= cnt; i += 1 }
+      }
+      require(found, s"rank walk exhausted buckets (range [$lo,$hi], residual $residual)")
+    }
+    lo
+  }
+
+  /** Exact `quantile_disc`-convention quantiles: for each q in `qs`,
+    * the value at rank max(1, ⌈q·n⌉). Returns (q_e4, rank, value) rows as
+    * a local Seq (quantiles are a driver-sized result by definition). */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): Seq[(Long, Long, Long)] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]; got $qs")
+    val n = df.select(col(valueCol)).filter(col(valueCol).isNotNull).count()
+    require(n > 0, "no non-null values to select from")
+    qs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (math.round(q * 10000), k, exactRank(df, valueCol, k))
+    }
+  }
+
+  /** Driver-contract frame: one row per requested quantile of an integer
+    * column — (q_e4, rank_k, value). */
+  def quantileFrame(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    exactQuantiles(df, valueCol, qs)
+      .toDF("q_e4", "rank_k", "value")
+      .orderBy("q_e4")
+  }
+}

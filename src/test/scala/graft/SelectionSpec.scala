@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Selection
+
+/** Exact distributed order statistics: equality with local sort on
+  * randomized multisets (negatives, duplicates, skew), the quantile rank
+  * convention, full-LONG-range convergence inside the round guard, and
+  * loud rejection of out-of-range ranks. */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactRank == local sort, randomized (duplicates, negatives, skew)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val vals = (1 to 2000).map { _ =>
+        val r = rnd.nextInt(3)
+        if (r == 0) rnd.nextInt(50).toLong - 25          // heavy duplicates
+        else if (r == 1) rnd.nextLong() % 1000000L       // wide, signed
+        else 7L                                          // skewed hot value
+      }
+      val df = vals.toDF("v").repartition(5)
+      val sorted = vals.sorted
+      for (k <- Seq(1L, 2L, 500L, 1000L, 1999L, 2000L)) {
+        val got = Selection.exactRank(df, "v", k)
+        assert(got == sorted((k - 1).toInt), s"trial $trial k=$k")
+      }
+    }
+  }
+
+  test("quantile convention matches ceil-rank (quantile_disc); frame is ordered") {
+    val vals = (1L to 100L).toSeq
+    val df = vals.toDF("v")
+    val got = Selection.quantileFrame(df, "v", Seq(0.5, 0.01, 0.999, 1.0))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (100L, 1L, 1L),      // q=.01 -> ceil(1) = rank 1
+      (5000L, 50L, 50L),   // q=.5  -> ceil(50) = rank 50
+      (9990L, 100L, 100L), // q=.999 -> ceil(99.9) = rank 100
+      (10000L, 100L, 100L)))
+  }
+
+  test("full-LONG-range values converge within the round guard; nulls ignored") {
+    val vals: Seq[java.lang.Long] = Seq[java.lang.Long](
+      Long.MinValue / 2, -1L, null, 0L, 3L, Long.MaxValue / 2, null)
+    val df = vals.toDF("v")
+    assert(Selection.exactRank(df, "v", 1) == Long.MinValue / 2)
+    assert(Selection.exactRank(df, "v", 3) == 0L)
+    assert(Selection.exactRank(df, "v", 5) == Long.MaxValue / 2)
+  }
+
+  test("out-of-range ranks and bad quantiles fail loudly") {
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[IllegalArgumentException] { Selection.exactRank(df, "v", 0) }
+    intercept[IllegalArgumentException] { Selection.exactRank(df, "v", 3) }
+    intercept[IllegalArgumentException] { Selection.exactQuantiles(df, "v", Seq(0.0)) }
+    intercept[IllegalArgumentException] {
+      // range wider than 2^63 must be rejected, not silently corrupted
+      Selection.exactRank(Seq(Long.MinValue, Long.MaxValue).toDF("v"), "v", 1)
+    }
+  }
+}
