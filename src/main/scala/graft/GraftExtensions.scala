@@ -78,7 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, s"${GraftFunctions.VectorSumName} expects 1 argument")
         // integral element types widen to LONG; fractional arrays must be
         // quantized explicitly upstream (Embeddings.quantize) — a silent
-        // float truncation here would corrupt every centroid
+        // float truncation here would corrupt every centroid. An
+        // UNRESOLVED child (SQL-text invocation) passes through UNCAST:
+        // a blanket Cast would legalize double->long truncation after
+        // resolution, so SQL users of non-LONG arrays must cast
+        // explicitly and the expression's own type check stays the loud
+        // gate (ARRAY<INT> via SQL text: cast in the query)
         val c = children.head match {
           case e if e.resolved => e.dataType match {
             case ArrayType(LongType, _) => e
@@ -87,7 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"${GraftFunctions.VectorSumName} expects ARRAY of integral; got ${other.sql}")
           }
-          case e => Cast(e, ArrayType(LongType))
+          case e => e
         }
         VectorSumAgg(c)
       }))
@@ -146,51 +151,13 @@ object GraftFunctions {
           else java.lang.Boolean.valueOf(
             BloomMightContain.filterFrom(bits).mightContainLong(key.longValue())))
     }
-    if (!spark.catalog.functionExists(GraftFunctions.VectorSumName)) {
-      // Aggregator-based fallback with the same pinned semantics as the
-      // native TypedImperativeAggregate: NULL arrays skipped, dimension
-      // mismatch / null slot fails loudly, zero rows -> NULL
-      spark.udf.register(GraftFunctions.VectorSumName,
-        org.apache.spark.sql.functions.udaf(VectorSumFallback))
-    }
-  }
-
-  private object VectorSumFallback
-      extends org.apache.spark.sql.expressions.Aggregator[
-        Seq[java.lang.Long], Array[Long], Seq[Long]] {
-    override def zero: Array[Long] = Array.emptyLongArray
-    override def reduce(b: Array[Long], a: Seq[java.lang.Long]): Array[Long] =
-      if (a == null) b
-      else {
-        require(a.nonEmpty, s"${GraftFunctions.VectorSumName}: empty vector")
-        val buf = if (b.length == 0) new Array[Long](a.length)
-          else {
-            require(b.length == a.length,
-              s"${GraftFunctions.VectorSumName}: dimension mismatch (${b.length} vs ${a.length})")
-            b
-          }
-        var i = 0
-        while (i < buf.length) {
-          require(a(i) != null, s"${GraftFunctions.VectorSumName}: null element at slot $i")
-          buf(i) += a(i).longValue(); i += 1
-        }
-        buf
-      }
-    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
-      if (y.length == 0) x
-      else if (x.length == 0) y
-      else {
-        require(x.length == y.length,
-          s"${GraftFunctions.VectorSumName}: dimension mismatch on merge")
-        var i = 0
-        while (i < x.length) { x(i) += y(i); i += 1 }
-        x
-      }
-    override def finish(b: Array[Long]): Seq[Long] =
-      if (b.length == 0) null else b.toSeq
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    // DELIBERATELY no fallback for VectorSumName: the only extension-less
+    // registration mechanism for an aggregate is a typed udaf, and Spark's
+    // implicit input cast coerces array<double> -> array<bigint> for udaf
+    // arguments, SILENTLY floor-truncating fractional vectors — measured
+    // in EmbeddingsSpec ("typed-udaf registration would silently
+    // truncate"). A missing-function error on an extension-less session
+    // is loud; a corrupted centroid is not. Sessions built without
+    // GraftExtensions must enable it to use graft_vector_sum.
   }
 }

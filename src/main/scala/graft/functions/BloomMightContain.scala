@@ -85,13 +85,30 @@ case class BloomMightContain(left: Expression, right: Expression)
 object BloomMightContain {
   // one deserialization per JVM per distinct filter (content-keyed: a
   // ByteBuffer hashes/compares by contents) — shared by the native lazy
-  // val and the UDF fallback path in GraftFunctions.ensureRegistered
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer, BloomFilter]()
+  // val and the UDF fallback path in GraftFunctions.ensureRegistered.
+  // BOUNDED: an access-ordered LRU keeping the 8 most-recent filters —
+  // a long-lived session running many bloom joins must not accumulate
+  // megabyte filters (bytes + deserialized bits each) until executor OOM;
+  // an evicted filter merely re-deserializes on next touch.
+  private val MaxCached = 8
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, BloomFilter]): Boolean =
+        size() > MaxCached
+    })
 
   def filterFrom(bytes: Array[Byte]): BloomFilter = {
     require(bytes != null, "serialized bloom filter must not be null")
-    cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes),
-      _ => BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+    cache.synchronized {
+      val key = java.nio.ByteBuffer.wrap(bytes)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        cache.put(key, bf)
+        bf
+      }
+    }
   }
 }

@@ -67,6 +67,10 @@ object BloomPrune {
   def prunedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                      smallKey: String, fpp: Double = 0.01,
                      expectedItems: Option[Long] = None): DataFrame = {
+    require(bigKey != smallKey,
+      s"prunedEquiJoin needs distinct key column names (got `$bigKey` on both " +
+        "sides — the join condition would be an ambiguous self-reference); " +
+        "alias one side first")
     graft.GraftFunctions.ensureRegistered(big.sparkSession)
     val n = expectedItems.getOrElse(
       small.select(col(smallKey)).distinct().count())

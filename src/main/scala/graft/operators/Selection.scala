@@ -46,14 +46,19 @@ object Selection {
     * Throws on k out of range. One counting aggregation per refinement
     * round, ≤ ⌈64/12⌉ = 6 rounds for full-range LONGs. */
   def exactRank(df: DataFrame, valueCol: String, k: Long): Long = {
-    require(k >= 1, s"rank k must be >= 1 (1-based); got $k")
-    val v = col(valueCol)
-    val base = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val base = df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
     val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
-    val n = head.getLong(0)
+    refine(base, n = head.getLong(0),
+      lo0 = if (head.getLong(0) == 0) 0L else head.getLong(1),
+      hi0 = if (head.getLong(0) == 0) 0L else head.getLong(2), k)
+  }
+
+  private def refine(base: DataFrame, n: Long, lo0: Long, hi0: Long,
+                     k: Long): Long = {
+    require(k >= 1, s"rank k must be >= 1 (1-based); got $k")
     require(k <= n, s"rank k=$k out of range (only $n non-null values)")
-    var lo = head.getLong(1)
-    var hi = head.getLong(2)
+    var lo = lo0
+    var hi = hi0
     require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
       s"value range [$lo, $hi] spans more than 2^63 — shift/scale the column first " +
         "(the per-row offset v - lo must stay in LONG)")
@@ -77,7 +82,11 @@ object Selection {
         if (residual <= cnt) {
           val bLo = lo + b * width
           lo = bLo
-          hi = math.min(hi, bLo + width - 1)
+          // overflow-safe upper edge: near Long.MaxValue the naive
+          // bLo + width - 1 wraps negative and would end the loop on the
+          // bucket's LOWER edge (returning the wrong value)
+          hi = if (bLo > Long.MaxValue - (width - 1)) hi
+               else math.min(hi, bLo + width - 1)
           found = true
         } else { residual -= cnt; i += 1 }
       }
@@ -88,17 +97,25 @@ object Selection {
 
   /** Exact `quantile_disc`-convention quantiles: for each q in `qs`,
     * the value at rank max(1, ⌈q·n⌉). Returns (q_e4, rank, value) rows as
-    * a local Seq (quantiles are a driver-sized result by definition). */
+    * a local Seq (quantiles are a driver-sized result by definition).
+    * The single-column projection is persisted for the batch — one parquet
+    * scan total; count/min/max are computed once and shared by every
+    * quantile's refinement. */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      qs: Seq[Double]): Seq[(Long, Long, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0, 1]; got $qs")
-    val n = df.select(col(valueCol)).filter(col(valueCol).isNotNull).count()
-    require(n > 0, "no non-null values to select from")
-    qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      (math.round(q * 10000), k, exactRank(df, valueCol, k))
-    }
+    val base = df.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
+      val n = head.getLong(0)
+      require(n > 0, "no non-null values to select from")
+      qs.map { q =>
+        val k = math.max(1L, math.ceil(q * n).toLong)
+        (math.round(q * 10000), k, refine(base, n, head.getLong(1), head.getLong(2), k))
+      }
+    } finally base.unpersist()
   }
 
   /** Driver-contract frame: one row per requested quantile of an integer

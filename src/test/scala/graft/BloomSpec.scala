@@ -15,6 +15,14 @@ import graft.operators.BloomPrune
 class BloomSpec extends SparkTestBase {
   import spark.implicits._
 
+  // plan.collect stops at AQE query-stage boundaries — descend through
+  // them to see the per-stage subtrees where the probe filter lives
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
   private val rnd = new scala.util.Random(17)
   private val big = (1 to 4000)
     .map(i => (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100)))
@@ -72,13 +80,6 @@ class BloomSpec extends SparkTestBase {
       val joined = BloomPrune.prunedEquiJoin(bigR, smallR, "k", "sk",
         fpp = 0.01, expectedItems = Some(100L))
       joined.collect() // finalize the adaptive plan
-      // plan.collect stops at AQE query-stage boundaries — descend through
-      // them to see the per-stage subtrees where the probe filter lives
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
-        case q: QueryStageExec => p +: allNodes(q.plan)
-        case _ => p +: p.children.flatMap(allNodes)
-      }
       val nodes = allNodes(joined.queryExecution.executedPlan)
       val probeFilters = nodes.collect {
         case f: FilterExec if f.condition.toString.contains("graft_bloom_might_contain") => f
@@ -86,7 +87,10 @@ class BloomSpec extends SparkTestBase {
       assert(probeFilters.nonEmpty,
         s"no bloom probe filter in plan:\n${joined.queryExecution.executedPlan}")
       probeFilters.foreach { f =>
-        val below = f.collect { case e: Exchange => e }
+        // allNodes, not f.collect: a post-shuffle probe would sit above a
+        // ShuffleQueryStageExec LEAF whose subtree plain collect never
+        // visits — the regression this test exists to catch
+        val below = allNodes(f).drop(1).collect { case e: Exchange => e }
         assert(below.isEmpty, s"bloom probe must run pre-shuffle, found exchange beneath:\n$f")
       }
       assert(nodes.exists(_.isInstanceOf[Exchange]),
@@ -94,12 +98,17 @@ class BloomSpec extends SparkTestBase {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
-  test("builder rejects bad sizing parameters") {
+  test("builder rejects bad sizing parameters and same-name join keys") {
     intercept[IllegalArgumentException] {
       BloomPrune.buildFilter(small, col("sk"), expectedItems = 0L, fpp = 0.01)
     }
     intercept[IllegalArgumentException] {
       BloomPrune.buildFilter(small, col("sk"), expectedItems = 10L, fpp = 1.5)
+    }
+    // same key name on both sides = ambiguous self-reference in the join
+    // condition — must be rejected loudly, not fail analysis downstream
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedEquiJoin(big, small.withColumnRenamed("sk", "k"), "k", "k")
     }
   }
 }

@@ -60,6 +60,68 @@ class EmbeddingsSpec extends SparkTestBase {
     intercept[Exception] { frac.groupBy("label").agg(vsum(col("v"))).collect() }
   }
 
+  test("SQL-text invocation of graft_vector_sum rejects fractional arrays (no silent truncation)") {
+    val rnd = new scala.util.Random(3)
+    Seq((1, Seq(1.5, 2.5)), (1, Seq(0.5, 0.25))).toDF("label", "v")
+      .createOrReplaceTempView("vs_frac")
+    // the builder leaves unresolved children UNCAST, so the expression's
+    // own type check must fail the double array loudly after resolution
+    val e = intercept[Exception] {
+      spark.sql("SELECT label, graft_vector_sum(v) FROM vs_frac GROUP BY label").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<BIGINT>") || e.getMessage.contains("graft_vector_sum"),
+      s"expected a loud type failure, got: ${e.getMessage}")
+    // the LONG-array SQL path still works and matches the DataFrame path
+    Seq((1, Seq(1L, 2L)), (1, Seq(10L, 20L))).toDF("label", "v")
+      .createOrReplaceTempView("vs_long")
+    val got = spark.sql("SELECT graft_vector_sum(v) AS s FROM vs_long GROUP BY label")
+      .as[Seq[Long]].collect().head
+    assert(got == Seq(11L, 22L))
+    rnd.nextInt() // keep rnd referenced
+  }
+
+  test("typed-udaf registration would silently truncate — WHY there is no vector_sum fallback") {
+    // Measured justification for ensureRegistered deliberately NOT
+    // registering an extension-less vector_sum: Spark's implicit input
+    // cast for udaf arguments coerces array<double> -> array<bigint>
+    // silently. If this ever starts failing loudly in a future Spark, the
+    // fallback can be reinstated — this test is the tripwire.
+    object Probe extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[java.lang.Long], Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+      override def reduce(b: Array[Long], a: Seq[java.lang.Long]): Array[Long] =
+        if (a == null) b
+        else {
+          val buf = if (b.length == 0) new Array[Long](a.length) else b
+          var i = 0
+          while (i < buf.length) { buf(i) += a(i).longValue(); i += 1 }
+          buf
+        }
+      override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+        if (y.length == 0) x else if (x.length == 0) y
+        else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+      override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+    spark.udf.register("vs_fallback_probe", org.apache.spark.sql.functions.udaf(Probe))
+    val frac = Seq((1, Seq(1.5, 2.5))).toDF("label", "v")
+    val res = scala.util.Try {
+      frac.groupBy("label")
+        .agg(call_function("vs_fallback_probe", col("v")).as("s"))
+        .as[(Int, Seq[Long])].collect().head._2
+    }
+    res match {
+      case scala.util.Success(s) =>
+        assert(s == Seq(1L, 2L), s"coercion behavior changed: $s")
+      case scala.util.Failure(_) =>
+        fail("Spark now rejects the implicit fractional cast for udaf inputs — " +
+          "a loud extension-less vector_sum fallback is possible again; reinstate it")
+    }
+  }
+
   test("fdiv floors like DuckDB // (negative numerators included)") {
     val got = Seq((-7L, 2L), (7L, 2L), (-8L, 2L), (0L, 3L), (-1L, 3L))
       .toDF("s", "n").select(Embeddings.fdiv(col("s"), col("n")).as("q"))

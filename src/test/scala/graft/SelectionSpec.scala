@@ -48,6 +48,16 @@ class SelectionSpec extends SparkTestBase {
     assert(Selection.exactRank(df, "v", 5) == Long.MaxValue / 2)
   }
 
+  test("values adjacent to Long.MaxValue select correctly (upper-edge overflow regression)") {
+    // bucket upper edge bLo + width - 1 would wrap negative here; the
+    // wrapped hi ended the loop on the bucket's LOWER edge (review find)
+    val vals = Seq(Long.MaxValue - 8194, Long.MaxValue - 1, Long.MaxValue)
+    val df = vals.toDF("v")
+    assert(Selection.exactRank(df, "v", 1) == Long.MaxValue - 8194)
+    assert(Selection.exactRank(df, "v", 2) == Long.MaxValue - 1)
+    assert(Selection.exactRank(df, "v", 3) == Long.MaxValue)
+  }
+
   test("out-of-range ranks and bad quantiles fail loudly") {
     val df = Seq(1L, 2L).toDF("v")
     intercept[IllegalArgumentException] { Selection.exactRank(df, "v", 0) }
