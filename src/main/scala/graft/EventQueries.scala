@@ -93,6 +93,22 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // grouped top-k WITHOUT a window sort: the bounded-heap TopKAgg keeps
+    // k rows per group×partition through partial aggregation, so losers
+    // die BEFORE the shuffle — the window-rank form (the oracle) shuffles
+    // and sorts every row of every group
+    "q_events_topk" -> ((s, d) => {
+      graft.GraftFunctions.ensureRegistered(s)
+      eventsOf(s, d)
+        .groupBy("event_type")
+        .agg(call_function(graft.GraftFunctions.TopKName,
+          col("cents"), col("event_id"), lit(5)).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rnk"),
+          col("p.tie").as("event_id"), col("p.value").as("cents"))
+        .orderBy("event_type", "rnk")
+    }),
+
     // sliding (hopping) windows: 6 h windows hopping hourly per event type —
     // closed-form window-index array (exactly width/step entries), explode,
     // one map-side-combinable aggregation; no range join, no post-filter
@@ -193,6 +209,19 @@ object EventQueries {
          |FROM l LEFT JOIN mm ON mm.lid = l.event_id
          |       LEFT JOIN r r2 ON r2.event_id = mm.rid
          |ORDER BY l.event_id""".stripMargin,
+
+    // the full window sort the aggregate avoids — rank over every row of
+    // every group, cut at k (ties pinned by the unique event_id)
+    "q_events_topk" ->
+      s"""WITH $evCte,
+         |r AS (
+         |  SELECT event_type, event_id, cents,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY cents DESC, event_id) AS rnk
+         |  FROM ev)
+         |SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, cents
+         |FROM r WHERE rnk <= 5
+         |ORDER BY event_type, rnk""".stripMargin,
 
     // independent membership formulation: an event at t is in window k iff
     // k*step <= t < k*step + width — enumerated via generate_series over the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, NullType, ShortType}
 
-import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail, VectorSumAgg}
+import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail, TopKAgg, VectorSumAgg}
 
 /** Public SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions. Activate with
@@ -25,13 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * a fractional or non-numeric argument — e.g. a probability column
     * passed where a count belongs — fails analysis loudly instead of
     * silently truncating in non-ANSI mode. */
-  private def castToLong(e: Expression, arg: Int): Expression =
+  private def castToLong(e: Expression, arg: Int,
+                         fn: String = GraftFunctions.LogHypergeomName): Expression =
     if (!e.resolved) Cast(e, LongType)
     else e.dataType match {
       case LongType => e
       case ByteType | ShortType | IntegerType | NullType => Cast(e, LongType)
       case other => throw new IllegalArgumentException(
-        s"${GraftFunctions.LogHypergeomName} expects integral counts; argument $arg " +
+        s"$fn expects integral arguments; argument $arg " +
           s"has type ${other.sql} — cast to BIGINT explicitly if truncation is intended")
     }
   // (redundant Casts on already-typed children are removed by SimplifyCasts;
@@ -96,6 +97,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         VectorSumAgg(c)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TopKName),
+      new ExpressionInfo(classOf[TopKAgg].getName, GraftFunctions.TopKName),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"${GraftFunctions.TopKName} expects (value, tie, k)")
+        val kExpr = children(2)
+        require(kExpr.foldable, s"${GraftFunctions.TopKName}: k must be a literal")
+        val k = kExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"${GraftFunctions.TopKName}: k must be an integer literal; got $other")
+        }
+        // value/tie: LONG only (same strictness as vector_sum — a silent
+        // numeric cast would reorder ties); integral children widen
+        val c = children.take(2).zipWithIndex
+          .map { case (e, i) => castToLong(e, i + 1, GraftFunctions.TopKName) }
+        TopKAgg(c(0), c(1), k)
+      }))
   }
 }
 
@@ -104,6 +125,7 @@ object GraftFunctions {
   val ArrayDotName = "graft_array_dot"
   val BloomMightContainName = "graft_bloom_might_contain"
   val VectorSumName = "graft_vector_sum"
+  val TopKName = "graft_top_k"
 
   /** Make graft functions callable on any session, including ones the driver
     * built without our extensions: if the native Catalyst expression is not

@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Grouped top-k as a bounded-heap AGGREGATE — per group, the k largest
+  * (value, tie) pairs under the total order (value DESC, tie ASC), emitted
+  * strongest-first as ARRAY<STRUCT<value BIGINT, tie BIGINT>>.
+  *
+  * Why an aggregate and not `row_number() OVER (PARTITION BY g ORDER BY
+  * ...)`: the window form shuffles EVERY row of every group and sorts each
+  * group in full to keep k rows. This aggregate keeps a k-bounded min-heap
+  * per (group × partition), so partial aggregation discards the losers
+  * BEFORE the shuffle — at most k rows per group per partition ever move,
+  * the same map-side-combine shape as `max`, k-valued. The unique `tie`
+  * column makes the order total, so the result is deterministic under any
+  * partitioning (TopKSpec proves equality with the window form across
+  * partitionings).
+  *
+  * NULL semantics: a NULL value OR tie skips the row (`max`-like); ties
+  * must be unique by caller contract for full determinism. Zero surviving
+  * rows → NULL (like `max` over no rows).
+  */
+case class TopKAgg(
+    value: Expression,
+    tie: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKAgg.Heap] {
+
+  override def children: Seq[Expression] = Seq(value, tie)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 1; got $k")
+    else if (value.dataType != LongType || tie.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BIGINT value, BIGINT tie), got " +
+          s"(${value.dataType.simpleString}, ${tie.dataType.simpleString})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("tie", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_k"
+
+  override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
+
+  override def update(buffer: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
+    val v = value.eval(input)
+    val t = tie.eval(input)
+    if (v != null && t != null) buffer.offer(v.asInstanceOf[Long], t.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKAgg.Heap, other: TopKAgg.Heap): TopKAgg.Heap = {
+    buffer.absorb(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKAgg.Heap): Any = {
+    val sorted = buffer.toSortedPairs
+    if (sorted.isEmpty) null
+    else new GenericArrayData(sorted.map { case (v, t) =>
+      InternalRow(v, t)
+    })
+  }
+
+  override def serialize(buffer: TopKAgg.Heap): Array[Byte] = buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Heap =
+    TopKAgg.Heap.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(value = newChildren(0), tie = newChildren(1))
+}
+
+object TopKAgg {
+  /** k-bounded heap ordered weakest-first: the head is the pair to evict.
+    * "Stronger" = larger value, then SMALLER tie. */
+  final class Heap(val k: Int) {
+    // weakest-first comparator: smaller value first; at equal value the
+    // LARGER tie is weaker (ties rank ascending)
+    private val pq = new java.util.PriorityQueue[(Long, Long)](
+      math.max(k, 1),
+      (a: (Long, Long), b: (Long, Long)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      })
+
+    private def strongerThanHead(v: Long, t: Long): Boolean = {
+      val h = pq.peek()
+      v > h._1 || (v == h._1 && t < h._2)
+    }
+
+    def offer(v: Long, t: Long): Unit =
+      if (pq.size() < k) pq.add((v, t))
+      else if (strongerThanHead(v, t)) { pq.poll(); pq.add((v, t)) }
+
+    def absorb(other: Heap): Unit = {
+      val it = other.pq.iterator()
+      while (it.hasNext) { val (v, t) = it.next(); offer(v, t) }
+    }
+
+    /** Strongest-first: (value desc, tie asc). */
+    def toSortedPairs: Array[(Long, Long)] = {
+      val arr = new Array[(Long, Long)](pq.size())
+      pq.toArray(arr)
+      scala.util.Sorting.stableSort(arr,
+        (a: (Long, Long), b: (Long, Long)) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      arr
+    }
+
+    def toBytes: Array[Byte] = {
+      val arr = toSortedPairs
+      val bb = ByteBuffer.allocate(16 * arr.length)
+      arr.foreach { case (v, t) => bb.putLong(v); bb.putLong(t) }
+      bb.array()
+    }
+  }
+
+  object Heap {
+    def fromBytes(k: Int, bytes: Array[Byte]): Heap = {
+      val h = new Heap(k)
+      val bb = ByteBuffer.wrap(bytes)
+      while (bb.remaining() >= 16) h.offer(bb.getLong(), bb.getLong())
+      h
+    }
+  }
+}
