@@ -723,7 +723,40 @@ object ExtraQueries {
         .select(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("long").as("c"))
       operators.Selection.quantileFrame(cents, "c", Seq(0.25, 0.5, 0.9, 0.99))
-    })
+    }),
+
+    // token-budget corpus cut (DCLM/FineWeb-style selection): keep the
+    // highest-quality docs whose total token count fits 30% of the corpus —
+    // the cut score comes from weighted histogram refinement (<= 6 weighted
+    // counting aggregations), NEVER a global sort; whole tie classes are
+    // admitted or not, so the budget is a hard ceiling and the result is
+    // partitioning-independent
+    "q_select_budget" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9_]+"), t => t =!= "")
+      val scored = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("ntok"),
+          size(array_distinct(toks)).cast("long").as("ndist"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("ntok"),
+          call_function("div", col("ndist") * 10000L, col("ntok")).as("score"))
+      val budget = scored.agg(sum(col("ntok"))).head().getLong(0) * 3L / 10L
+      val t = operators.Selection.budgetCutScore(scored, "score", "ntok", budget)
+      scored.filter(col("score") >= t)
+        .select(col("doc_id"), col("score"), col("ntok"), lit(t).as("cut_score"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic per-language quota sample (at most 7 docs per lang) via
+    // the bounded-heap TopKAgg over a Lehmer-LCG key: losers die before the
+    // shuffle, and the same corpus yields the same sample at any
+    // parallelism — the exact-count companion to q_sample_stratified's
+    // Bernoulli rate
+    "q_sample_quota" -> ((s, d) =>
+      Mixing.quotaSample(
+          s.read.parquet(s"$d/documents.parquet").select("lang", "doc_id"),
+          "lang", "doc_id", k = 7)
+        .orderBy("lang", "rnk"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1599,6 +1632,41 @@ object ExtraQueries {
         |SELECT r.q_e4, r.rank_k, s.c AS value
         |FROM r JOIN s ON s.rk = r.rank_k
         |ORDER BY q_e4""".stripMargin,
+
+    // budget-cut twin: the full descending cumulative-weight window the
+    // refinement avoids — the cut is the smallest attained score whose
+    // from-the-top cumulative token weight still fits the budget (whole tie
+    // classes; empty selection would report max+1, unreachable at 30%)
+    "q_select_budget" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS BIGINT) AS ntok,
+        |         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> ''))) AS BIGINT) AS ndist
+        |  FROM documents),
+        |s AS (SELECT doc_id, ntok, (ndist * 10000) // ntok AS score FROM v WHERE ntok > 0),
+        |b AS (SELECT (sum(ntok) * 3) // 10 AS budget FROM s),
+        |cls AS (SELECT score, sum(ntok) AS w FROM s GROUP BY score),
+        |cum AS (SELECT score, sum(w) OVER (ORDER BY score DESC) AS wge FROM cls),
+        |thr AS (SELECT coalesce(min(score), (SELECT max(score) + 1 FROM s)) AS t
+        |        FROM cum, b WHERE wge <= budget)
+        |SELECT s.doc_id, s.score, s.ntok, CAST(thr.t AS BIGINT) AS cut_score
+        |FROM s, thr WHERE s.score >= thr.t
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // quota-sample twin: the per-group window sort TopKAgg avoids; the
+    // Lehmer key formula is stated verbatim (pure mod-(2^31-1) BIGINT
+    // arithmetic — no engine-specific hashing anywhere)
+    "q_sample_quota" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         doc_id % 2147483647 * 48271 % 2147483647 * 69621 % 2147483647 AS hkey
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, hkey,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hkey DESC, doc_id) AS rnk
+        |      FROM h)
+        |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, hkey
+        |FROM r WHERE rnk <= 7
+        |ORDER BY lang, rnk""".stripMargin,
 
     // markup extraction: identical planted HTML, identical RE2/Java-neutral
     // patterns (explicit ASCII classes, (?s), no \s, no lookaround), same

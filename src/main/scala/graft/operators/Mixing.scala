@@ -127,6 +127,39 @@ object Mixing {
       .withColumnRenamed("bucket", "shard")
   }
 
+  /** Deterministic per-group QUOTA sample: at most `k` rows per group,
+    * chosen by a reproducible pseudo-uniform key so the same (id, seed-free)
+    * input yields the same sample on any partitioning or cluster size — the
+    * exact-count companion to the Bernoulli `stratifiedSample` (which
+    * matches a RATE per stratum but not a count; capping a dominant domain
+    * at N documents needs exactly-≤k semantics).
+    *
+    * Key: two Lehmer/MINSTD LCG rounds over the LONG id in pure
+    * mod-(2^31−1) arithmetic — every intermediate product stays below 2^48,
+    * so the expression is ANSI-overflow-safe in Spark and replays verbatim
+    * in any BIGINT engine (the DuckDB oracle states the same formula).
+    * x ↦ 48271·x mod M is a bijection on Z_M (M prime), so distinct ids
+    * below M get distinct keys; ids must be >= 0 by contract.
+    *
+    * Scale shape: the per-group top-k runs through the bounded-heap
+    * [[graft.functions.TopKAgg]] — partial aggregation discards losers
+    * BEFORE the shuffle (≤ k rows per group × partition move), never a
+    * window sort over every row of every group. Emits
+    * (group, rnk 1..k strongest-first, id, hkey). */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"quota k must be >= 1; got $k")
+    graft.GraftFunctions.ensureRegistered(df.sparkSession)
+    val M = lit(2147483647L)
+    val hkey = col(idCol) % M * lit(48271L) % M * lit(69621L) % M
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"), hkey.as("hkey"))
+      .groupBy("grp")
+      .agg(call_function(graft.GraftFunctions.TopKName,
+        col("hkey"), col("id"), lit(k)).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("grp").as(groupCol), (col("i") + 1).cast("int").as("rnk"),
+        col("p.tie").as(idCol), col("p.value").as("hkey"))
+  }
+
   /** Domain-mixture reweighting: observed per-domain token shares vs a
     * target mixture → per-domain sampling weight target/observed (>1 =
     * upsample / extra epochs, <1 = downsample) — the knob that turns a

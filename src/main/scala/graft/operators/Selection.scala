@@ -127,4 +127,102 @@ object Selection {
       .toDF("q_e4", "rank_k", "value")
       .orderBy("q_e4")
   }
+
+  /** Token-budget corpus cut — the standard curation step "keep the
+    * highest-quality documents whose total token count fits a budget"
+    * (DCLM / FineWeb-style classifier-score selection), WITHOUT a global
+    * sort: returns the cut score `t` = the smallest ATTAINED score value
+    * such that the total weight of rows with `score >= t` does not exceed
+    * `budget` (so the selection is exactly `score >= t`), or `maxScore + 1`
+    * when even the top score class alone overshoots (empty selection).
+    * Whole score classes are admitted or not — the cut never splits a tie
+    * class, so the result is deterministic under any partitioning and
+    * independent of row order; the budget is a hard ceiling (the selection
+    * may undershoot by less than one boundary class, never overshoot).
+    *
+    * Algorithm — the weighted, from-the-top twin of [[exactRank]]'s
+    * histogram refinement: maintain [lo, hi] bracketing the integer cut
+    * and the exact weight `aboveW` strictly above the bracket. Each round
+    * is ONE weighted counting aggregation (B equi-width buckets, integer
+    * arithmetic); walk the buckets top-down on the driver to find the
+    * bucket where the from-the-top cumulative weight first exceeds the
+    * budget and recurse into it. ≤ ⌈64/log₂B⌉ rounds, each a counting scan
+    * of the persisted two-column (score, weight) projection — at 100 TB
+    * nothing ever shuffles more than B partial sums per partition
+    * (map-side combined) and the driver holds B longs. Weights must be
+    * >= 0 (token counts); their sums are trusted to stay inside LONG
+    * (2^63 µ-tokens is ~9.2 ZB of text) — ANSI mode faults an overflow
+    * loudly rather than wrapping.
+    *
+    * Spec: BASELINE.json (reference tree empty, SURVEY §0); SelectionSpec
+    * proves equality with the local sorted-prefix brute force on randomized
+    * data and pins the hard-ceiling / boundary-class invariants;
+    * `q_select_budget` carries the cumulative-window DuckDB twin. */
+  def budgetCutScore(df: DataFrame, scoreCol: String, weightCol: String,
+                     budget: Long): Long = {
+    require(budget >= 0, s"budget must be >= 0; got $budget")
+    val base = df.select(col(scoreCol).as("__s"), col(weightCol).as("__w"))
+      .filter(col("__s").isNotNull && col("__w").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = base.agg(count(lit(1)), min(col("__s")), max(col("__s")),
+        min(col("__w"))).head()
+      val n = head.getLong(0)
+      require(n > 0, "no non-null (score, weight) rows to select from")
+      require(head.getLong(3) >= 0,
+        s"weights must be >= 0; found ${head.getLong(3)}")
+      var lo = head.getLong(1)
+      var hi = head.getLong(2)
+      val maxScore = hi
+      require(maxScore < Long.MaxValue,
+        "score Long.MaxValue unsupported (the empty-selection sentinel is maxScore + 1)")
+      require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
+        s"score range [$lo, $hi] spans more than 2^63 — shift/scale the column first")
+      // exact weight strictly above the current bracket; invariant
+      // aboveW <= budget (so "select only what's above the bracket" is
+      // always feasible) and the integer cut lies in [lo, hi + 1]
+      var aboveW = 0L
+      var guard = 0
+      while (lo < hi) {
+        guard += 1
+        require(guard <= 8, s"budget cut failed to converge (range [$lo,$hi])")
+        val width = ((BigInt(hi) - BigInt(lo)) / Buckets + 1).toLong
+        val counts = base
+          .filter(col("__s") >= lo && col("__s") <= hi)
+          .groupBy(call_function("div", col("__s") - lo, lit(width)).as("__b"))
+          .agg(sum(col("__w")).as("__w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+        // walk top-down: find the highest bucket whose from-the-top
+        // cumulative weight exceeds the budget — the cut is inside it
+        var cum = aboveW
+        var i = 0
+        var found = false
+        while (i < counts.length && !found) {
+          val (b, w) = counts(i)
+          if (cum + w > budget) {
+            lo = lo + b * width
+            hi = math.min(hi, if (lo > Long.MaxValue - (width - 1)) hi
+                              else lo + width - 1)
+            aboveW = cum
+            found = true
+          } else { cum += w; i += 1 }
+        }
+        // every bucket fits (or the range held no rows): everything from
+        // `lo` up is selectable, so the cut is exactly lo
+        if (!found) hi = lo
+      }
+      // single-value bracket: admit lo's class iff it still fits
+      val wEq = base.filter(col("__s") === lo)
+        .agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
+      val cutInt = if (aboveW + wEq <= budget) lo else lo + 1
+      // report the smallest ATTAINED score admitted (the value-level cut the
+      // oracle can state), or maxScore + 1 for an empty selection
+      if (cutInt > maxScore) maxScore + 1
+      else {
+        val attained = base.filter(col("__s") >= cutInt)
+          .agg(min(col("__s"))).head()
+        if (attained.isNullAt(0)) maxScore + 1 else attained.getLong(0)
+      }
+    } finally base.unpersist()
+  }
 }

@@ -76,7 +76,8 @@ class CoStatsSpec extends SparkTestBase {
       df.select(call_function(GraftFunctions.LogHypergeomName,
         col("p"), col("n"), lit(5L), lit(20L))).collect()
     }
-    assert(err.getMessage.contains("integral counts"), err.getMessage)
+    assert(err.getMessage.contains("integral") &&
+      err.getMessage.contains("cast to BIGINT"), err.getMessage)
   }
 
   test("entry() smoke: flagship returns rows on sf0.001") {

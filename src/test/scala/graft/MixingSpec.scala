@@ -57,4 +57,30 @@ class MixingSpec extends SparkTestBase {
       .collect().map(x => x.getString(0) -> x.getAs[Long]("weight_e4")).toMap
     assert(r2("de") == 0L)
   }
+
+  test("quotaSample: == window-rank brute force, <= k per group, partitioning-invariant") {
+    val M = 2147483647L
+    val rows = (0L until 400L).map(id => (s"g${id % 3}", id))
+    val df = rows.toDF("grp", "id")
+    // local brute force over the same Lehmer key
+    def key(id: Long) = id % M * 48271L % M * 69621L % M
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map { case (_, id) => (key(id), id) }.sortBy { case (h, id) => (-h, id) }
+        .take(5).zipWithIndex
+        .map { case ((h, id), i) => (i + 1, id, h) }).toMap
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixing.quotaSample(d, "grp", "id", k = 5).collect()
+        .groupBy(_.getString(0)).view.mapValues(
+          _.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1).toSeq).toMap
+    val got = run(df)
+    assert(got == expect.toMap.view.mapValues(_.toSeq).toMap)
+    // a group smaller than k returns all of it, ranked
+    val small = (rows :+ ("tiny", 999L)).toDF("grp", "id")
+    val g2 = Mixing.quotaSample(small, "grp", "id", k = 5)
+      .filter(col("grp") === "tiny").collect()
+    assert(g2.length == 1 && g2.head.getInt(1) == 1)
+    // same sample on any partitioning
+    assert(run(df.repartition(13)) == got)
+  }
 }

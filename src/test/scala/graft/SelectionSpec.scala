@@ -68,4 +68,64 @@ class SelectionSpec extends SparkTestBase {
       Selection.exactRank(Seq(Long.MinValue, Long.MaxValue).toDF("v"), "v", 1)
     }
   }
+
+  /** Local brute force for the budget cut: smallest attained score whose
+    * from-the-top cumulative class weight fits the budget; max+1 if none. */
+  private def bruteCut(rows: Seq[(Long, Long)], budget: Long): Long = {
+    val classes = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(-_._1)
+    var cum = 0L
+    var cut = classes.head._1 + 1  // empty-selection sentinel
+    var i = 0
+    var stop = false
+    while (i < classes.length && !stop) {
+      cum += classes(i)._2
+      if (cum <= budget) cut = classes(i)._1 else stop = true
+      i += 1
+    }
+    cut
+  }
+
+  test("budgetCutScore == local sorted-prefix brute force, randomized") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 1500).map { _ =>
+        val score = if (rnd.nextInt(4) == 0) 42L               // hot tie class
+                    else rnd.nextInt(200).toLong - 50
+        (score, rnd.nextInt(100).toLong)                        // weights incl. 0
+      }
+      val df = rows.toDF("score", "w").repartition(7)
+      val total = rows.map(_._2).sum
+      for (budget <- Seq(0L, 1L, total / 10, total / 3, total - 1, total, total + 5)) {
+        val got = Selection.budgetCutScore(df, "score", "w", budget)
+        assert(got == bruteCut(rows, budget), s"trial $trial budget=$budget")
+      }
+    }
+  }
+
+  test("budget is a hard ceiling; the next class down would overshoot; determinism") {
+    val rows = Seq((10L, 5L), (20L, 7L), (30L, 4L), (30L, 2L), (40L, 1L))
+    val df = rows.toDF("score", "w")
+    // budget 8: class 40 (w=1) + class 30 (w=6) = 7 fits; + class 20 = 14 > 8
+    val cut = Selection.budgetCutScore(df, "score", "w", 8L)
+    assert(cut == 30L)
+    val selected = rows.filter(_._1 >= cut).map(_._2).sum
+    assert(selected <= 8L)                       // never overshoots
+    assert(selected + 7L > 8L)                   // next class would
+    // whole-class semantics: budget 2 fits only class 40; budget 0 fits none
+    assert(Selection.budgetCutScore(df, "score", "w", 2L) == 40L)
+    assert(Selection.budgetCutScore(df, "score", "w", 0L) == 41L)
+    // budget >= total admits everything down to the min attained score
+    assert(Selection.budgetCutScore(df, "score", "w", 19L) == 10L)
+    // partitioning-independent
+    assert(Selection.budgetCutScore(df.repartition(11), "score", "w", 8L) == 30L)
+  }
+
+  test("budgetCutScore rejects negative weights and negative budgets loudly") {
+    val df = Seq((1L, -3L)).toDF("score", "w")
+    intercept[IllegalArgumentException] { Selection.budgetCutScore(df, "score", "w", 5L) }
+    intercept[IllegalArgumentException] {
+      Selection.budgetCutScore(Seq((1L, 1L)).toDF("score", "w"), "score", "w", -1L)
+    }
+  }
 }
