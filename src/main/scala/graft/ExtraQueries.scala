@@ -747,6 +747,19 @@ object ExtraQueries {
         .orderBy("doc_id")
     }),
 
+    // exact per-group quantiles over the CLASS frame (group, value, count):
+    // the corpus collapses in one map-side-combinable aggregation; the
+    // keyed cumulative window sorts distinct classes per group, never rows
+    // — per-domain length distributions at any corpus scale
+    "q_group_quantiles" -> ((s, d) => {
+      val lens = s.read.parquet(s"$d/documents.parquet")
+        .select(col("lang"),
+          TextStats.wordTokenCount(col("text")).as("ntok"))
+      operators.Selection.groupedQuantiles(lens, "lang", "ntok",
+          Seq(0.25, 0.5, 0.9))
+        .orderBy("lang", "q_e4")
+    }),
+
     // deterministic per-language quota sample (at most 7 docs per lang) via
     // the bounded-heap TopKAgg over a Lehmer-LCG key: losers die before the
     // shuffle, and the same corpus yields the same sample at any
@@ -1652,6 +1665,23 @@ object ExtraQueries {
         |SELECT s.doc_id, s.score, s.ntok, CAST(thr.t AS BIGINT) AS cut_score
         |FROM s, thr WHERE s.score >= thr.t
         |ORDER BY s.doc_id""".stripMargin,
+
+    // grouped-quantiles twin: the full per-group row sort the class-frame
+    // form avoids — row_number per lang joined at each ceil-rank
+    "q_group_quantiles" ->
+      """WITH v AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+        |s AS (SELECT lang, ntok, row_number() OVER (PARTITION BY lang ORDER BY ntok) AS rk FROM v),
+        |qs(q_e4, q) AS (VALUES (2500, 0.25), (5000, 0.5), (9000, 0.9)),
+        |r AS (SELECT n.lang, CAST(q_e4 AS BIGINT) AS q_e4,
+        |             GREATEST(1, CAST(ceil(q * n.n) AS BIGINT)) AS rank_k
+        |      FROM qs, n)
+        |SELECT r.lang, r.q_e4, r.rank_k, s.ntok AS value
+        |FROM r JOIN s ON s.lang = r.lang AND s.rk = r.rank_k
+        |ORDER BY r.lang, r.q_e4""".stripMargin,
 
     // quota-sample twin: the per-group window sort TopKAgg avoids; the
     // Lehmer key formula is stated verbatim (pure mod-(2^31-1) BIGINT

@@ -225,4 +225,53 @@ object Selection {
       }
     } finally base.unpersist()
   }
+
+  /** Exact PER-GROUP quantiles (`quantile_disc` convention, same as
+    * [[exactQuantiles]]) — per-domain length/quality distributions for
+    * corpus monitoring, where one driver-loop refinement per group would
+    * not scale past a handful of groups.
+    *
+    * Shape: ONE map-side-combinable aggregation collapses the corpus to
+    * (group, value, count) CLASS rows; every later step — per-group totals,
+    * the cumulative sum, the rank probe — runs on that class frame, whose
+    * size is Σ_g |distinct values in g|, NOT the row count (token lengths,
+    * e4-ratios and other bounded-domain metrics keep it vocabulary-sized
+    * at any corpus scale). The per-group cumulative uses a keyed window
+    * over the class frame (keyed windows distribute; the engine's
+    * no-global-window discipline is about unpartitioned ORDER BY), and
+    * each quantile resolves as a filter + min-aggregation, never a second
+    * window. For genuinely unbounded value domains, pre-bucket the column
+    * or fall back to [[exactQuantiles]] per group.
+    *
+    * Emits (group, q_e4, rank_k, value): rank_k = max(1, ⌈q·n_g⌉) over the
+    * group's non-null values, value = the class where the group's
+    * cumulative count first reaches rank_k. Deterministic under any
+    * partitioning. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]; got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cls = df.select(col(groupCol).as("grp"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("__v")
+    val cum = cls.select(col("grp"), col("__v"),
+      sum(col("__c")).over(w).as("__cum"))
+    val tot = cls.groupBy("grp").agg(sum(col("__c")).as("__n"))
+    // q_e4 pinned on the driver (round(q·10⁴) — no engine float re-derive);
+    // the rank probe is per (group, q): smallest class whose cumulative
+    // count reaches k = max(1, ceil(q·n))
+    val qframe = qs.map(q => (math.round(q * 10000), q)).toDF("q_e4", "__q")
+    cum.join(tot, Seq("grp"))
+      .crossJoin(broadcast(qframe))
+      .select(col("grp"), col("q_e4"), col("__v"), col("__cum"),
+        greatest(lit(1L), ceil(col("__q") * col("__n")).cast("long")).as("rank_k"))
+      .filter(col("__cum") >= col("rank_k"))
+      .groupBy("grp", "q_e4", "rank_k")
+      .agg(min(col("__v")).as("value"))
+      .select(col("grp").as(groupCol), col("q_e4"), col("rank_k"), col("value"))
+  }
 }

@@ -121,6 +121,33 @@ class SelectionSpec extends SparkTestBase {
     assert(Selection.budgetCutScore(df.repartition(11), "score", "w", 8L) == 30L)
   }
 
+  test("groupedQuantiles == per-group local sort ceil-rank, randomized") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 3000).map { _ =>
+      (s"g${rnd.nextInt(5)}",
+        if (rnd.nextInt(3) == 0) 7L else rnd.nextInt(400).toLong - 100)
+    }
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Selection.groupedQuantiles(
+        rows.toDF("grp", "v").repartition(9), "grp", "v", qs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      qs.map { q =>
+        val k = math.max(1L, math.ceil(q * sorted.length).toLong)
+        (g, math.round(q * 10000), k, sorted((k - 1).toInt))
+      }
+    }.toSet
+    assert(got == expect)
+    // single group agrees with the driver-loop refinement
+    val one = rows.map { case (_, v) => ("all", v) }.toDF("grp", "v")
+    val viaGroup = Selection.groupedQuantiles(one, "grp", "v", Seq(0.5))
+      .select("value").as[Long].head()
+    val viaRefine = Selection.exactQuantiles(
+      rows.map(_._2).toDF("v"), "v", Seq(0.5)).head._3
+    assert(viaGroup == viaRefine)
+  }
+
   test("budgetCutScore rejects negative weights and negative budgets loudly") {
     val df = Seq((1L, -3L)).toDF("score", "w")
     intercept[IllegalArgumentException] { Selection.budgetCutScore(df, "score", "w", 5L) }
