@@ -732,7 +732,11 @@ object ExtraQueries {
     // admitted or not, so the budget is a hard ceiling and the result is
     // partitioning-independent
     "q_select_budget" -> ((s, d) => {
-      val toks = filter(split(lower(col("text")), "[^a-z0-9_]+"), t => t =!= "")
+      val toks = TextStats.wordTokens(col("text"))
+      // persist the scored frame ONCE: the budget sum, the refinement's
+      // weighted histogram passes, and the final cut filter all read these
+      // three columns — without the persist each would re-tokenize the
+      // full corpus from raw text
       val scored = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"),
           size(toks).cast("long").as("ntok"),
@@ -740,11 +744,15 @@ object ExtraQueries {
         .filter(col("ntok") > 0)
         .select(col("doc_id"), col("ntok"),
           call_function("div", col("ndist") * 10000L, col("ntok")).as("score"))
-      val budget = scored.agg(sum(col("ntok"))).head().getLong(0) * 3L / 10L
-      val t = operators.Selection.budgetCutScore(scored, "score", "ntok", budget)
-      scored.filter(col("score") >= t)
-        .select(col("doc_id"), col("score"), col("ntok"), lit(t).as("cut_score"))
-        .orderBy("doc_id")
+        .persist()
+      try {
+        val budget = scored.agg(sum(col("ntok"))).head().getLong(0) * 3L / 10L
+        val t = operators.Selection.budgetCutScore(scored, "score", "ntok", budget)
+        scored.filter(col("score") >= t)
+          .select(col("doc_id"), col("score"), col("ntok"), lit(t).as("cut_score"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally scored.unpersist()
     }),
 
     // exact per-group quantiles over the CLASS frame (group, value, count):
@@ -1672,7 +1680,8 @@ object ExtraQueries {
       """WITH v AS (
         |  SELECT lang,
         |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS BIGINT) AS ntok
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE text IS NOT NULL),
         |n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
         |s AS (SELECT lang, ntok, row_number() OVER (PARTITION BY lang ORDER BY ntok) AS rk FROM v),
         |qs(q_e4, q) AS (VALUES (2500, 0.25), (5000, 0.5), (9000, 0.9)),

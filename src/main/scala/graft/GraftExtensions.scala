@@ -107,7 +107,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(kExpr.foldable, s"${GraftFunctions.TopKName}: k must be a literal")
         val k = kExpr.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            // reject rather than l.toInt: a BIGINT k past Int.MaxValue would
+            // wrap (4294967299L -> 3) and silently return the wrong top-k
+            require(l >= Int.MinValue && l <= Int.MaxValue,
+              s"${GraftFunctions.TopKName}: k out of Int range: $l")
+            l.toInt
           case other => throw new IllegalArgumentException(
             s"${GraftFunctions.TopKName}: k must be an integer literal; got $other")
         }
@@ -181,5 +186,12 @@ object GraftFunctions {
     // truncate"). A missing-function error on an extension-less session
     // is loud; a corrupted centroid is not. Sessions built without
     // GraftExtensions must enable it to use graft_vector_sum.
+    //
+    // DELIBERATELY no fallback for TopKName either, for the same reason:
+    // an aggregate can only fall back as a typed udaf, whose implicit
+    // input coercion would silently cast the (value, tie) pair and reorder
+    // ties. Mixing.quotaSample and the events top-k query require a
+    // session built with GraftExtensions; absent that, the
+    // unresolved-function error is loud and immediate.
   }
 }

@@ -134,12 +134,16 @@ object Mixing {
     * matches a RATE per stratum but not a count; capping a dominant domain
     * at N documents needs exactly-≤k semantics).
     *
-    * Key: two Lehmer/MINSTD LCG rounds over the LONG id in pure
-    * mod-(2^31−1) arithmetic — every intermediate product stays below 2^48,
-    * so the expression is ANSI-overflow-safe in Spark and replays verbatim
-    * in any BIGINT engine (the DuckDB oracle states the same formula).
-    * x ↦ 48271·x mod M is a bijection on Z_M (M prime), so distinct ids
-    * below M get distinct keys; ids must be >= 0 by contract.
+    * Key: a Lehmer/MINSTD LCG step over the LONG id in pure mod-(2^31−1)
+    * arithmetic. The two modular multiplications compose algebraically to
+    * ONE Lehmer multiplication — x·48271·69621 ≡ x·1213191644 (mod M) —
+    * i.e. the second factor adds no extra scrambling; the formula is kept
+    * in its two-factor form only because each intermediate product then
+    * stays below 2^48 (vs 2^62 for the fused constant), so the expression
+    * is ANSI-overflow-safe with headroom in Spark and replays verbatim in
+    * any BIGINT engine (the DuckDB oracle states the same formula).
+    * x ↦ c·x mod M with gcd(c, M) = 1 is a bijection on Z_M (M prime), so
+    * distinct ids below M get distinct keys; ids must be >= 0 by contract.
     *
     * Scale shape: the per-group top-k runs through the bounded-heap
     * [[graft.functions.TopKAgg]] — partial aggregation discards losers

@@ -258,14 +258,18 @@ object Selection {
       .groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("__v")
+    // the group total rides the SAME partitioned pass as the cumulative
+    // (whole-partition frame, no ordering) — a separate groupBy + join here
+    // would re-execute the upstream corpus aggregation a second time
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("grp")
     val cum = cls.select(col("grp"), col("__v"),
-      sum(col("__c")).over(w).as("__cum"))
-    val tot = cls.groupBy("grp").agg(sum(col("__c")).as("__n"))
+      sum(col("__c")).over(w).as("__cum"),
+      sum(col("__c")).over(wTot).as("__n"))
     // q_e4 pinned on the driver (round(q·10⁴) — no engine float re-derive);
     // the rank probe is per (group, q): smallest class whose cumulative
     // count reaches k = max(1, ceil(q·n))
     val qframe = qs.map(q => (math.round(q * 10000), q)).toDF("q_e4", "__q")
-    cum.join(tot, Seq("grp"))
+    cum
       .crossJoin(broadcast(qframe))
       .select(col("grp"), col("q_e4"), col("__v"), col("__cum"),
         greatest(lit(1L), ceil(col("__q") * col("__n")).cast("long")).as("rank_k"))

@@ -39,12 +39,17 @@ object TextStats {
         .cast("long").as("chars_per_token_e4"))
   }
 
-  /** THE word-token count of a content column — the token definition every
+  /** THE word-token array of a content column — the token definition every
     * oracle replays as `list_filter(regexp_split_to_array(lower(x),
     * '[^a-z0-9_]+'), t -> t <> '')`. Shared (tokenCounts, Mixing
-    * .mixtureWeights) so the definition can never silently diverge. */
+    * .mixtureWeights, the budget-cut query) so the definition can never
+    * silently diverge. */
+  private[graft] def wordTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")
+
+  /** Count form of [[wordTokens]]. */
   private[graft] def wordTokenCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")).cast("long")
+    size(wordTokens(c)).cast("long")
 
   /** Token counting: whitespace tokens vs word-regex tokens vs a BPE-ish
     * subword estimate (splits on case/digit boundaries inside words). */
