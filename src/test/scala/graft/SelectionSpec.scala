@@ -148,6 +148,19 @@ class SelectionSpec extends SparkTestBase {
     assert(viaGroup == viaRefine)
   }
 
+  test("groupedQuantiles scans its input once (totals ride the window pass, no second agg+join)") {
+    // review regression guard: the per-group total used to come from a
+    // second groupBy joined back onto the cumulative frame, re-executing
+    // the upstream corpus aggregation; the optimized plan must reference
+    // the input exactly once (the only other leaf is the driver-pinned
+    // quantile literal frame)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "v")
+    val plan = Selection.groupedQuantiles(df, "grp", "v", Seq(0.5, 0.9))
+      .queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    assert(leaves.size == 2, s"expected input + quantile frame, got:\n$plan")
+  }
+
   test("budgetCutScore rejects negative weights and negative budgets loudly") {
     val df = Seq((1L, -3L)).toDF("score", "w")
     intercept[IllegalArgumentException] { Selection.budgetCutScore(df, "score", "w", 5L) }
