@@ -1,0 +1,38 @@
+#!/bin/bash
+# Quiet-window hunter for the 1v4 scaling campaign (BASELINE.md protocol).
+#
+# Probes the DRAM-copy ceiling every PROBE_SLEEP seconds; when a window is
+# CLEAN (single-proc fixed-work copy <= CLEAN_SMALL_S and P->4P ceiling >=
+# CLEAN_CEIL), runs one fully flanked campaign (control, TRIALS paired 1v4
+# trials, control) and exits. All probes are kept in the log so a reader
+# sees how many windows were rejected, not just the one that was used.
+#
+# Usage: bin/window_watch.sh [OUT_LOG] [TRIALS] [MAX_PROBES]
+set -uo pipefail
+OUT="${1:-/tmp/scaling_watch.log}"
+TRIALS="${2:-3}"
+MAX_PROBES="${3:-24}"
+PROBE_SLEEP="${PROBE_SLEEP:-600}"
+CLEAN_SMALL_S="${CLEAN_SMALL_S:-2.6}"
+CLEAN_CEIL="${CLEAN_CEIL:-0.72}"
+cd "$(dirname "$0")/.."
+
+probe() { python3 bin/copy_ceiling.py 1 1 2>/dev/null | head -1; }
+
+for i in $(seq "$MAX_PROBES"); do
+  line="$(probe)"
+  echo "{\"probe\": $i, \"result\": $line}" >> "$OUT"
+  small=$(echo "$line" | python3 -c 'import sys,json;print(json.load(sys.stdin)["sec_small"])' 2>/dev/null || echo 999)
+  ceil=$(echo "$line" | python3 -c 'import sys,json;print(json.load(sys.stdin)["ceiling"])' 2>/dev/null || echo 0)
+  ok=$(python3 -c "print(1 if $small <= $CLEAN_SMALL_S and $ceil >= $CLEAN_CEIL else 0)")
+  if [ "$ok" = "1" ]; then
+    echo "# clean window at probe $i — campaign start $(date -u +%FT%T)" >> "$OUT"
+    python3 bin/copy_ceiling.py 1 1 >> "$OUT" 2>/dev/null
+    bin/scaling.sh 1 60 "$TRIALS" >> "$OUT" 2>&1
+    python3 bin/copy_ceiling.py 1 1 >> "$OUT" 2>/dev/null
+    echo "CAMPAIGN_DONE" >> "$OUT"
+    exit 0
+  fi
+  sleep "$PROBE_SLEEP"
+done
+echo "NO_CLEAN_WINDOW" >> "$OUT"
