@@ -513,6 +513,30 @@ object ExtraQueries {
         .orderBy("docid")
     }),
 
+    // web link graph: deterministic planted pages — URL host Site(d%17)
+    // with mixed-case scheme/host and a port (normalization must strip
+    // both), anchors to hosts (3d+1)%17 and (5d+2)%17 plus a DUPLICATE of
+    // the first (per-page dedup), a self-host link (dropped), a relative
+    // href and a mailto: (no resolvable host). At d≡8 (mod 17) all targets
+    // collapse onto the self host, so those pages emit zero edges.
+    "q_web_linkgraph" -> ((s, d) => {
+      val site = (e: org.apache.spark.sql.Column) => e % 17
+      val did = col("doc_id")
+      val pages = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+        .select(
+          concat(lit("HTTP://Site"), site(did).cast("string"),
+            lit(".example:8080/p/"), did.cast("string")).as("url"),
+          concat(
+            lit("<html><body><p>"), col("text"),
+            lit("</p><a href=\"http://site"), site(did * 3 + 1).cast("string"),
+            lit(".example/x\">a</a><a HREF=\"https://site"), site(did * 5 + 2).cast("string"),
+            lit(".example:443/y?q=1\">b</a><a href=\"http://site"), site(did * 3 + 1).cast("string"),
+            lit(".example/dup\">dup</a><a href=\"http://site"), site(did).cast("string"),
+            lit(".example/self\">self</a><a href=\"/relative/only\">r</a>"),
+            lit("<a href=\"mailto:x@y.example\">m</a></body></html>")).as("content"))
+      TextStats.linkGraph(pages).orderBy("src_host", "dst_host")
+    }),
+
     "q_text_quality" -> ((s, d) => {
       import s.implicits._
       val sub = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 100)
@@ -1742,6 +1766,34 @@ object ExtraQueries {
         |       CAST(length(content) AS BIGINT) AS chars_after,
         |       sha256(content) AS sha_after
         |FROM ext ORDER BY docid""".stripMargin,
+
+    // link graph: identical planted pages, identical href/host patterns
+    // (explicit ASCII classes, anchored host regex), same per-page
+    // list_distinct-before-unnest dedup and self/empty filters
+    "q_web_linkgraph" ->
+      """WITH pl AS (
+        |  SELECT 'HTTP://Site' || CAST(doc_id % 17 AS VARCHAR) || '.example:8080/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |         '<html><body><p>' || text ||
+        |         '</p><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
+        |         '.example/x">a</a><a HREF="https://site' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR) ||
+        |         '.example:443/y?q=1">b</a><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
+        |         '.example/dup">dup</a><a href="http://site' || CAST(doc_id % 17 AS VARCHAR) ||
+        |         '.example/self">self</a><a href="/relative/only">r</a>' ||
+        |         '<a href="mailto:x@y.example">m</a></body></html>' AS content
+        |  FROM documents WHERE doc_id < 400
+        |),
+        |hx AS (
+        |  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+        |         list_distinct(list_filter(
+        |           list_transform(
+        |             regexp_extract_all(content, '[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"', 1),
+        |             u -> lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))),
+        |           h -> h <> '' AND h <> lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)))) AS dsts
+        |  FROM pl
+        |),
+        |e AS (SELECT src_host, unnest(dsts) AS dst_host FROM hx WHERE src_host <> '')
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_pages
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (

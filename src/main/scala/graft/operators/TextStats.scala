@@ -396,6 +396,47 @@ object TextStats {
       .withColumn("content", cleaned)
   }
 
+  /** Double-quoted `href` attribute values (group 1). Same dialect rules as
+    * the markup patterns: explicit ASCII case classes, no `\s`. Unquoted /
+    * single-quoted attributes are out of scope BY DESIGN — like the C4
+    * cleaner, this is regex-grade harvesting, not an HTML parser. */
+  val hrefPattern: String = ci("href") + "[ \\t]*=[ \\t]*\"([^\"]*)\""
+
+  /** Host of an absolute URL (group 1): scheme `://`, then everything up to
+    * the first `:` (port), `/`, `?` or `#`. Relative links and non-network
+    * schemes (`mailto:`) match nothing and extract to the empty string. */
+  val hostPattern: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+  /** Web link-graph extraction — the Common-Crawl-style bridge from raw
+    * markup to the KG analytics family: harvest absolute `href` targets and
+    * aggregate them into a host-level edge list `(src_host, dst_host,
+    * n_pages)`, where `n_pages` counts the pages on `src_host` linking to
+    * `dst_host` (each page contributes AT MOST ONCE per target host). Feed
+    * the result straight into `Graph.pagerank`/`wcc` for the classic
+    * domain-authority curation signal. Self-host edges are dropped (they
+    * are navigation, not endorsement — the standard host-graph convention),
+    * as are relative links and non-network schemes (no resolvable host).
+    *
+    * 100 TB shape: href harvest, host normalization, and the per-page
+    * target dedup (`array_distinct`) are all doc-LOCAL column expressions —
+    * the dedup happens BEFORE the explode, so the single shuffle of the
+    * plan is the final host-pair aggregation over an edge count bounded by
+    * pages x distinct-hosts-per-page, never a raw-anchor stream. Hub hosts
+    * skew the key space exactly like hot terms; the two-phase partial agg
+    * absorbs it (counts, not collections). */
+  def linkGraph(pages: DataFrame, urlCol: String = "url",
+                contentCol: String = "content"): DataFrame = {
+    val host = (c: org.apache.spark.sql.Column) => lower(regexp_extract(c, hostPattern, 1))
+    val src = host(col(urlCol))
+    val dsts = array_distinct(filter(
+      transform(regexp_extract_all(col(contentCol), lit(hrefPattern), lit(1)), host),
+      h => h =!= lit("") && h =!= src))
+    pages.select(src.as("src_host"), explode(dsts).as("dst_host"))
+      .filter(col("src_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_pages"))
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

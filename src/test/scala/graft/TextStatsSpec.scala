@@ -20,6 +20,35 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.stratifiedSample(docs, "lang", Map("en" -> 0.0)).count() == 0)
   }
 
+  test("linkGraph: host normalization, per-page dedup, self/relative/mailto drops") {
+    val pages = Seq(
+      // mixed-case scheme+host, port on both sides; two anchors to the same
+      // host (deduped), one self link, one relative, one mailto
+      ("HTTP://WWW.A.example:8080/p1",
+        """<a href="https://B.example:443/x">1</a><a HREF="http://b.example/y">2</a>
+          |<a href="http://www.a.example/self">s</a><a href="/rel">r</a>
+          |<a href="mailto:x@c.example">m</a>""".stripMargin),
+      ("http://www.a.example/p2", """<a href="http://b.example/z">1</a><a href="http://c.example/w">2</a>"""),
+      ("http://b.example/p", """<a href="http://www.a.example/back">1</a>"""),
+      ("http://noproto.example/p", "no links here"),
+      ("relative-url-no-host", """<a href="http://b.example/x">dropped: page has no host</a>"""))
+      .toDF("url", "content")
+    val got = TextStats.linkGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("www.a.example", "b.example") -> 2L, // p1 (deduped to 1) + p2
+      ("www.a.example", "c.example") -> 1L,
+      ("b.example", "www.a.example") -> 1L), s"got $got")
+  }
+
+  test("linkGraph: one shuffle total — harvest, hosts, and dedup are doc-local") {
+    val pages = Seq(("http://a.example/p", """<a href="http://b.example/x">1</a>"""))
+      .toDF("url", "content")
+    val plan = TextStats.linkGraph(pages).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("contamination: containment of benchmark n-grams in the corpus") {
     val corpus = Seq(
       TokDoc("c1", "the quick brown fox jumps over the lazy dog".split(" ")),
