@@ -73,13 +73,19 @@ object Bench {
     // the shared KG bigram adjacency (round 5): one edge aggregation the
     // whole q_kg_* family reads
     Memo.kgEdgesOf(spark, sfDir, Queries.cfg).count()
+    val tWarmKg = System.nanoTime()
+    // the memoized LR-classifier training (same accounting rule as BPE):
+    // one-time multi-round training must not land inside whichever q_lr_*
+    // query runs first in map order
+    CurationQueries.warmLr(spark, sfDir)
     val tWarmEnd = System.nanoTime()
     val memoWarmSec = (tWarmEnd - tWarm) / 1e9
     val warmParts = Seq(
       "costats" -> (tWarmCs - tWarm) / 1e9,
       "e3_model" -> (tWarmModel - tWarmCs) / 1e9,
       "bpe" -> (tWarmBpe - tWarmModel) / 1e9,
-      "kg_edges" -> (tWarmEnd - tWarmBpe) / 1e9)
+      "kg_edges" -> (tWarmKg - tWarmBpe) / 1e9,
+      "lr_train" -> (tWarmEnd - tWarmKg) / 1e9)
 
     // test hook for the loud-failure contract: GRAFT_BENCH_INJECT_FAIL adds a
     // query that throws, and the run must exit nonzero with it in `errors`

@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Tokenize}
+
+/** Corpus-curation front-door queries on the driver contract: URL-level
+  * dedup, DSIR importance weights, and the hashed-LR quality classifier —
+  * every query fully DuckDB-oracled (the classifier oracle replays all
+  * training rounds in SQL, the same style as the BPE-training replay).
+  */
+object CurationQueries {
+
+  // ----------------------------------------------------------- fixtures
+
+  /** Planted suffixes: the corpus text is language-uniform by construction
+    * (TESTDATA.md), so distribution-level operators plant their signal —
+    * the standing fixture idiom (planted PII / HTML / near-dups). */
+  private val TgtSuffix = " mlcorpus arxiv theorem proof dataset"
+  private val JunkSuffix = " casino jackpot lottery spin bonus"
+  private val QualSuffix = " granary ledger manifold axiom verifier"
+  private val SpamSuffix = " clickbait payday roulette pyramid scamlet"
+
+  private val DsirB = 256 // power of two: unsigned-mod == signed-mod replay
+  private val LrB = 128
+  private val LrRounds = 6
+  private val LrLr = 1.0
+
+  private def toTok(df: DataFrame): Dataset[TokDoc] = {
+    import df.sparkSession.implicits._
+    df.select(col("docid"), col("text")).as[(String, String)]
+      .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+  }
+
+  private def dsirAug(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").cast("string").as("docid"),
+        concat(col("text"),
+          when(col("doc_id") % 7 <= 1, lit(TgtSuffix)).otherwise(lit(JunkSuffix)))
+          .as("text"))
+
+  private def lrAug(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").cast("string").as("docid"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(QualSuffix)).otherwise(lit(SpamSuffix)))
+          .as("text"))
+
+  private def lrFeat(s: SparkSession, d: String): DataFrame = {
+    val aug = lrAug(s, d)
+    Curation.presenceFeatures(toTok(aug), LrB)
+      .join(aug.select("docid", "y"), "docid")
+  }
+
+  /** The trained model is pure driver data (B+1 longs) with no session
+    * references, so it memoizes safely per sf dir — q_lr_train and
+    * q_lr_score share one training run, and Bench warms it explicitly. */
+  private val lrMemo = new java.util.concurrent.ConcurrentHashMap[String, Curation.LrModel]()
+
+  private[graft] def lrModelOf(s: SparkSession, d: String): Curation.LrModel =
+    lrMemo.computeIfAbsent(d, _ => Curation.trainLogReg(lrFeat(s, d), LrB, LrRounds, LrLr))
+
+  /** Bench warm hook: charge the one-time LR training to the warm phase
+    * (the BPE-training accounting rule, VERDICT r4 #3). */
+  private[graft] def warmLr(s: SparkSession, d: String): Unit = { lrModelOf(s, d); () }
+
+  // ------------------------------------------------------------ queries
+
+  def sparkQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // URL canonicalization + URL-level dedup: four planted spellings per
+    // page (default port / case / trailing slash / tracking params /
+    // fragment vs a genuinely distinct https variant) collapse 4 rows into
+    // 2 canonical URLs with the min doc_id as survivor.
+    "q_url_dedup" -> ((s, d) => {
+      val g = expr("doc_id div 4").cast("long")
+      val v = col("doc_id") % 4
+      val site = (g % 29).cast("string")
+      val gs = g.cast("string")
+      val pages = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          when(v === 0, concat(lit("http://Site"), site, lit(".example:80/p/"), gs,
+            lit("?x=1&utm_source=tw#frag")))
+            .when(v === 1, concat(lit("HTTP://site"), site, lit(".EXAMPLE/p/"), gs,
+              lit("/?x=1")))
+            .when(v === 2, concat(lit("http://site"), site, lit(".example/p/"), gs,
+              lit("?utm_campaign=c&x=1")))
+            .otherwise(concat(lit("https://site"), site, lit(".example:443/p/"), gs,
+              lit("?b=2&x=1")))
+            .as("url"))
+      Curation.urlDedup(pages, "url", "doc_id").orderBy("canon_url")
+    }),
+
+    // DSIR importance weights: target = the doc_id%7==0 slice (planted
+    // target-domain suffix, which doc_id%7==1 docs share — those must
+    // score target-like without being in the target set).
+    "q_dsir_weights" -> ((s, d) => {
+      val aug = dsirAug(s, d)
+      val feats = Curation.bucketCounts(toTok(aug), DsirB)
+      val tgtFeats = Curation.bucketCounts(
+        toTok(aug.filter(col("docid").cast("long") % 7 === 0)), DsirB)
+      Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB))
+        .select(col("docid").cast("long").as("docid"), col("n_toks"), col("logw_q_e6"))
+        .orderBy("docid")
+    }),
+
+    // Hashed-LR quality classifier, trained weights after all rounds
+    // (bucket -1 = bias). The oracle replays every training round in SQL.
+    "q_lr_train" -> ((s, d) => {
+      val m = lrModelOf(s, d)
+      import s.implicits._
+      ((-1L, m.biasq) +: m.wq.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+        .toDF("bucket", "wq").orderBy("bucket")
+    }),
+
+    // Per-doc margins + predictions under the trained model.
+    "q_lr_score" -> ((s, d) => {
+      val m = lrModelOf(s, d)
+      Curation.scoreLogReg(lrFeat(s, d), m)
+        .select(col("docid").cast("long").as("docid"), col("y"),
+          col("margin_q"), col("pred"))
+        .orderBy("docid")
+    }),
+
+    // DCLM end-to-end selection: classifier margin as the quality score,
+    // token-budget cut (30% of the corpus) via the weighted
+    // histogram-refinement selection — classifier → budget threshold →
+    // emitted corpus slice, never a global sort. Whole tie classes are
+    // admitted, so the budget is a hard ceiling (Selection contract).
+    "q_select_classifier" -> ((s, d) => {
+      val m = lrModelOf(s, d)
+      val scored = Curation.scoreLogReg(lrFeat(s, d), m)
+        .join(lrAug(s, d).select(col("docid"),
+          operators.TextStats.wordTokenCount(col("text")).as("ntok")), "docid")
+        .filter(col("ntok") > 0)
+        .select(col("docid").cast("long").as("docid"), col("margin_q"), col("ntok"))
+        .persist()
+      try {
+        val budget = scored.agg(sum(col("ntok"))).head().getLong(0) * 3L / 10L
+        val t = operators.Selection.budgetCutScore(scored, "margin_q", "ntok", budget)
+        scored.filter(col("margin_q") >= t)
+          .select(col("docid"), col("margin_q"), col("ntok"), lit(t).as("cut_score"))
+          .orderBy("docid")
+          .localCheckpoint()
+      } finally scored.unpersist()
+    }))
+
+  // ------------------------------------------------------------- oracle
+
+  /** FNV-1a over a token's chars as unsigned HUGEINT mod 2^64 — verbatim
+    * the winnowing-fingerprint replay idiom, minus the k-gram padding. */
+  private def fnvHu(tok: String): String =
+    s"""list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
+       |  list_transform(string_split($tok, ''), c -> CAST(ascii(c) AS HUGEINT))),
+       |  (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** Shared LR oracle prefix: planted labels + presence features + the
+    * round-0 zero-weight spine. The feature CTEs are AS MATERIALIZED —
+    * load-bearing, not a hint (BPE-replay precedent): each round references
+    * the previous round twice, so inlining would re-expand the whole
+    * FNV-hash prefix 2^rounds times. */
+  private def lrPrefix: String =
+    s"""WITH aug AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+       |         text || CASE WHEN doc_id % 3 = 0 THEN '$QualSuffix' ELSE '$SpamSuffix' END AS text
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, y,
+       |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS tok
+       |  FROM aug),
+       |featb AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, y,
+       |         CAST(${fnvHu("tok")} % $LrB AS BIGINT) AS bucket
+       |  FROM tok),
+       |ub AS MATERIALIZED (
+       |  SELECT doc_id, bucket FROM featb
+       |  UNION ALL SELECT DISTINCT doc_id, CAST(-1 AS BIGINT) FROM featb),
+       |nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM aug),
+       |w0 AS MATERIALIZED (SELECT unnest(range(-1, $LrB)) AS bucket, CAST(0 AS BIGINT) AS wq)""".stripMargin
+
+  /** One SQL training round r: margins from w(r-1), per-doc quantized
+    * gradient, per-bucket gradient sums (bucket -1 = bias), weight update
+    * round(lr·grad/n) — the exact driver-side arithmetic. */
+  private def lrRound(r: Int): String =
+    s""",b$r AS (SELECT wq AS bias FROM w${r - 1} WHERE bucket = -1),
+       |m$r AS (
+       |  SELECT f.doc_id, f.y, CAST(c.bias + sum(w.wq) AS BIGINT) AS margin
+       |  FROM featb f JOIN w${r - 1} w ON f.bucket = w.bucket CROSS JOIN b$r c
+       |  GROUP BY f.doc_id, f.y, c.bias),
+       |g$r AS (
+       |  SELECT doc_id,
+       |         CAST(round((y - 1.0/(1.0 + exp(-CAST(margin AS DOUBLE)/1000000.0))) * 1000000) AS BIGINT) AS gq
+       |  FROM m$r),
+       |gr$r AS (
+       |  SELECT u.bucket, CAST(sum(g.gq) AS BIGINT) AS grad
+       |  FROM g$r g JOIN ub u ON g.doc_id = u.doc_id
+       |  GROUP BY 1),
+       |w$r AS MATERIALIZED (
+       |  SELECT w.bucket,
+       |         CAST(w.wq + coalesce(CAST(round($LrLr * g.grad / n.n) AS BIGINT), 0) AS BIGINT) AS wq
+       |  FROM w${r - 1} w LEFT JOIN gr$r g ON w.bucket = g.bucket CROSS JOIN nd n)""".stripMargin
+
+  private def lrChain: String = lrPrefix + (1 to LrRounds).map(lrRound).mkString
+
+  def oracle: Map[String, String] = Map(
+
+    "q_url_dedup" ->
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4
+        |           WHEN 0 THEN 'http://Site' || CAST((doc_id // 4) % 29 AS VARCHAR) || '.example:80/p/'
+        |                       || CAST(doc_id // 4 AS VARCHAR) || '?x=1&utm_source=tw#frag'
+        |           WHEN 1 THEN 'HTTP://site' || CAST((doc_id // 4) % 29 AS VARCHAR) || '.EXAMPLE/p/'
+        |                       || CAST(doc_id // 4 AS VARCHAR) || '/?x=1'
+        |           WHEN 2 THEN 'http://site' || CAST((doc_id // 4) % 29 AS VARCHAR) || '.example/p/'
+        |                       || CAST(doc_id // 4 AS VARCHAR) || '?utm_campaign=c&x=1'
+        |           ELSE 'https://site' || CAST((doc_id // 4) % 29 AS VARCHAR) || '.example:443/p/'
+        |                || CAST(doc_id // 4 AS VARCHAR) || '?b=2&x=1'
+        |         END AS url
+        |  FROM documents WHERE doc_id < 400),
+        |parts AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |         TRY_CAST(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS INT) AS portn,
+        |         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |         regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
+        |  FROM pl),
+        |canon AS (
+        |  SELECT doc_id,
+        |         scheme || '://' || host ||
+        |         CASE WHEN portn IS NULL OR (scheme = 'http' AND portn = 80)
+        |                   OR (scheme = 'https' AND portn = 443) THEN ''
+        |              ELSE ':' || CAST(portn AS VARCHAR) END ||
+        |         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |              ELSE regexp_replace(rawpath, '/+$', '') END ||
+        |         CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END AS canon_url
+        |  FROM (SELECT *, list_sort(list_filter(string_split(rawq, '&'),
+        |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid)(=|$)'))) AS ps
+        |        FROM parts)
+        |  WHERE scheme <> '' AND host <> '')
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+        |       CAST(min(doc_id) AS BIGINT) AS survivor_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 7 <= 1 THEN '$TgtSuffix' ELSE '$JunkSuffix' END AS text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS tok
+         |  FROM aug),
+         |bx AS (
+         |  SELECT doc_id, CAST(${fnvHu("tok")} % $DsirB AS BIGINT) AS bucket
+         |  FROM tok),
+         |feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM bx GROUP BY 1, 2),
+         |raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r FROM feat GROUP BY 1),
+         |tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t FROM feat WHERE doc_id % 7 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rtot,
+         |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS ttot),
+         |del AS (
+         |  SELECT raw.bucket,
+         |         CAST(round((ln((coalesce(tgt.t, 0) + 1.0) / (tot.ttot + $DsirB.0))
+         |                   - ln((raw.r + 1.0) / (tot.rtot + $DsirB.0))) * 1000000) AS BIGINT) AS qdelta
+         |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
+         |SELECT CAST(f.doc_id AS BIGINT) AS docid, CAST(sum(f.cnt) AS BIGINT) AS n_toks,
+         |       CAST(sum(f.cnt * d.qdelta) AS BIGINT) AS logw_q_e6
+         |FROM feat f JOIN del d ON f.bucket = d.bucket
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lr_train" ->
+      s"""$lrChain
+         |SELECT bucket, wq FROM w$LrRounds ORDER BY bucket""".stripMargin,
+
+    "q_lr_score" ->
+      s"""$lrChain,
+         |bf AS (SELECT wq AS bias FROM w$LrRounds WHERE bucket = -1),
+         |mf AS (
+         |  SELECT f.doc_id, f.y, CAST(c.bias + sum(w.wq) AS BIGINT) AS margin
+         |  FROM featb f JOIN w$LrRounds w ON f.bucket = w.bucket CROSS JOIN bf c
+         |  GROUP BY f.doc_id, f.y, c.bias)
+         |SELECT CAST(doc_id AS BIGINT) AS docid, CAST(y AS BIGINT) AS y,
+         |       margin AS margin_q,
+         |       CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM mf ORDER BY 1""".stripMargin,
+
+    // classifier margins + the q_select_budget descending-cumulative twin
+    "q_select_classifier" ->
+      s"""$lrChain,
+         |bf AS (SELECT wq AS bias FROM w$LrRounds WHERE bucket = -1),
+         |mf AS (
+         |  SELECT f.doc_id, CAST(c.bias + sum(w.wq) AS BIGINT) AS margin
+         |  FROM featb f JOIN w$LrRounds w ON f.bucket = w.bucket CROSS JOIN bf c
+         |  GROUP BY f.doc_id, c.bias),
+         |nt AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS BIGINT) AS ntok
+         |  FROM aug),
+         |sx AS (SELECT mf.doc_id, mf.margin, nt.ntok
+         |       FROM mf JOIN nt ON mf.doc_id = nt.doc_id WHERE nt.ntok > 0),
+         |bud AS (SELECT (sum(ntok) * 3) // 10 AS budget FROM sx),
+         |cls AS (SELECT margin, sum(ntok) AS w FROM sx GROUP BY margin),
+         |cum AS (SELECT margin, sum(w) OVER (ORDER BY margin DESC) AS wge FROM cls),
+         |thr AS (SELECT coalesce(min(margin), (SELECT max(margin) + 1 FROM sx)) AS t
+         |        FROM cum, bud WHERE wge <= budget)
+         |SELECT CAST(sx.doc_id AS BIGINT) AS docid, sx.margin AS margin_q,
+         |       sx.ntok, CAST(thr.t AS BIGINT) AS cut_score
+         |FROM sx, thr WHERE sx.margin >= thr.t
+         |ORDER BY 1""".stripMargin)
+}

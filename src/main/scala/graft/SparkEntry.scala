@@ -21,11 +21,11 @@ object SparkEntry {
     * plus the training-data-pipeline extras (ExtraQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.sparkQueries ++ ExtraQueries.sparkQueries ++ KgQueries.sparkQueries ++
-      MmQueries.sparkQueries ++ EventQueries.sparkQueries
+      MmQueries.sparkQueries ++ EventQueries.sparkQueries ++ CurationQueries.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ ExtraQueries.oracle ++ KgQueries.oracle ++ MmQueries.oracle ++
-      EventQueries.oracle
+      EventQueries.oracle ++ CurationQueries.oracle
 }

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.TokDoc
+
+/** Corpus-curation operators for the training-data pipeline front door:
+  *
+  *  - URL canonicalization + URL-level dedup (the Common-Crawl-style "same
+  *    page, four spellings" problem);
+  *  - DSIR-style hashed-n-gram importance weights (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling"): score every
+  *    raw document by how target-like its hashed token distribution is;
+  *  - a distributed fastText/DCLM-style linear quality classifier: logistic
+  *    regression over hashed presence features, trained by full-batch
+  *    gradient descent where each round is ONE aggregation over the corpus
+  *    and the model state is a B-sized integer vector on the driver.
+  *
+  * Reference note: `/root/reference` is empty (SURVEY.md §0); semantics are
+  * pinned by the public literature cited per-operator and by this repo's
+  * DuckDB oracles, which replay every operator bit-for-bit.
+  *
+  * Numeric contract (shared with the rest of the repo): every cross-row sum
+  * is over BIGINTs. Transcendentals (ln, exp) are evaluated per ROW /
+  * per BUCKET, quantized to integer micro-units immediately, and only the
+  * quantized integers ride aggregations — so results are independent of
+  * partitioning and float-summation order, and DuckDB can replay them
+  * exactly (same idiom as the µ-unit embedding centroids and the e4
+  * hypergeometric scores).
+  */
+object Curation {
+
+  // ------------------------------------------------------------ FNV-1a
+  // Same seed/prime as the winnowing fingerprints (TextStats.kgramHashes),
+  // so the existing DuckDB list_reduce replay idiom carries over verbatim;
+  // 64-bit overflow arithmetic replays as HUGEINT mod 2^64. Feature-space
+  // sizes are POWERS OF TWO on purpose: 2^64 ≡ 0 (mod b) makes the signed
+  // Scala `((h % b) + b) % b` equal the oracle's unsigned `hu % b`.
+  private val FnvOffset = 1469598103934665603L
+  private val FnvPrime = 1099511628211L
+
+  private[graft] def fnv64(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** Token → feature bucket in [0, b). */
+  private[graft] def bucketOf(tok: String, b: Int): Int =
+    (((fnv64(tok) % b) + b) % b).toInt
+
+  // ============================================= URL canonicalization
+
+  private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  private val HostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)"
+  private val PortRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)"
+  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe = "^[^#?]*\\?([^#]*)"
+  /** Query params that never identify content (analytics attribution). */
+  private val TrackerRe = "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid)(=|$)"
+
+  /** RFC-3986-flavored canonical form of an absolute http(s) URL, as one
+    * codegen'd column expression (doc-local; zero shuffle):
+    * scheme/host lowercased; default ports (http:80, https:443) and
+    * leading-zero port spellings dropped; fragment dropped; tracking params
+    * (utm_*, fbclid, gclid, msclkid) removed; surviving query params sorted
+    * byte-wise so param order never splits a page; empty path → "/";
+    * trailing slashes trimmed (except the root). URLs without scheme+host
+    * (relative links, mailto:) canonicalize to NULL — callers filter.
+    *
+    * Every step is a Spark regexp/array function with an exact DuckDB
+    * twin (`q_url_dedup` replays the whole chain). */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val host = lower(regexp_extract(u, HostRe, 1))
+    val port = regexp_extract(u, PortRe, 1)
+    val rawPath = regexp_extract(u, PathRe, 1)
+    val rawQuery = regexp_extract(u, QueryRe, 1)
+
+    // ANSI-safe: '' → NULL before the int cast (CAST('' AS INT) would throw)
+    val portNum = when(port === "", lit(null)).otherwise(port).cast("int")
+    val portPart = when(
+      portNum.isNull ||
+        (scheme === "http" && portNum === 80) ||
+        (scheme === "https" && portNum === 443), lit(""))
+      .otherwise(concat(lit(":"), portNum.cast("string")))
+
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+
+    val params = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(TrackerRe)))
+    val queryPart = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** URL-level dedup: group pages by canonical URL, keep the minimum id as
+    * survivor. One shuffle, and both aggregates (count, min) are map-side
+    * combinable — a hot canonical URL (a front page crawled millions of
+    * times) collapses inside each partition before the exchange, the exact
+    * dedup skew story. Output: (canon_url, n_variants, survivor_id). */
+  def urlDedup(pages: DataFrame, urlCol: String = "url",
+               idCol: String = "id"): DataFrame =
+    pages
+      .select(canonicalUrl(col(urlCol)).as("canon_url"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_variants"), min("id").as("survivor_id"))
+
+  // ======================================= DSIR importance weighting
+
+  /** Doc-local hashed token counts: (docid, bucket, cnt). Counting happens
+    * INSIDE the typed mapPartitions (one small int array per doc), so the
+    * emitted frame is already per-doc aggregated — no (docid, bucket)
+    * shuffle ever happens; downstream aggregations group by `bucket` alone
+    * (B-sized result, map-side combine absorbs the hot buckets). */
+  def bucketCounts(td: Dataset[TokDoc], b: Int): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      val counts = new Array[Long](b)
+      var i = 0
+      while (i < d.terms.length) { counts(bucketOf(d.terms(i), b)) += 1L; i += 1 }
+      (0 until b).iterator.filter(counts(_) > 0L).map(j => (d.docid, j, counts(j)))
+    }).toDF("docid", "bucket", "cnt")
+  }
+
+  /** Per-bucket importance log-ratio, Laplace-smoothed, quantized to
+    * integer micro-nats:
+    *
+    *   qdelta_e6(b) = round( ( ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) ) · 1e6 )
+    *
+    * where t/r are target/raw bucket totals and T/R their grand totals
+    * (hashed-unigram instance of DSIR's n-gram importance estimator; the
+    * bucket marginals play the bigram table's role). The output is
+    * B rows — broadcast-sized at ANY corpus scale, because the hash
+    * projects the open vocabulary onto a fixed feature space. Buckets the
+    * raw corpus never populates are irrelevant by construction (no raw doc
+    * can contain them). */
+  def dsirDeltas(rawFeat: DataFrame, tgtFeat: DataFrame, b: Int): DataFrame = {
+    val raw = rawFeat.groupBy("bucket").agg(sum("cnt").as("r"))
+    val tgt = tgtFeat.groupBy("bucket").agg(sum("cnt").as("t"))
+    val totals = raw.agg(sum("r").as("rtot"))
+      .crossJoin(tgt.agg(sum("t").as("ttot")))
+    raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("t") + lit(1.0)) / (col("ttot") + lit(b.toDouble)))
+          - log((col("r") + lit(1.0)) / (col("rtot") + lit(b.toDouble)))) * 1e6)
+          .cast("long").as("qdelta_e6"))
+  }
+
+  /** Per-document DSIR importance weight: logw_q_e6 = Σ_b cnt_b · qdelta_b —
+    * an exact BIGINT sum (the only transcendental was quantized per bucket
+    * in [[dsirDeltas]]), so the score is identical under any partitioning
+    * and replays exactly in the oracle. The delta table joins broadcast
+    * (B rows); the per-doc aggregation groups by docid — uniform keys,
+    * bounded by a doc's own distinct buckets. */
+  def dsirWeights(docFeat: DataFrame, deltas: DataFrame): DataFrame =
+    docFeat.join(broadcast(deltas), "bucket")
+      .groupBy("docid")
+      .agg(sum("cnt").as("n_toks"),
+        sum(col("cnt") * col("qdelta_e6")).as("logw_q_e6"))
+
+  // ============================== linear quality classifier (hashed LR)
+
+  /** Trained model: integer micro-unit weights, one per bucket, plus bias.
+    * O(B) driver state — the only thing that ever leaves the cluster. */
+  final case class LrModel(b: Int, rounds: Int, wq: Array[Long], biasq: Long)
+
+  /** Doc-local presence features: (docid, buckets) with `buckets` the
+    * sorted distinct hashed-token buckets of the doc. Zero shuffle. */
+  def presenceFeatures(td: Dataset[TokDoc], b: Int): DataFrame = {
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.map { d =>
+      (d.docid, d.terms.map(bucketOf(_, b)).distinct.sorted)
+    }).toDF("docid", "buckets")
+  }
+
+  private def marginExpr(wq: Array[Long], biasq: Long): Column =
+    aggregate(col("buckets"), lit(biasq),
+      (acc, bk) => acc + get(lit(wq), bk))
+
+  /** Round-half-away-from-zero — the semantics BOTH Spark SQL `round` and
+    * DuckDB `round` use, applied on the driver for the weight update so all
+    * three agree at .5 boundaries (Scala's `math.round` rounds -2.5 → -2
+    * and would silently diverge from the oracle replay). */
+  private def roundAway(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+
+  /** Full-batch logistic regression over hashed presence features —
+    * the distributed shape of the fastText/DCLM quality classifier
+    * (Joulin et al. 2016; DCLM's fastText filter). Each round:
+    *
+    *   margin_q(d) = bias_q + Σ_{b ∈ buckets(d)} w_q[b]          (BIGINT)
+    *   g_q(d)      = round( (y_d − σ(margin_q(d)/1e6)) · 1e6 )   (per-row)
+    *   grad_q[b]   = Σ_d [b ∈ buckets(d)] · g_q(d)               (BIGINT agg)
+    *   w_q[b]     += round( lr · grad_q[b] / n )                 (driver)
+    *
+    * = ONE aggregation job per round over the persisted feature frame
+    * (the bias gradient rides the same job as bucket −1), a B+1-row
+    * collect, and an O(B) in-place update. The sigmoid is per-row and
+    * quantized before any cross-row sum, so training is bit-deterministic
+    * under any partitioning and the oracle replays all rounds in SQL.
+    * At 100 TB: per round, one pass over (docid, buckets) — bytes per doc —
+    * with map-side combine on ≤ B+1 keys; model state never exceeds B+1
+    * longs. `feat` must carry an integer `y` ∈ {0,1}. */
+  def trainLogReg(feat: DataFrame, b: Int, rounds: Int, lr: Double = 1.0): LrModel = {
+    val cached = feat.select(col("y").cast("long").as("y"), col("buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    require(n > 0, "trainLogReg: empty training frame")
+    val wq = new Array[Long](b)
+    var biasq = 0L
+    var r = 0
+    while (r < rounds) {
+      val g = round((col("y").cast("double")
+        - lit(1.0) / (lit(1.0) + exp(-marginExpr(wq, biasq).cast("double") / lit(1e6))))
+        * 1e6).cast("long")
+      val grads = cached
+        .select(g.as("gq"), explode(concat(array(lit(-1)), col("buckets"))).as("bucket"))
+        .groupBy("bucket").agg(sum("gq").as("grad"))
+        .collect()
+      grads.foreach { row =>
+        val bk = row.getInt(0)
+        val delta = roundAway(lr * row.getLong(1).toDouble / n)
+        if (bk < 0) biasq += delta else wq(bk) += delta
+      }
+      r += 1
+    }
+    cached.unpersist()
+    LrModel(b, rounds, wq, biasq)
+  }
+
+  /** Score a feature frame with a trained model: exact integer margin,
+    * pred = margin_q > 0. Pure column expressions over the doc-local
+    * bucket arrays — the model rides into codegen as an array literal
+    * (broadcast-by-value), nothing shuffles. */
+  def scoreLogReg(feat: DataFrame, model: LrModel): DataFrame =
+    feat.select(col("docid"),
+      col("y").cast("long").as("y"),
+      marginExpr(model.wq, model.biasq).as("margin_q"),
+      (marginExpr(model.wq, model.biasq) > 0L).cast("int").as("pred"))
+}

@@ -70,6 +70,23 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("sha")
 
+  /** Streaming crawl-frontier URL dedup: drop any page whose CANONICAL URL
+    * (operators.Curation.canonicalUrl — case, default ports, trackers,
+    * param order, trailing slashes) was already seen within the watermark
+    * horizon; uncanonicalizable rows (relative links, mailto:) are dropped
+    * outright. Canonicalization is a stateless doc-local column expression,
+    * so state stays one row per distinct canonical URL per horizon — the
+    * streaming arm of the batch [[graft.operators.Curation.urlDedup]],
+    * sitting BEFORE fetch/extract where URL dedup belongs in a crawl. */
+  def urlDedupStream(pages: DataFrame, urlCol: String = "url",
+                     tsCol: String = "ts",
+                     watermark: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("canon_url", graft.operators.Curation.canonicalUrl(col(urlCol)))
+      .filter(col("canon_url").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Streaming NEAR-dup dedup: drop any document whose 64-bit SimHash
     * signature was already seen within the watermark horizon. Signature
     * computation is stateless and doc-local (tokenize + simhash in one

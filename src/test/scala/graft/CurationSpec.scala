@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --------------------------------------------------- canonicalUrl
+
+  private def canonOf(urls: String*): Seq[Option[String]] =
+    urls.toDF("u").select(Curation.canonicalUrl(col("u")).as("c"))
+      .as[Option[String]].collect().toSeq
+
+  test("canonicalUrl: scheme/host case, default ports, leading-zero ports") {
+    assert(canonOf(
+      "HTTP://WWW.Example.COM/A/b",
+      "http://www.example.com:80/A/b",
+      "http://www.example.com:080/A/b",
+      "https://x.org:443/p",
+      "https://x.org:8443/p") == Seq(
+      Some("http://www.example.com/A/b"), // path case preserved, host lowered
+      Some("http://www.example.com/A/b"),
+      Some("http://www.example.com/A/b"),
+      Some("https://x.org/p"),
+      Some("https://x.org:8443/p")))
+  }
+
+  test("canonicalUrl: path, query, fragment normalization") {
+    assert(canonOf(
+      "http://h.io",                          // empty path -> "/"
+      "http://h.io/",                         // root stays "/"
+      "http://h.io/a/b///",                   // trailing slashes trimmed
+      "http://h.io/a?z=1&a=2",                // params sorted
+      "http://h.io/a?utm_source=x&a=2&fbclid=y&gclid", // trackers dropped
+      "http://h.io/a?utm_source=x",           // all params dropped -> no '?'
+      "http://h.io/a#frag?notaquery") == Seq( // fragment dropped, ? after # ignored
+      Some("http://h.io/"),
+      Some("http://h.io/"),
+      Some("http://h.io/a/b"),
+      Some("http://h.io/a?a=2&z=1"),
+      Some("http://h.io/a?a=2"),
+      Some("http://h.io/a"),
+      Some("http://h.io/a")))
+  }
+
+  test("canonicalUrl: relative links and mailto are null") {
+    assert(canonOf("/relative/path", "mailto:x@y.io", "", "ftp:noauthority")
+      == Seq(None, None, None, None))
+  }
+
+  test("urlDedup: variants collapse, min id survives, skew-safe aggregates") {
+    val pages = Seq(
+      (7L, "http://A.example:80/p?x=1&utm_source=t#f"),
+      (3L, "HTTP://a.example/p/?x=1"),
+      (9L, "http://a.example/p?utm_campaign=c&x=1"),
+      (5L, "https://a.example/p?x=1"), // https: distinct canonical
+      (8L, "not a url")).toDF("id", "url")
+    val got = Curation.urlDedup(pages, "url", "id")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://a.example/p?x=1", 3L, 3L),
+      ("https://a.example/p?x=1", 1L, 5L)))
+  }
+
+  // --------------------------------------------------------- DSIR
+
+  private def tok(id: String, s: String) = TokDoc(id, s.split(" ").filter(_.nonEmpty))
+
+  test("bucketCounts: doc-local counts, bucket range, token mass preserved") {
+    val td = Seq(tok("d1", "a b a c"), tok("d2", "b b")).toDS()
+    val rows = Curation.bucketCounts(td, 16).as[(String, Int, Long)].collect()
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 16 })
+    assert(rows.filter(_._1 == "d1").map(_._3).sum == 4L)
+    assert(rows.filter(_._1 == "d2").map(_._3).sum == 2L)
+    // 'b' hashes identically in both docs
+    val bBucket = Curation.bucketOf("b", 16)
+    assert(rows.filter(r => r._1 == "d2" && r._2 == bBucket).map(_._3).sum == 2L)
+  }
+
+  test("dsirWeights: planted target tokens rank above junk; exact under repartition") {
+    val corpus = (0 until 60).map { i =>
+      val base = s"common shared words here item$i"
+      if (i % 3 == 0) tok(s"d$i", s"$base neural corpus gradient")
+      else tok(s"d$i", s"$base casino spin jackpot")
+    }
+    val raw = corpus.toDS()
+    val tgt = corpus.filter(_.docid.stripPrefix("d").toInt % 3 == 0).toDS()
+    def weights(parts: Int): Map[String, Long] = {
+      val feats = Curation.bucketCounts(raw.repartition(parts), 64)
+      Curation.dsirWeights(feats,
+        Curation.dsirDeltas(feats, Curation.bucketCounts(tgt, 64), 64))
+        .select("docid", "logw_q_e6").as[(String, Long)].collect().toMap
+    }
+    val w = weights(1)
+    assert(w == weights(7), "DSIR weights must be exact integers, partitioning-invariant")
+    val (t, j) = w.partition { case (id, _) => id.stripPrefix("d").toInt % 3 == 0 }
+    assert(t.values.min > j.values.max,
+      s"target-like docs must outrank junk docs: ${t.values.min} <= ${j.values.max}")
+  }
+
+  // ------------------------------------------------- LR classifier
+
+  test("trainLogReg: separable planted labels reach accuracy 1.0; exact under repartition") {
+    val docs = (0 until 80).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      val text = if (y == 1) s"shared base tokens doc$i quality verified axiom"
+      else s"shared base tokens doc$i casino spam roulette"
+      (s"d$i", y, text)
+    }
+    def model(parts: Int): Curation.LrModel = {
+      val td = docs.map { case (id, _, t) => tok(id, t) }.toDS().repartition(parts)
+      val feat = Curation.presenceFeatures(td, 64)
+        .join(docs.map { case (id, y, _) => (id, y) }.toDF("docid", "y"), "docid")
+      Curation.trainLogReg(feat, 64, rounds = 6, lr = 1.0)
+    }
+    val m1 = model(1)
+    val m5 = model(5)
+    assert(m1.wq.toSeq == m5.wq.toSeq && m1.biasq == m5.biasq,
+      "training must be bit-deterministic under any partitioning")
+    val td = docs.map { case (id, _, t) => tok(id, t) }.toDS()
+    val feat = Curation.presenceFeatures(td, 64)
+      .join(docs.map { case (id, y, _) => (id, y) }.toDF("docid", "y"), "docid")
+    val scored = Curation.scoreLogReg(feat, m1).as[(String, Long, Long, Int)].collect()
+    assert(scored.length == 80)
+    assert(scored.forall { case (_, y, _, pred) => pred == y },
+      "planted separable labels must classify perfectly after 6 rounds")
+  }
+
+  test("scoreLogReg: margin is the exact integer dot product plus bias") {
+    val m = Curation.LrModel(4, 0, Array(10L, -20L, 0L, 5L), 7L)
+    val feat = Seq(("a", 1, Seq(0, 3)), ("b", 0, Seq(1))).toDF("docid", "y", "buckets")
+    val got = Curation.scoreLogReg(feat, m)
+      .as[(String, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 22L, 1), ("b", 0L, -13L, 0)))
+  }
+
+  test("registry LR fixture separates on the real corpus (sf0.001)") {
+    val scored = CurationQueries.lrModelOf(spark, "/root/testdata/sf0.001")
+    // the memoized model must be nontrivial: some positive and negative weights
+    assert(scored.wq.exists(_ > 0) && scored.wq.exists(_ < 0))
+  }
+}

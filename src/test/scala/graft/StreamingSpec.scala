@@ -90,6 +90,31 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming URL dedup: canonical variants collapse, relative links dropped") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val out = StreamingOps.urlDedupStream(
+      stream.toDS().toDF("ts", "page", "url"), "url", "ts", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("urldedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData(
+        (t(0), "a", "http://Site.example:80/p?x=1&utm_source=t#f"),
+        (t(1), "b", "HTTP://site.example/p/?x=1"), // same canonical as a
+        (t(2), "c", "https://site.example/p?x=1"), // distinct (scheme)
+        (t(3), "d", "/relative/only"))             // uncanonicalizable
+      query.processAllAvailable()
+      val kept = spark.table("urldedup_stream").select("page").as[String].collect().toSet
+      assert(kept.contains("c") && kept.size == 2, s"kept=$kept")
+      assert(!(kept.contains("a") && kept.contains("b")), s"both variants survived: $kept")
+      assert(!kept.contains("d"), "relative link must be dropped")
+      // the survivor carries the canonical form the batch operator produces
+      val canon = spark.table("urldedup_stream").select("canon_url").as[String].collect().toSet
+      assert(canon == Set("http://site.example/p?x=1", "https://site.example/p?x=1"), s"canon=$canon")
+    } finally query.stop()
+  }
+
   test("streaming near-dedup: reordered token multiset collapses, distinct survives") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedDoc]
