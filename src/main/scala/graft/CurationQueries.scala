@@ -48,6 +48,16 @@ object CurationQueries {
           when(col("doc_id") % 3 === 0, lit(QualSuffix)).otherwise(lit(SpamSuffix)))
           .as("text"))
 
+  /** Shared DSIR weight frame for q_dsir_weights / q_select_dsir — target =
+    * the doc_id%7==0 slice of the suffix-planted corpus. */
+  private def dsirWeightFrame(s: SparkSession, d: String): DataFrame = {
+    val aug = dsirAug(s, d)
+    val feats = Curation.bucketCounts(toTok(aug), DsirB)
+    val tgtFeats = Curation.bucketCounts(
+      toTok(aug.filter(col("docid").cast("long") % 7 === 0)), DsirB)
+    Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB))
+  }
+
   private def lrFeat(s: SparkSession, d: String): DataFrame = {
     val aug = lrAug(s, d)
     Curation.presenceFeatures(toTok(aug), LrB)
@@ -96,15 +106,17 @@ object CurationQueries {
     // DSIR importance weights: target = the doc_id%7==0 slice (planted
     // target-domain suffix, which doc_id%7==1 docs share — those must
     // score target-like without being in the target set).
-    "q_dsir_weights" -> ((s, d) => {
-      val aug = dsirAug(s, d)
-      val feats = Curation.bucketCounts(toTok(aug), DsirB)
-      val tgtFeats = Curation.bucketCounts(
-        toTok(aug.filter(col("docid").cast("long") % 7 === 0)), DsirB)
-      Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB))
+    "q_dsir_weights" -> ((s, d) =>
+      dsirWeightFrame(s, d)
         .select(col("docid").cast("long").as("docid"), col("n_toks"), col("logw_q_e6"))
-        .orderBy("docid")
-    }),
+        .orderBy("docid")),
+
+    // DSIR emit: deterministic Gumbel-top-k importance resampling (sampling
+    // without replacement ∝ exp(logw)) — the 100-doc selected slice, fully
+    // SQL-replayed (hash-seeded Gumbel keys, top-k, rank).
+    "q_select_dsir" -> ((s, d) =>
+      Curation.dsirResample(dsirWeightFrame(s, d), k = 100, seed = "dsir")
+        .orderBy("rank")),
 
     // Hashed-LR quality classifier, trained weights after all rounds
     // (bucket -1 = bias). The oracle replays every training round in SQL.
@@ -155,6 +167,37 @@ object CurationQueries {
     s"""list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
        |  list_transform(string_split($tok, ''), c -> CAST(ascii(c) AS HUGEINT))),
        |  (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** Shared DSIR oracle chain ending in `wt(docid, n_toks, logw_q_e6)` —
+    * the planted-suffix corpus, FNV bucket counts, Laplace-smoothed
+    * per-bucket micro-nat deltas, and the exact BIGINT per-doc weight. */
+  private def dsirCte: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text || CASE WHEN doc_id % 7 <= 1 THEN '$TgtSuffix' ELSE '$JunkSuffix' END AS text
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS tok
+       |  FROM aug),
+       |bx AS (
+       |  SELECT doc_id, CAST(${fnvHu("tok")} % $DsirB AS BIGINT) AS bucket
+       |  FROM tok),
+       |feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM bx GROUP BY 1, 2),
+       |raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r FROM feat GROUP BY 1),
+       |tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t FROM feat WHERE doc_id % 7 = 0 GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rtot,
+       |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS ttot),
+       |del AS (
+       |  SELECT raw.bucket,
+       |         CAST(round((ln((coalesce(tgt.t, 0) + 1.0) / (tot.ttot + $DsirB.0))
+       |                   - ln((raw.r + 1.0) / (tot.rtot + $DsirB.0))) * 1000000) AS BIGINT) AS qdelta
+       |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+       |wt AS (
+       |  SELECT CAST(f.doc_id AS BIGINT) AS docid, CAST(sum(f.cnt) AS BIGINT) AS n_toks,
+       |         CAST(sum(f.cnt * d.qdelta) AS BIGINT) AS logw_q_e6
+       |  FROM feat f JOIN del d ON f.bucket = d.bucket
+       |  GROUP BY 1)""".stripMargin
 
   /** Shared LR oracle prefix: planted labels + presence features + the
     * round-0 zero-weight spine. The feature CTEs are AS MATERIALIZED —
@@ -246,31 +289,24 @@ object CurationQueries {
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dsir_weights" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |         text || CASE WHEN doc_id % 7 <= 1 THEN '$TgtSuffix' ELSE '$JunkSuffix' END AS text
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS tok
-         |  FROM aug),
-         |bx AS (
-         |  SELECT doc_id, CAST(${fnvHu("tok")} % $DsirB AS BIGINT) AS bucket
-         |  FROM tok),
-         |feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM bx GROUP BY 1, 2),
-         |raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r FROM feat GROUP BY 1),
-         |tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t FROM feat WHERE doc_id % 7 = 0 GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rtot,
-         |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS ttot),
-         |del AS (
-         |  SELECT raw.bucket,
-         |         CAST(round((ln((coalesce(tgt.t, 0) + 1.0) / (tot.ttot + $DsirB.0))
-         |                   - ln((raw.r + 1.0) / (tot.rtot + $DsirB.0))) * 1000000) AS BIGINT) AS qdelta
-         |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
-         |SELECT CAST(f.doc_id AS BIGINT) AS docid, CAST(sum(f.cnt) AS BIGINT) AS n_toks,
-         |       CAST(sum(f.cnt * d.qdelta) AS BIGINT) AS logw_q_e6
-         |FROM feat f JOIN del d ON f.bucket = d.bucket
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""$dsirCte
+         |SELECT docid, n_toks, logw_q_e6 FROM wt ORDER BY docid""".stripMargin,
+
+    // Gumbel-top-k resample over the same weight chain: the hash-seeded
+    // Gumbel key is per-row (FNV as HUGEINT mod 2^64, top 53 bits -> exact
+    // double), top-100 by (key desc, docid), ranks over the survivors only.
+    "q_select_dsir" ->
+      s"""$dsirCte,
+         |ky AS (
+         |  SELECT docid, logw_q_e6,
+         |         logw_q_e6 + CAST(round(-ln(-ln(
+         |           (CAST(${fnvHu("'dsir:' || CAST(docid AS VARCHAR)")} // 2048 AS DOUBLE) + 0.5)
+         |             / 9007199254740992.0)) * 1000000) AS BIGINT) AS key_q
+         |  FROM wt),
+         |top AS (SELECT docid, logw_q_e6, key_q FROM ky ORDER BY key_q DESC, docid LIMIT 100)
+         |SELECT row_number() OVER (ORDER BY key_q DESC, docid) AS rank,
+         |       docid, logw_q_e6, key_q
+         |FROM top ORDER BY rank""".stripMargin,
 
     "q_lr_train" ->
       s"""$lrChain

@@ -651,6 +651,21 @@ object ExtraQueries {
       TextStats.unigramLogProb(td).orderBy("docid")
     }),
 
+    // bigram-LM quality score (Jelinek–Mercer interpolated, λ=0.9) — the
+    // CCNet-style LM filter one n-gram order above q_text_unigram_logprob
+    "q_text_bigram_logprob" -> ((s, d) => {
+      val td = tokdocsWhere(s, d, lit(true))
+      TextStats.bigramLogProb(td).orderBy("docid")
+    }),
+
+    // per-doc keyword extraction: top-5 tf-idf terms per document via the
+    // bounded-heap TopKAgg (losers die before the shuffle); the oracle IS
+    // the per-group window sort the aggregate avoids
+    "q_text_keywords" -> ((s, d) => {
+      val td = tokdocsWhere(s, d, lit(true))
+      TextStats.keywords(td, 5).orderBy("docid", "rank")
+    }),
+
     // tokenizer-vocab construction: top-50 terms with stream share and
     // cumulative coverage (distributed top-k; window only over the 50)
     "q_vocab_topk" -> ((s, d) =>
@@ -1635,6 +1650,77 @@ object ExtraQueries {
         |SELECT docid, ntok,
         |       CAST(round((CAST(s AS DOUBLE) / ntok - CAST(lnne6 AS DOUBLE)) / 100.0) AS BIGINT) AS logprob_e4
         |FROM agg CROSS JOIN tot ORDER BY docid""".stripMargin,
+
+    // bigram log-prob: per-bigram-TYPE ln(p) quantized to 1e-6 once with the
+    // p expression as the identical IEEE op sequence (divide→multiply→add→
+    // ln→round), then exact integer sums — the unigram contract one order
+    // up. Bigrams come from parallel unnest over the doc's ordered token
+    // list (positional zip); docs with < 2 tokens emit nothing.
+    "q_text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT unnest(arr) AS term FROM t),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n2 FROM tok GROUP BY term),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+        |bg AS (
+        |  SELECT docid, unnest(arr[1:len(arr)-1]) AS w1, unnest(arr[2:len(arr)]) AS w2
+        |  FROM t WHERE len(arr) >= 2),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nc FROM bc GROUP BY 1),
+        |sc AS (
+        |  SELECT bc.w1, bc.w2,
+        |         CAST(round(ln(0.9 * (CAST(bc.nb AS DOUBLE) / CAST(ctx.nc AS DOUBLE))
+        |                      + (1.0 - 0.9) * (CAST(uni.n2 AS DOUBLE) / CAST(nn.nn AS DOUBLE))) * 1000000) AS BIGINT) AS lnp_e6
+        |  FROM bc JOIN ctx USING (w1) JOIN uni ON bc.w2 = uni.term CROSS JOIN nn),
+        |agg AS (
+        |  SELECT bg.docid, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(sc.lnp_e6) AS BIGINT) AS s
+        |  FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2
+        |  GROUP BY 1)
+        |SELECT docid, n_bigrams,
+        |       CAST(round(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 100.0) AS BIGINT) AS logprob_e4
+        |FROM agg ORDER BY docid""".stripMargin,
+
+    // tf-idf keywords: idf quantized per TERM, exact BIGINT scores, ranking
+    // by (score desc, SIGNED FNV-1a term hash asc) — the window form the
+    // production bounded-heap aggregate replaces
+    "q_text_keywords" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents
+        |),
+        |tok AS (SELECT docid, unnest(arr) AS term FROM t),
+        |tf AS (SELECT docid, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT term,
+        |         CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE hu END AS BIGINT) AS h64
+        |  FROM (
+        |    SELECT DISTINCT term,
+        |           list_reduce(
+        |             list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |               list_transform(string_split(term, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |             (h, c) -> (xor(h, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |    FROM tf)
+        |),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT docid) AS BIGINT) AS n FROM tf),
+        |idf AS (
+        |  SELECT term, CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_e6
+        |  FROM dfq CROSS JOIN nd),
+        |sc AS (
+        |  SELECT tf.docid, tf.term, hx.h64, CAST(tf.tf * idf.idf_e6 AS BIGINT) AS score_q
+        |  FROM tf JOIN idf USING (term) JOIN hx USING (term)),
+        |rk AS (
+        |  SELECT docid, term, score_q,
+        |         row_number() OVER (PARTITION BY docid ORDER BY score_q DESC, h64 ASC) AS rnk
+        |  FROM sc)
+        |SELECT docid, CAST(rnk AS BIGINT) AS rank, term, score_q
+        |FROM rk WHERE rnk <= 5 ORDER BY docid, rank""".stripMargin,
 
     // full oracle for the winnowing fingerprints (VERDICT r2 #6): the FNV-1a
     // k-gram rolling hash runs in 64-bit wraparound arithmetic emulated with

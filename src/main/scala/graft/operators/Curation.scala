@@ -168,6 +168,46 @@ object Curation {
       .agg(sum("cnt").as("n_toks"),
         sum(col("cnt") * col("qdelta_e6")).as("logw_q_e6"))
 
+  /** Deterministic importance RESAMPLING over [[dsirWeights]] output — the
+    * emit half of DSIR (Xie et al. 2023 select documents by sampling
+    * without replacement proportionally to exp(logw)): Gumbel-top-k
+    * (Vieira 2014; Kool et al. 2019 "Stochastic Beams"):
+    *
+    *   key(d) = logw(d) + Gumbel(d),   keep the k largest keys
+    *
+    * is EXACTLY weighted sampling without replacement — and with the Gumbel
+    * derived from a seeded hash of the docid instead of an RNG it becomes a
+    * pure deterministic column of the row, reproducible across cluster
+    * sizes and replayable in SQL:
+    *
+    *   u(d) = (fnv64("seed:docid") >>> 11 + 0.5) / 2^53      (exact double)
+    *   g_e6(d) = roundAway(−ln(−ln(u)) · 1e6)                 (per-row µ-nats)
+    *   key_q(d) = logw_q_e6(d) + g_e6(d)                      (exact BIGINT)
+    *
+    * The top 53 bits keep the uniform exactly representable in a double on
+    * both engines (the oracle replays the FNV as HUGEINT mod 2^64, `// 2048`
+    * = the unsigned shift). Selection is a distributed top-k
+    * (TakeOrdered via orderBy+limit — never a global sort); only the k
+    * survivors pass through the rank window. Ties broken by docid, so the
+    * sample is a total function of (weights, seed, k). */
+  def dsirResample(weights: DataFrame, k: Int, seed: String = "dsir"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    import weights.sparkSession.implicits._
+    val keyed = weights
+      .select(col("docid").cast("long").as("docid"), col("logw_q_e6"))
+      .as[(Long, Long)]
+      .map { case (id, lw) =>
+        val v = fnv64(s"$seed:$id") >>> 11
+        val u = (v + 0.5) / 9007199254740992.0
+        (id, lw, lw + roundAway(-math.log(-math.log(u)) * 1e6))
+      }.toDF("docid", "logw_q_e6", "key_q")
+    val top = keyed.orderBy(col("key_q").desc, col("docid")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_q").desc, col("docid"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "docid", "logw_q_e6", "key_q")
+  }
+
   // ============================== linear quality classifier (hashed LR)
 
   /** Trained model: integer micro-unit weights, one per bucket, plus bias.

@@ -258,6 +258,69 @@ object TextStats {
           .cast("long").as("logprob_e4"))
   }
 
+  /** Bigram-LM quality score (perplexity proxy), the CCNet-style upgrade of
+    * [[unigramLogProb]]: per doc, the mean bigram log-probability under the
+    * corpus' own Jelinek–Mercer-interpolated bigram model,
+    *
+    *   p(w2|w1) = λ·c(w1,w2)/c1(w1) + (1−λ)·c(w2)/N
+    *
+    * with c1(w1) = Σ_w2 c(w1,w2) (contexts with a successor) — interpolation
+    * means unseen bigrams never zero out a doc, the standard smoothing for a
+    * corpus-trained LM filter (Jelinek & Mercer 1980; CCNet uses a KenLM
+    * 5-gram the same way). Docs with < 2 tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Engine contract: ln(p) is computed and 1e-6-quantized once per bigram
+    * TYPE (the only float exposure — and the p expression is the identical
+    * IEEE op sequence in the oracle, division→multiply→add→ln→round), then
+    * per-doc sums are exact BIGINTs until the final 1e-4 rounding — the
+    * [[unigramLogProb]] contract, one n-gram order up.
+    *
+    * Scale shape: bigram instances are counted doc-LOCALLY inside the typed
+    * mapPartitions (one hash map per doc — no (doc,bigram) shuffle exists);
+    * the global bigram-type counts are ONE map-side-combinable aggregation
+    * (hot bigrams like "of the" collapse per-partition before the
+    * exchange); context totals derive from the TYPE table (vocab-keyed, no
+    * extra corpus pass); the score join keys on the uniform (w1,w2)
+    * composite, and AQE broadcasts the type table when it is small. */
+  def bigramLogProb(td: Dataset[TokDoc], lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    import td.sparkSession.implicits._
+    val bg = td.mapPartitions(_.flatMap { d =>
+      if (d.terms.length < 2) Iterator.empty
+      else {
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var i = 0
+        while (i < d.terms.length - 1) {
+          val k = (d.terms(i), d.terms(i + 1))
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+        m.iterator.map { case ((w1, w2), c) => (d.docid, w1, w2, c) }
+      }
+    }).toDF("docid", "w1", "w2", "cnt")
+    val uni = td.flatMap(d => d.terms.iterator).toDF("term")
+      .groupBy("term").agg(count(lit(1)).as("n2"))
+    val nTot = uni.agg(sum(col("n2")).as("nn"))
+    val bcounts = bg.groupBy("w1", "w2").agg(sum("cnt").as("nb"))
+    val ctx = bcounts.groupBy("w1").agg(sum("nb").as("nc"))
+    val scores = bcounts
+      .join(ctx, "w1")
+      .join(uni.withColumnRenamed("term", "w2"), "w2")
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"),
+        round(log(lit(lambda) * (col("nb").cast("double") / col("nc").cast("double"))
+          + lit(1.0 - lambda) * (col("n2").cast("double") / col("nn").cast("double"))) * 1e6)
+          .cast("long").as("lnp_e6"))
+    bg.join(scores, Seq("w1", "w2"))
+      .groupBy("docid")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lnp_e6")).as("s"))
+      .select(col("docid"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams").cast("double") / 100.0)
+          .cast("long").as("logprob_e4"))
+  }
+
   /** Top-k corpus vocabulary with cumulative coverage — the vocab
     * construction step of a tokenizer-training pipeline: terms ranked by
     * frequency (count desc, then term — a total order, so ranks are
@@ -286,6 +349,57 @@ object TextStats {
       .withColumn("coverage_e4",
         round(sum(col("n")).over(wCum) * 10000.0 / col("total")).cast("long"))
       .select("rank", "term", "n", "share_e4", "coverage_e4")
+  }
+
+  /** Per-document keyword extraction: the k highest-tf-idf terms of every
+    * doc, rank 1..k strongest-first —
+    *
+    *   score_q(d,t) = tf(d,t) · idf_e6(t),   idf_e6(t) = round(ln(N/df(t))·1e6)
+    *
+    * with N = docs carrying ≥1 token and df = docs containing t. The idf
+    * ln is quantized once per TERM (vocab-sized float exposure), so the
+    * per-(doc,term) score is an exact BIGINT product and the ranking is
+    * engine-stable; ties break on the term's FNV-1a hash (the winnowing
+    * hash — replayable in the oracle), ascending.
+    *
+    * Scale shape: tf and the tie hash are computed doc-LOCALLY inside the
+    * typed mapPartitions (no (doc,term) instance shuffle — the frame is
+    * already per-doc aggregated); df/idf is one map-side-combinable
+    * vocab-sized aggregation; the per-doc top-k runs through the
+    * bounded-heap [[graft.functions.TopKAgg]] — losers die BEFORE the
+    * shuffle (≤ k rows per doc × partition move), never a
+    * `row_number() OVER (PARTITION BY doc)` sort of every term of every
+    * doc (that window form is exactly what the DuckDB oracle runs); the
+    * hash→term dictionary join at the end is vocab-sized → broadcast. */
+  def keywords(td: Dataset[TokDoc], k: Int): DataFrame = {
+    require(k > 0, s"keyword count must be positive, got $k")
+    val spark = td.sparkSession
+    import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
+    val tf = td.mapPartitions(_.flatMap { d =>
+      if (d.terms.isEmpty) Iterator.empty
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        d.terms.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+        m.iterator.map { case (t, c) => (d.docid, t, c, Curation.fnv64(t)) }
+      }
+    }).toDF("docid", "term", "tf", "h64")
+    val dfreq = tf.groupBy("term", "h64").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("docid")).as("ndocs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("h64"),
+        round(log(col("ndocs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long").as("idf_e6"))
+    val scored = tf.join(idf.select("term", "idf_e6"), Seq("term"))
+      .select(col("docid"), col("h64"), (col("tf") * col("idf_e6")).as("score_q"))
+    scored.groupBy("docid")
+      .agg(call_function(graft.GraftFunctions.TopKName,
+        col("score_q"), col("h64"), lit(k)).as("top"))
+      .select(col("docid"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("docid"), (col("i") + 1).cast("long").as("rank"),
+        col("p.tie").as("h64"), col("p.value").as("score_q"))
+      .join(broadcast(idf.select("h64", "term")), Seq("h64"))
+      .select("docid", "rank", "term", "score_q")
   }
 
   /** EXACT distributed heavy hitters: every term with global count ≥

@@ -100,6 +100,34 @@ class CurationSpec extends SparkTestBase {
       s"target-like docs must outrank junk docs: ${t.values.min} <= ${j.values.max}")
   }
 
+  test("dsirResample: exact Gumbel-top-k vs a driver-side recompute; invariant under partitioning") {
+    val weights = (0L until 200L).map(id => (id.toString, 10L + id, (id % 37) * 1000L - 18000L))
+      .toDF("docid", "n_toks", "logw_q_e6")
+    def expectedKey(id: Long, lw: Long): Long = {
+      val u = ((Curation.fnv64(s"dsir:$id") >>> 11) + 0.5) / 9007199254740992.0
+      lw + BigDecimal(-math.log(-math.log(u)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }
+    val expTop = (0L until 200L).map(id => (id, expectedKey(id, (id % 37) * 1000L - 18000L)))
+      .sortBy { case (id, k) => (-k, id) }.take(25)
+      .zipWithIndex.map { case ((id, k), i) => (i + 1L, id, k) }
+    def run(parts: Int) = Curation.dsirResample(weights.repartition(parts), k = 25)
+      .select("rank", "docid", "key_q").as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(run(1) == expTop, "resample must equal the exact driver-side Gumbel-top-k")
+    assert(run(1) == run(6), "sample must be reproducible across partitioning / cluster size")
+  }
+
+  test("dsirResample: higher weights are sampled more often (Gumbel keys respect logw)") {
+    // two weight tiers 3 nats apart: the heavy tier should dominate the sample
+    val weights = (0L until 400L)
+      .map(id => (id.toString, 1L, if (id < 200) 3000000L else 0L))
+      .toDF("docid", "n_toks", "logw_q_e6")
+    val picked = Curation.dsirResample(weights, k = 60).select("docid")
+      .as[Long].collect()
+    val heavy = picked.count(_ < 200L)
+    assert(heavy > 50, s"e^3-weighted tier should dominate the 60-doc sample, got $heavy/60")
+  }
+
   // ------------------------------------------------- LR classifier
 
   test("trainLogReg: separable planted labels reach accuracy 1.0; exact under repartition") {

@@ -203,6 +203,54 @@ class TextStatsSpec extends SparkTestBase {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("bigramLogProb: hand-checked against a driver-side computation; short docs absent") {
+    val td = Seq(
+      TokDoc("d0", Array("a", "b", "a")),
+      TokDoc("d1", Array("b", "a")),
+      TokDoc("d2", Array("lonely"))).toDS() // < 2 tokens -> no row
+    // corpus: N=6, n(a)=3, n(b)=2, n(lonely)=1
+    // bigram types: (a,b)=1, (b,a)=2; contexts: c1(a)=1, c1(b)=2
+    def lnp(nb: Long, nc: Long, n2: Long): Long =
+      math.round(math.log(0.9 * (nb.toDouble / nc) + (1.0 - 0.9) * (n2.toDouble / 6)) * 1e6)
+    val pAB = lnp(1, 1, 2) // p(b|a) = .9*1/1 + .1*2/6
+    val pBA = lnp(2, 2, 3) // p(a|b) = .9*2/2 + .1*3/6
+    def e4(s: Long, n: Long): Long = math.round(s.toDouble / n / 100.0)
+    val expected = Map(
+      "d0" -> (2L, e4(pAB + pBA, 2)),
+      "d1" -> (1L, e4(pBA, 1)))
+    val got = TextStats.bigramLogProb(td)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("bigramLogProb: partitioning-invariant; repeated-text doc scores above shuffled-text doc") {
+    val vocab = Array("the", "quick", "fox", "jumps", "over", "lazy", "dog", "and", "runs", "far")
+    val fluent = (0 until 8).flatMap(_ => vocab).toArray // repeated natural order
+    val shuffled = (0 until 80).map(i => vocab((((i * 2654435761L) >>> 7) % 10).toInt)).toArray
+    val td = Seq(TokDoc("fluent", fluent), TokDoc("mixed", shuffled)).toDS()
+    def run(parts: Int): Map[String, Long] =
+      TextStats.bigramLogProb(td.repartition(parts))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val w1 = run(1)
+    assert(w1 == run(5), "bigram LM score must be partitioning-invariant")
+    assert(w1("fluent") > w1("mixed"),
+      s"predictable bigrams must outscore scrambled ones: $w1")
+  }
+
+  test("keywords: hand-checked tf-idf top-k; rare terms outrank ubiquitous ones") {
+    val td = Seq(
+      TokDoc("d1", Array("apple", "apple", "banana")),
+      TokDoc("d2", Array("banana", "cherry"))).toDS()
+    // N=2; df(apple)=1, df(banana)=2, df(cherry)=1; idf_e6(ln 2)=693147, idf_e6(ln 1)=0
+    val got = TextStats.keywords(td, 2)
+      .as[(String, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("d1", 1L, "apple", 2L * 693147L),
+      ("d1", 2L, "banana", 0L),
+      ("d2", 1L, "cherry", 693147L),
+      ("d2", 2L, "banana", 0L)), s"got $got")
+  }
+
   test("fingerprints: winnowing is deterministic and overlap tracks similarity") {
     val a = Tokenize.tokensOf("one two three four five six seven eight nine ten", Set.empty)
     val b = Tokenize.tokensOf("one two three four five six seven eight nine zzz", Set.empty)
