@@ -51,6 +51,29 @@ object ExtraQueries {
 
   private def e4(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
 
+  /** Deterministic planted web pages for the link-graph family — URL host
+    * Site(d%17) with mixed-case scheme/host and a port (normalization must
+    * strip both), anchors to hosts (3d+1)%17 and (5d+2)%17 plus a DUPLICATE
+    * of the first (per-page dedup), a self-host link (dropped), a relative
+    * href and a mailto: (no resolvable host). At d≡8 (mod 17) all targets
+    * collapse onto the self host, so those pages emit zero edges. */
+  private def webPages(s: SparkSession, d: String): DataFrame = {
+    val site = (e: org.apache.spark.sql.Column) => e % 17
+    val did = col("doc_id")
+    s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+      .select(
+        concat(lit("HTTP://Site"), site(did).cast("string"),
+          lit(".example:8080/p/"), did.cast("string")).as("url"),
+        concat(
+          lit("<html><body><p>"), col("text"),
+          lit("</p><a href=\"http://site"), site(did * 3 + 1).cast("string"),
+          lit(".example/x\">a</a><a HREF=\"https://site"), site(did * 5 + 2).cast("string"),
+          lit(".example:443/y?q=1\">b</a><a href=\"http://site"), site(did * 3 + 1).cast("string"),
+          lit(".example/dup\">dup</a><a href=\"http://site"), site(did).cast("string"),
+          lit(".example/self\">self</a><a href=\"/relative/only\">r</a>"),
+          lit("<a href=\"mailto:x@y.example\">m</a></body></html>")).as("content"))
+  }
+
   /** The config q_e3_disambiguate loads its sense model under — exposed so
     * the bench can warm the version-keyed model store in its separately
     * attributed warm phase: E3's contract is "disambiguate against an
@@ -513,28 +536,20 @@ object ExtraQueries {
         .orderBy("docid")
     }),
 
-    // web link graph: deterministic planted pages — URL host Site(d%17)
-    // with mixed-case scheme/host and a port (normalization must strip
-    // both), anchors to hosts (3d+1)%17 and (5d+2)%17 plus a DUPLICATE of
-    // the first (per-page dedup), a self-host link (dropped), a relative
-    // href and a mailto: (no resolvable host). At d≡8 (mod 17) all targets
-    // collapse onto the self host, so those pages emit zero edges.
-    "q_web_linkgraph" -> ((s, d) => {
-      val site = (e: org.apache.spark.sql.Column) => e % 17
-      val did = col("doc_id")
-      val pages = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
-        .select(
-          concat(lit("HTTP://Site"), site(did).cast("string"),
-            lit(".example:8080/p/"), did.cast("string")).as("url"),
-          concat(
-            lit("<html><body><p>"), col("text"),
-            lit("</p><a href=\"http://site"), site(did * 3 + 1).cast("string"),
-            lit(".example/x\">a</a><a HREF=\"https://site"), site(did * 5 + 2).cast("string"),
-            lit(".example:443/y?q=1\">b</a><a href=\"http://site"), site(did * 3 + 1).cast("string"),
-            lit(".example/dup\">dup</a><a href=\"http://site"), site(did).cast("string"),
-            lit(".example/self\">self</a><a href=\"/relative/only\">r</a>"),
-            lit("<a href=\"mailto:x@y.example\">m</a></body></html>")).as("content"))
-      TextStats.linkGraph(pages).orderBy("src_host", "dst_host")
+    // web link graph: deterministic planted pages (see webPages) — the
+    // host-level edge list with per-page target dedup.
+    "q_web_linkgraph" -> ((s, d) =>
+      TextStats.linkGraph(webPages(s, d)).orderBy("src_host", "dst_host")),
+
+    // domain authority: the link-graph edges feed the production
+    // integer-lattice pageRank — the end-to-end web curation signal the
+    // link graph exists for (host rank = crawl/selection priority); every
+    // round replayed exactly in the oracle (truncating-division lattice)
+    "q_web_authority" -> ((s, d) => {
+      val edges = TextStats.linkGraph(webPages(s, d))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"),
+          col("n_pages").as("w"))
+      operators.Graph.pageRank(edges, iters = 6).orderBy("node")
     }),
 
     "q_text_quality" -> ((s, d) => {
@@ -1061,6 +1076,35 @@ object ExtraQueries {
       |  FROM hl
       |),
       |fp AS (SELECT DISTINCT docid, u.f AS fingerprint FROM wins, unnest(fps) AS u(f))""".stripMargin
+
+  /** Shared web link-graph oracle chain ending in `edges(src, dst, w)` —
+    * consumed by q_web_linkgraph directly and composed with
+    * [[KgQueries.pageRankReplay]] for q_web_authority. */
+  private val webEdgesCte: String =
+    """pl AS (
+      |  SELECT 'HTTP://Site' || CAST(doc_id % 17 AS VARCHAR) || '.example:8080/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |         '<html><body><p>' || text ||
+      |         '</p><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
+      |         '.example/x">a</a><a HREF="https://site' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR) ||
+      |         '.example:443/y?q=1">b</a><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
+      |         '.example/dup">dup</a><a href="http://site' || CAST(doc_id % 17 AS VARCHAR) ||
+      |         '.example/self">self</a><a href="/relative/only">r</a>' ||
+      |         '<a href="mailto:x@y.example">m</a></body></html>' AS content
+      |  FROM documents WHERE doc_id < 400
+      |),
+      |hx AS (
+      |  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+      |         list_distinct(list_filter(
+      |           list_transform(
+      |             regexp_extract_all(content, '[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"', 1),
+      |             u -> lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))),
+      |           h -> h <> '' AND h <> lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)))) AS dsts
+      |  FROM pl
+      |),
+      |ee AS (SELECT src_host, unnest(dsts) AS dst_host FROM hx WHERE src_host <> ''),
+      |edges AS MATERIALIZED (
+      |  SELECT src_host AS src, dst_host AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM ee GROUP BY 1, 2)""".stripMargin
 
   private val d40Cte =
     """d40 AS (
@@ -1857,29 +1901,16 @@ object ExtraQueries {
     // (explicit ASCII classes, anchored host regex), same per-page
     // list_distinct-before-unnest dedup and self/empty filters
     "q_web_linkgraph" ->
-      """WITH pl AS (
-        |  SELECT 'HTTP://Site' || CAST(doc_id % 17 AS VARCHAR) || '.example:8080/p/' || CAST(doc_id AS VARCHAR) AS url,
-        |         '<html><body><p>' || text ||
-        |         '</p><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
-        |         '.example/x">a</a><a HREF="https://site' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR) ||
-        |         '.example:443/y?q=1">b</a><a href="http://site' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) ||
-        |         '.example/dup">dup</a><a href="http://site' || CAST(doc_id % 17 AS VARCHAR) ||
-        |         '.example/self">self</a><a href="/relative/only">r</a>' ||
-        |         '<a href="mailto:x@y.example">m</a></body></html>' AS content
-        |  FROM documents WHERE doc_id < 400
-        |),
-        |hx AS (
-        |  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
-        |         list_distinct(list_filter(
-        |           list_transform(
-        |             regexp_extract_all(content, '[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"', 1),
-        |             u -> lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))),
-        |           h -> h <> '' AND h <> lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)))) AS dsts
-        |  FROM pl
-        |),
-        |e AS (SELECT src_host, unnest(dsts) AS dst_host FROM hx WHERE src_host <> '')
-        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_pages
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $webEdgesCte
+        |SELECT src AS src_host, dst AS dst_host, w AS n_pages
+        |FROM edges ORDER BY 1, 2""".stripMargin,
+
+    // domain authority: the web edges through the SAME round-by-round
+    // integer-lattice pageRank replay the KG oracle uses
+    "q_web_authority" ->
+      s"""WITH $webEdgesCte,
+        |${KgQueries.pageRankReplay(6)}
+        |SELECT node, rank FROM r6 ORDER BY node""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (

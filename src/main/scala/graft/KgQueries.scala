@@ -603,7 +603,11 @@ object KgQueries {
     * round r'(v) = tp + ((inflow(v) + dangling_share) * 85) // 100 with
     * truncating division everywhere — every intermediate is an integer, so
     * the final ranks are bit-equal across engines. */
-  private def pageRankOracle(iters: Int): String = {
+  /** The consts + per-round CTEs of the pageRank replay, composable onto
+    * ANY preceding CTE chain that defines `edges(src, dst, w)` — shared
+    * with the web-authority oracle in ExtraQueries. Ends with `r<iters>`;
+    * the caller appends the final SELECT. */
+  private[graft] def pageRankReplay(iters: Int): String = {
     val consts =
       """nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
@@ -627,12 +631,15 @@ object KgQueries {
          |    GROUP BY e.dst) i ON n.node = i.node
          |)""".stripMargin
     }.mkString(",\n")
+    s"""$consts,
+       |$rounds""".stripMargin
+  }
+
+  private def pageRankOracle(iters: Int): String =
     s"""${Queries.base},
        |$edgesCte,
-       |$consts,
-       |$rounds
+       |${pageRankReplay(iters)}
        |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
-  }
 
   /** Undirected simple pair set + (deg, node)-ordered orientation — the SQL
     * twin of Graph.undirected / the orientation step of Graph.triangles. */
