@@ -87,6 +87,39 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 
+  /** Streaming quality gate: score each incoming document with a TRAINED
+    * hashed-LR quality model ([[graft.operators.Curation.trainLogReg]] —
+    * train in batch, filter the stream) and keep rows whose integer margin
+    * clears `minMarginQ`. Tokenize → presence buckets → margin is one
+    * stateless doc-local map (the model's B+1 longs ride the closure,
+    * broadcast-by-value); NO state store at all — the cheapest possible
+    * streaming operator shape. The margin is the same exact BIGINT the
+    * batch scorer emits, so batch and streaming decisions agree
+    * bit-for-bit (asserted by StreamingSpec against scoreLogReg).
+    *
+    * `stopwords` must match the tokenization the model was TRAINED on —
+    * mismatched sets silently shift every margin. */
+  def qualityFilterStream(docs: Dataset[TimedDoc], model: graft.operators.Curation.LrModel,
+                          minMarginQ: Long = 0L,
+                          stopwords: Set[String] = Set.empty): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val terms = Tokenize.tokensOf(d.content, stopwords)
+        var margin = model.biasq
+        val seen = new java.util.HashSet[Int]()
+        var i = 0
+        while (i < terms.length) {
+          val b = graft.operators.Curation.bucketOf(terms(i), model.b)
+          if (seen.add(b)) margin += model.wq(b)
+          i += 1
+        }
+        (d.ts, d.repo, d.path, d.content, margin)
+      }
+    }.toDF("ts", "repo", "path", "content", "margin_q")
+      .filter(col("margin_q") >= minMarginQ)
+  }
+
   /** Streaming NEAR-dup dedup: drop any document whose 64-bit SimHash
     * signature was already seen within the watermark horizon. Signature
     * computation is stateless and doc-local (tokenize + simhash in one

@@ -115,6 +115,44 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming quality gate: margins bit-equal to the batch scorer; spam filtered") {
+    import graft.operators.Curation
+    implicit val sql = spark.sqlContext
+    // train in batch on planted separable labels
+    val docs = (0 until 40).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      val text = if (y == 1) s"shared base doc$i quality verified axiom"
+      else s"shared base doc$i casino spam roulette"
+      (s"d$i", y, text)
+    }
+    val td = docs.map { case (id, _, t) =>
+      TokDoc(id, graft.operators.Tokenize.tokensOf(t, Set.empty)) }.toDS()
+    val feat = Curation.presenceFeatures(td, 64)
+      .join(docs.map { case (id, y, _) => (id, y) }.toDF("docid", "y"), "docid")
+    val model = Curation.trainLogReg(feat, 64, rounds = 6, lr = 1.0)
+    val batchMargins = Curation.scoreLogReg(feat, model)
+      .select("docid", "margin_q").as[(String, Long)].collect().toMap
+
+    val stream = MemoryStream[StreamingOps.TimedDoc]
+    val out = StreamingOps.qualityFilterStream(stream.toDS(), model, minMarginQ = 1L)
+    val query = out.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData(docs.map { case (id, _, t) =>
+        StreamingOps.TimedDoc(t0, "r", id, t) })
+      query.processAllAvailable()
+      val got = spark.table("quality_stream")
+        .select("path", "margin_q").as[(String, Long)].collect().toMap
+      // only quality docs (margin >= 1) survive, margins equal the batch scorer's
+      assert(got.keySet == docs.filter(_._2 == 1).map(_._1).toSet,
+        s"gate must pass exactly the planted-quality docs: ${got.keySet}")
+      got.foreach { case (id, m) =>
+        assert(m == batchMargins(id), s"streaming margin for $id: $m != batch ${batchMargins(id)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming near-dedup: reordered token multiset collapses, distinct survives") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[StreamingOps.TimedDoc]
