@@ -541,6 +541,12 @@ object ExtraQueries {
     "q_web_linkgraph" -> ((s, d) =>
       TextStats.linkGraph(webPages(s, d)).orderBy("src_host", "dst_host")),
 
+    // anchor-text harvesting: what the web CALLS each host — cross-host
+    // anchors tokenized and counted per (dst_host, term); target and text
+    // extracted positionally from the same pattern so they never misalign
+    "q_web_anchors" -> ((s, d) =>
+      TextStats.anchorText(webPages(s, d)).orderBy("dst_host", "term")),
+
     // domain authority: the link-graph edges feed the production
     // integer-lattice pageRank — the end-to-end web curation signal the
     // link graph exists for (host rank = crawl/selection priority); every
@@ -1080,7 +1086,9 @@ object ExtraQueries {
   /** Shared web link-graph oracle chain ending in `edges(src, dst, w)` —
     * consumed by q_web_linkgraph directly and composed with
     * [[KgQueries.pageRankReplay]] for q_web_authority. */
-  private val webEdgesCte: String =
+  /** The planted-page CTE alone (`pl(url, content)`) — shared by the
+    * link-graph/authority chain and the anchor-text oracle. */
+  private val webPagesCte: String =
     """pl AS (
       |  SELECT 'HTTP://Site' || CAST(doc_id % 17 AS VARCHAR) || '.example:8080/p/' || CAST(doc_id AS VARCHAR) AS url,
       |         '<html><body><p>' || text ||
@@ -1091,7 +1099,10 @@ object ExtraQueries {
       |         '.example/self">self</a><a href="/relative/only">r</a>' ||
       |         '<a href="mailto:x@y.example">m</a></body></html>' AS content
       |  FROM documents WHERE doc_id < 400
-      |),
+      |)""".stripMargin
+
+  private val webEdgesCte: String =
+    s"""$webPagesCte,
       |hx AS (
       |  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
       |         list_distinct(list_filter(
@@ -1904,6 +1915,24 @@ object ExtraQueries {
       s"""WITH $webEdgesCte
         |SELECT src AS src_host, dst AS dst_host, w AS n_pages
         |FROM edges ORDER BY 1, 2""".stripMargin,
+
+    // anchor text: positional parallel unnest of the two capture groups,
+    // then per-anchor tokenization — same dialect-neutral patterns
+    "q_web_anchors" ->
+      s"""WITH $webPagesCte,
+        |ax AS (
+        |  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+        |         unnest(regexp_extract_all(content, '<[aA][ \t][^>]*[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"[^>]*>([^<]*)<', 1)) AS u,
+        |         unnest(regexp_extract_all(content, '<[aA][ \t][^>]*[hH][rR][eE][fF][ \t]*=[ \t]*"([^"]*)"[^>]*>([^<]*)<', 2)) AS t
+        |  FROM pl),
+        |tx AS (
+        |  SELECT lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+        |         src_host,
+        |         unnest(list_filter(regexp_split_to_array(lower(t), '[^a-z0-9_]+'), x -> x <> '')) AS term
+        |  FROM ax)
+        |SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM tx WHERE dst_host <> '' AND dst_host <> src_host
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // domain authority: the web edges through the SAME round-by-round
     // integer-lattice pageRank replay the KG oracle uses

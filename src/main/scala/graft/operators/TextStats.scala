@@ -551,6 +551,46 @@ object TextStats {
       .agg(count(lit(1)).as("n_pages"))
   }
 
+  /** A full double-quoted-href anchor element: group 1 = the target URL,
+    * group 2 = the inner text up to the first `<` (regex-grade, like the
+    * rest of the markup family — nested markup inside the anchor truncates
+    * the text, by design). */
+  val anchorPattern: String =
+    "<[aA][ \\t][^>]*" + hrefPattern + "[^>]*>([^<]*)<"
+
+  /** Anchor-text harvesting — the other half of [[linkGraph]]: what the web
+    * CALLS each host (the classic relevance/entity-naming signal — anchor
+    * text is how search engines label pages they never parsed). For every
+    * cross-host anchor, tokenize the anchor's inner text with the standard
+    * tokenizer contract and count (dst_host, term) references.
+    *
+    * Scale shape: harvest (one regexp pass, two positional group extracts
+    * zipped), host normalization, per-anchor tokenize and the (host, term)
+    * pairing are ALL doc-local column work; the single shuffle is the final
+    * count aggregation, map-side-combinable — a hot (host, term) pair
+    * ("click here" → everywhere) collapses per-partition first, the same
+    * skew shape as the link graph itself. Group 2 of [[anchorPattern]] is
+    * extracted POSITIONALLY against group 1 (`arrays_zip` of two
+    * `regexp_extract_all` passes over the identical pattern), so target
+    * and text can never misalign. */
+  def anchorText(pages: DataFrame, urlCol: String = "url",
+                 contentCol: String = "content"): DataFrame = {
+    val host = (c: org.apache.spark.sql.Column) => lower(regexp_extract(c, hostPattern, 1))
+    val srcHost = host(col(urlCol))
+    val pairs = arrays_zip(
+      transform(regexp_extract_all(col(contentCol), lit(anchorPattern), lit(1)), host)
+        .as("dst_host"),
+      regexp_extract_all(col(contentCol), lit(anchorPattern), lit(2)).as("text"))
+    pages
+      .select(srcHost.as("src_host"), explode(pairs).as("a"))
+      .select(col("src_host"), col("a.dst_host").as("dst_host"),
+        explode(split(lower(col("a.text")), "[^a-z0-9_]+")).as("term"))
+      .filter(col("dst_host") =!= "" && col("dst_host") =!= col("src_host")
+        && col("term") =!= "")
+      .groupBy("dst_host", "term")
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   /** Winnowing document fingerprints (MOSS-style): rolling polynomial hash
     * over k-grams of the token stream, then the minimum hash in each sliding
     * window of size w — a deterministic, position-robust signature set. */

@@ -237,6 +237,20 @@ class TextStatsSpec extends SparkTestBase {
       s"predictable bigrams must outscore scrambled ones: $w1")
   }
 
+  test("anchorText: cross-host anchors tokenized; self/relative/mailto dropped; no misalignment") {
+    val pages = Seq(
+      ("http://h1.io/a",
+        """<a href="http://h2.io/x">Click Here</a><a href="http://h1.io/self">self me</a>""" +
+          """<a href="/rel">rel text</a><a href="mailto:x@y">mail</a>""" +
+          """<a HREF="https://h3.io:443/y">Deep Dive</a>"""),
+      ("http://h4.io/b", """<a href="http://h2.io/z">click now</a>""")).toDF("url", "content")
+    val got = TextStats.anchorText(pages)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("h2.io", "click", 2L), ("h2.io", "here", 1L), ("h2.io", "now", 1L),
+      ("h3.io", "deep", 1L), ("h3.io", "dive", 1L)), s"got $got")
+  }
+
   test("keywords: hand-checked tf-idf top-k; rare terms outrank ubiquitous ones") {
     val td = Seq(
       TokDoc("d1", Array("apple", "apple", "banana")),
