@@ -666,6 +666,16 @@ object ExtraQueries {
       TextStats.packSequences(td, 1024).orderBy("docid")
     }),
 
+    // RAG passage chunking: 64-token windows, stride 48 (16-token overlap),
+    // doc-local, zero shuffle; sha256 of each passage rides the hashed row
+    "q_text_passages" -> ((s, d) => {
+      val td = tokdocsWhere(s, d, col("doc_id") < 200)
+      TextStats.passages(td, size = 64, stride = 48)
+        .select(col("docid"), col("pid"), col("tok_start"), col("n_toks"),
+          sha2(col("passage"), 256).as("sha"))
+        .orderBy("docid", "pid")
+    }),
+
     // unigram-LM quality score (perplexity proxy) over the corpus' own model
     "q_text_unigram_logprob" -> ((s, d) => {
       val td = tokdocsWhere(s, d, lit(true))
@@ -1682,6 +1692,30 @@ object ExtraQueries {
         |       CAST(floor((tok_end - ntok) / 1024.0) AS BIGINT) AS first_seq,
         |       CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
         |FROM c ORDER BY docid""".stripMargin,
+
+    // passages: integer window arithmetic (no float ceil), DuckDB 1-indexed
+    // list slice, sha256 of the space-joined tokens matching Spark's sha2
+    "q_text_passages" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |np AS (
+        |  SELECT docid, arr, len(arr) AS n,
+        |         CASE WHEN len(arr) <= 64 THEN 1
+        |              ELSE 1 + (len(arr) - 64 + 47) // 48 END AS n_pass
+        |  FROM t WHERE len(arr) > 0
+        |),
+        |px AS (
+        |  SELECT docid, CAST(p AS BIGINT) AS pid,
+        |         CAST(p * 48 AS BIGINT) AS tok_start,
+        |         CAST(least(p * 48 + 64, n) - p * 48 AS BIGINT) AS n_toks,
+        |         array_to_string(arr[p * 48 + 1:least(p * 48 + 64, n)], ' ') AS passage
+        |  FROM np, unnest(generate_series(0, n_pass - 1)) AS u(p)
+        |)
+        |SELECT docid, pid, tok_start, n_toks, sha256(passage) AS sha
+        |FROM px ORDER BY docid, pid""".stripMargin,
 
     // unigram log-prob: per-TERM ln(n) rounded to 1e-6 once, then exact
     // integer arithmetic until the final 1e-4 rounding (mirrors the engine

@@ -234,6 +234,40 @@ object TextStats {
       .select("docid", "ntok", "tok_start", "first_seq", "last_seq")
   }
 
+  /** RAG-style passage chunking: split each doc's token stream into
+    * overlapping windows of `size` tokens advancing by `stride`
+    * (overlap = size − stride) — the retrieval-index complement of
+    * [[packSequences]] (which packs ACROSS docs for training; passages
+    * stay doc-local for retrieval). Windows start at 0, stride, 2·stride,
+    * …; the count is 1 for docs of ≤ size tokens, else
+    * 1 + ceil((n − size)/stride) — the last window is the only one allowed
+    * to be short, and no window starts at or past the end. Token-free docs
+    * emit nothing.
+    *
+    * Output (docid, pid, tok_start, n_toks, passage) with `passage` the
+    * space-joined tokens — deterministic given the tokenizer contract.
+    * Doc-local flatMap: ZERO shuffle, no state; at 100 TB this is a pure
+    * map stage that scales with input splits. */
+  def passages(td: Dataset[TokDoc], size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"passage size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size]; got stride=$stride size=$size")
+    import td.sparkSession.implicits._
+    td.mapPartitions(_.flatMap { d =>
+      val n = d.terms.length
+      if (n == 0) Iterator.empty
+      else {
+        val nP = if (n <= size) 1 else (1 + (n - size + stride - 1) / stride)
+        (0 until nP).iterator.map { p =>
+          val start = p * stride
+          val end = math.min(start + size, n)
+          (d.docid, p.toLong, start.toLong, (end - start).toLong,
+            d.terms.slice(start, end).mkString(" "))
+        }
+      }
+    }).toDF("docid", "pid", "tok_start", "n_toks", "passage")
+  }
+
   /** Unigram-LM quality score (perplexity proxy): per doc, the mean token
     * log-probability under the corpus' own unigram model,
     * avg_t ln(n(t)/N) — the cheap first-pass filter before an external LM.

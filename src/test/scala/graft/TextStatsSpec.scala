@@ -237,6 +237,28 @@ class TextStatsSpec extends SparkTestBase {
       s"predictable bigrams must outscore scrambled ones: $w1")
   }
 
+  test("passages: overlap windows hand-checked; short doc single passage; full coverage") {
+    val td = Seq(
+      TokDoc("d1", (0 until 7).map(i => s"t$i").toArray),
+      TokDoc("d2", Array("only", "two")),
+      TokDoc("d3", Array.empty[String])).toDS()
+    val got = TextStats.passages(td, size = 3, stride = 2)
+      .as[(String, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("d1", 0L, 0L, 3L, "t0 t1 t2"),
+      ("d1", 1L, 2L, 3L, "t2 t3 t4"),
+      ("d1", 2L, 4L, 3L, "t4 t5 t6"),
+      ("d2", 0L, 0L, 2L, "only two")), s"got $got")
+    // every token index is covered by at least one window
+    val covered = got.filter(_._1 == "d1")
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 7L).toSet)
+    // exact-boundary case: (n - size) divisible by stride adds no empty window
+    val even = Seq(TokDoc("e", (0 until 8).map(i => s"x$i").toArray)).toDS()
+    val evenGot = TextStats.passages(even, 4, 4).as[(String, Long, Long, Long, String)].collect()
+    assert(evenGot.length == 2 && evenGot.map(_._4).sum == 8)
+  }
+
   test("anchorText: cross-host anchors tokenized; self/relative/mailto dropped; no misalignment") {
     val pages = Seq(
       ("http://h1.io/a",
