@@ -397,6 +397,17 @@ object ExtraQueries {
             "zh" -> 0.05, "ja" -> 0.05))
         .orderBy("domain")),
 
+    // mixture EMIT: the same weights applied — per-doc epoch copies via the
+    // deterministic 16-bit coin; the resampled corpus itself, zero shuffle
+    "q_mix_apply" -> ((s, d) => {
+      val wts = Mixing.mixtureWeights(docs(s, d), "lang",
+        Map("en" -> 0.3, "de" -> 0.3, "es" -> 0.2, "fr" -> 0.15,
+          "zh" -> 0.05, "ja" -> 0.05))
+      val pages = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("docid"), col("lang").as("domain"))
+      Mixing.applyMixture(pages, wts).orderBy("docid", "epoch")
+    }),
+
     // ---------------------------------------------- code-corpus curation
     // license-family gating (The Stack / StarCoder-style): headers planted
     // deterministically by doc_id so every family and the none-case appear;
@@ -2394,6 +2405,50 @@ object ExtraQueries {
         |            THEN CAST(round(target / (tokens / total) * 10000) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS weight_e4
         |FROM per CROSS JOIN tot ORDER BY domain""".stripMargin,
+
+    // mixture emit: the weight chain above feeding the deterministic coin —
+    // sha256 4-hex key vs the 16-bit-lattice fractional threshold, then
+    // epoch unnest; printf('%04x') matches Spark's format_string exactly
+    "q_mix_apply" ->
+      """WITH dtok AS (
+        |  SELECT lang,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS ntok
+        |  FROM documents
+        |),
+        |obs AS (
+        |  SELECT lang AS domain, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
+        |  FROM dtok GROUP BY lang
+        |),
+        |tgt(domain, target) AS (
+        |  VALUES ('en', 0.3), ('de', 0.3), ('es', 0.2), ('fr', 0.15), ('zh', 0.05), ('ja', 0.05)
+        |),
+        |per AS (
+        |  SELECT COALESCE(o.domain, t.domain) AS domain,
+        |         CAST(COALESCE(o.tokens, 0) AS BIGINT) AS tokens,
+        |         COALESCE(t.target, 0.0) AS target
+        |  FROM obs o FULL OUTER JOIN tgt t ON o.domain = t.domain
+        |),
+        |tot AS (SELECT sum(tokens) AS total FROM per),
+        |wt AS (
+        |  SELECT domain,
+        |         CASE WHEN tokens > 0
+        |              THEN CAST(round(target / (tokens / total) * 10000) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS weight_e4
+        |  FROM per CROSS JOIN tot
+        |),
+        |px AS (
+        |  SELECT d.doc_id AS docid, d.lang AS domain, w.weight_e4,
+        |         w.weight_e4 // 10000
+        |           + CASE WHEN substr(sha256('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |                       < printf('%04x', ((w.weight_e4 % 10000) * 65536) // 10000)
+        |                  THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN wt w ON d.lang = w.domain
+        |)
+        |SELECT CAST(docid AS BIGINT) AS docid, domain, weight_e4,
+        |       CAST(n_copies AS BIGINT) AS n_copies, CAST(e AS BIGINT) AS epoch
+        |FROM px, unnest(generate_series(0, n_copies - 1)) AS u(e)
+        |WHERE n_copies > 0
+        |ORDER BY docid, epoch""".stripMargin,
 
     "q_search_bm25" ->
       """WITH t AS (

@@ -174,6 +174,37 @@ object Mixing {
     * e4-scaled BIGINTs for engine-stable comparison. One aggregation over
     * the (domain, ntok) projection — content is token-counted in the scan,
     * never shuffled; the target table is a broadcast-sized literal. */
+  /** Apply a domain-mixture reweighting — the EMIT half of
+    * [[mixtureWeights]]: turn per-domain sampling weights into the actual
+    * resampled corpus. A doc with weight w (e4-scaled) emits
+    * floor(w) epochs (epoch = 0..⌊w⌋−1) plus ONE more with probability
+    * frac(w), decided by a deterministic content-independent coin —
+    * the first 4 hex chars of sha256("mix|" ‖ docid) against the
+    * 16-bit-lattice threshold ⌊frac(w)·65536⌋ (the stratifiedSample
+    * idiom) — so the emitted multiset is a pure function of (docs,
+    * weights): identical across cluster sizes, SQL-replayable, and in
+    * expectation each domain lands exactly on its target share.
+    * Weight 0 domains drop; weight < 1 downsampled; weight > 1 gains
+    * extra epochs (the standard "repeat scarce domains" mixture move).
+    *
+    * Scale shape: the weight table is domain-sized → broadcast; the coin,
+    * copy count, and epoch explode are doc-local column work — ZERO
+    * shuffle. Output (idCol, domainCol, weight_e4, n_copies, epoch). */
+  def applyMixture(docs: DataFrame, weights: DataFrame, idCol: String = "docid",
+                   domainCol: String = "domain"): DataFrame = {
+    val joined = docs.join(
+      broadcast(weights.select(col(domainCol), col("weight_e4"))), Seq(domainCol))
+    val full = expr("weight_e4 div 10000")
+    val thr16 = expr("((weight_e4 % 10000) * 65536) div 10000")
+    val hkey = substring(sha2(concat(lit("mix|"), col(idCol).cast("string")), 256), 1, 4)
+    val extra = when(hkey < format_string("%04x", thr16), 1L).otherwise(0L)
+    joined
+      .withColumn("n_copies", (full + extra).cast("long"))
+      .filter(col("n_copies") > 0L)
+      .select(col(idCol), col(domainCol), col("weight_e4"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
+
   def mixtureWeights(docs: Dataset[CodeDoc], domainCol: String,
                      targets: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

@@ -83,4 +83,37 @@ class MixingSpec extends SparkTestBase {
     // same sample on any partitioning
     assert(run(df.repartition(13)) == got)
   }
+
+  test("applyMixture: epoch copies match the driver-side coin; zero-weight drops; exact 1.0 stays single") {
+    val docs = (0L until 120L).map { id =>
+      (id, if (id % 3 == 0) "a" else if (id % 3 == 1) "b" else "c")
+    }.toDF("docid", "domain")
+    val weights = Seq(("a", 25000L), ("b", 0L), ("c", 10000L)).toDF("domain", "weight_e4")
+    def expectedCopies(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"mix|$id".getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      w / 10000 + (if (hex < f"${(w % 10000) * 65536 / 10000}%04x") 1L else 0L)
+    }
+    val got = Mixing.applyMixture(docs, weights)
+      .groupBy("docid").agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (0L until 120L).foreach { id =>
+      val w = if (id % 3 == 0) 25000L else if (id % 3 == 1) 0L else 10000L
+      val exp = expectedCopies(id, w)
+      if (exp == 0L) assert(!got.contains(id), s"doc $id (weight $w) must be dropped")
+      else {
+        assert(got(id)._1 == exp, s"doc $id: ${got(id)._1} copies != expected $exp")
+        assert(got(id)._2 == exp - 1, s"doc $id: epochs must be 0..${exp - 1}")
+      }
+    }
+    // weight 2.5: every 'a' doc gets 2 or 3 copies; in a 40-doc sample the coin
+    // lands within a loose band of the expected half
+    val aCopies = (0L until 120L by 3L).map(id => got(id)._1)
+    assert(aCopies.forall(n => n == 2L || n == 3L))
+    val threes = aCopies.count(_ == 3L)
+    assert(threes >= 10 && threes <= 30, s"expected ~20/40 three-copy docs, got $threes")
+    // weight exactly 1.0: threshold 0000, no hex key sorts below it -> exactly 1
+    assert((2L until 120L by 3L).forall(id => got(id)._1 == 1L))
+  }
 }
