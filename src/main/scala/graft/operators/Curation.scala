@@ -278,6 +278,29 @@ object Curation {
     LrModel(b, rounds, wq, biasq)
   }
 
+  /** Persist a trained model as a one-row parquet (schema: b, rounds,
+    * biasq, wq array) — the resumability story for the classifier: training
+    * is K full corpus passes, so a restarted pipeline must LOAD, never
+    * retrain. Bit-exact round-trip (integers only; ModelIO spec asserts
+    * score parity after reload). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: LrModel,
+                path: String): Unit = {
+    import spark.implicits._
+    Seq((model.b, model.rounds, model.biasq, model.wq.toSeq))
+      .toDF("b", "rounds", "biasq", "wq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): LrModel = {
+    val row = spark.read.parquet(path).select("b", "rounds", "biasq", "wq").head()
+    val m = LrModel(row.getInt(0), row.getInt(1),
+      row.getSeq[Long](3).toArray, row.getLong(2))
+    require(m.wq.length == m.b,
+      s"corrupt model at $path: ${m.wq.length} weights for b=${m.b}")
+    m
+  }
+
   /** Score a feature frame with a trained model: exact integer margin,
     * pred = margin_q > 0. Pure column expressions over the doc-local
     * bucket arrays — the model rides into codegen as an array literal

@@ -164,6 +164,21 @@ class CurationSpec extends SparkTestBase {
     assert(got == Seq(("a", 1L, 22L, 1), ("b", 0L, -13L, 0)))
   }
 
+  test("LR model save/load: bit-exact round-trip, score parity, corruption guard") {
+    val m = Curation.LrModel(4, 3, Array(10L, -20L, 0L, Long.MaxValue - 7L), -13L)
+    val dir = java.nio.file.Files.createTempDirectory("lrmodel").toString + "/m"
+    Curation.saveModel(spark, m, dir)
+    val back = Curation.loadModel(spark, dir)
+    assert(back.b == m.b && back.rounds == m.rounds && back.biasq == m.biasq
+      && back.wq.toSeq == m.wq.toSeq)
+    val feat = Seq(("a", 1, Seq(0, 2)), ("b", 0, Seq(1))).toDF("docid", "y", "buckets")
+    assert(Curation.scoreLogReg(feat, back).collect().toSeq
+      == Curation.scoreLogReg(feat, m).collect().toSeq)
+    // wrong-width weights must refuse to load
+    Curation.saveModel(spark, Curation.LrModel(5, 1, Array(1L, 2L, 3L, 4L), 0L), dir)
+    intercept[IllegalArgumentException](Curation.loadModel(spark, dir))
+  }
+
   test("registry LR fixture separates on the real corpus (sf0.001)") {
     val scored = CurationQueries.lrModelOf(spark, "/root/testdata/sf0.001")
     // the memoized model must be nontrivial: some positive and negative weights
