@@ -397,6 +397,26 @@ object ExtraQueries {
             "zh" -> 0.05, "ja" -> 0.05))
         .orderBy("domain")),
 
+    // incremental exact dedup — the daily-crawl shape: the batch slice not
+    // already in the corpus (by content sha) and first within the batch;
+    // corpus reduces to its distinct-sha projection before the anti-join
+    "q_dedup_increment" -> ((s, d) => {
+      import s.implicits._
+      def slice(lo: Int, hi: Int, repo: String, pathPrefix: String) =
+        s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(lit(repo).as("repo"),
+            concat(lit(pathPrefix), col("doc_id").cast("string")).as("path"),
+            lit("c0").as("commit"), col("lang"), col("text").as("content"))
+          .as[CodeDoc]
+      val corpus = slice(0, 300, "old", "a/")
+      // batch overlaps the corpus on 200..299 (dropped) and carries
+      // within-batch duplicates for 400..449 (path a/ outranks b/)
+      val batch = slice(200, 500, "new", "b/")
+        .unionByName(slice(400, 450, "new", "a/"))
+      Dedup.dedupIncrement(corpus, batch).orderBy("sha")
+    }),
+
     // mixture EMIT: the same weights applied — per-doc epoch copies via the
     // deterministic 16-bit coin; the resampled corpus itself, zero shuffle
     "q_mix_apply" -> ((s, d) => {
@@ -2405,6 +2425,26 @@ object ExtraQueries {
         |            THEN CAST(round(target / (tokens / total) * 10000) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS weight_e4
         |FROM per CROSS JOIN tot ORDER BY domain""".stripMargin,
+
+    // incremental dedup: NOT IN against the corpus sha set, then the
+    // min-struct survivor as a (repo, path, commit, lang, content) window
+    "q_dedup_increment" ->
+      """WITH corpus AS (SELECT sha256(text) AS sha FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT 'new' AS repo, 'b/' || CAST(doc_id AS VARCHAR) AS path,
+        |         'c0' AS "commit", lang, text AS content
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 500
+        |  UNION ALL
+        |  SELECT 'new', 'a/' || CAST(doc_id AS VARCHAR), 'c0', lang, text
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+        |bs AS (SELECT sha256(content) AS sha, repo, path, "commit", lang, content FROM batch),
+        |nw AS (SELECT * FROM bs WHERE sha NOT IN (SELECT sha FROM corpus)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY sha ORDER BY repo, path, "commit", lang, content) AS rn
+        |  FROM nw)
+        |SELECT sha, repo, path, "commit", lang, content
+        |FROM rk WHERE rn = 1 ORDER BY sha""".stripMargin,
 
     // mixture emit: the weight chain above feeding the deterministic coin —
     // sha256 4-hex key vs the 16-bit-lattice fractional threshold, then

@@ -55,6 +55,30 @@ object Dedup {
       .select(col("doc.repo"), col("doc.path"), col("doc.commit"),
         col("doc.lang"), col("doc.content"))
 
+  /** Incremental exact dedup — the daily-crawl shape: admit the docs of a
+    * NEW batch that are (a) not already in the existing corpus (by content
+    * sha) and (b) first within the batch itself (minimum (repo, path,
+    * commit) per sha, the dedupKeepFirst order). Output = the admissible
+    * batch slice with its sha, ready to append.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT sha projection
+    * BEFORE the anti-join — content never moves, and the per-sha distinct
+    * is map-side combinable (a sha appearing 10⁷ times collapses per
+    * partition). The anti-join shuffles (corpus sha set) + (batch), both
+    * far below corpus size; within-batch survivor election is the same
+    * min(struct) single-aggregation as [[dedupKeepFirst]]. */
+  def dedupIncrement(corpus: Dataset[CodeDoc], batch: Dataset[CodeDoc]): DataFrame = {
+    val seen = corpus.toDF()
+      .select(sha2(col("content"), 256).as("sha")).distinct()
+    batch.toDF().withColumn("sha", sha2(col("content"), 256))
+      .join(seen, Seq("sha"), "left_anti")
+      .groupBy("sha")
+      .agg(min(struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")))
+        .as("doc"))
+      .select(col("sha"), col("doc.repo"), col("doc.path"), col("doc.commit"),
+        col("doc.lang"), col("doc.content"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct n-gram (token) shingles per doc, doc-locally. */

@@ -300,6 +300,24 @@ class DedupSpec extends SparkTestBase {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("dedupIncrement: corpus overlap dropped, within-batch first key wins, fresh docs admitted") {
+    val mk = (repo: String, p: String, c: String) => CodeDoc(repo, p, "c0", "en", c)
+    val corpus = spark.createDataset(Seq(
+      mk("old", "a/1", "same old content"),
+      mk("old", "a/2", "another old doc")))
+    val batch = spark.createDataset(Seq(
+      mk("new", "b/1", "same old content"),  // already in corpus -> dropped
+      mk("new", "b/9", "fresh one"),          // dup within batch...
+      mk("new", "a/9", "fresh one"),          // ...min path survives
+      mk("new", "b/7", "only new")))          // unique -> admitted
+    val got = Dedup.dedupIncrement(corpus, batch)
+      .select("path", "content").as[(String, String)].collect().toSet
+    assert(got == Set(("a/9", "fresh one"), ("b/7", "only new")), s"got $got")
+    // sha column matches the corpus convention (sha2 hex of the content)
+    val sha = Dedup.dedupIncrement(corpus, batch).select("sha").as[String].collect()
+    assert(sha.forall(_.length == 64))
+  }
+
   test("dedupLines: cross-doc boilerplate removed, unique lines byte-exact, blank lines exempt") {
     val mk = (p: String, c: String) => CodeDoc("r", p, "c", "en", c)
     val docs = spark.createDataset(Seq(
