@@ -216,6 +216,24 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(e4(col("sim")) >= 8000, 1L).otherwise(0L)).as("n_neardups"))),
 
+    // SemDeDup (Abbas et al. 2023) under the FIXED deterministic cluster
+    // table (corpus vectors 100..115 — the q_sim_ivf_probe pinning, so
+    // cell assignment, the within-cell upper-triangular pair scan, and the
+    // e4-quantized tau cut are ALL replayed in the oracle): planted
+    // near-dups (cos ≈ 0.9996 to their originals) are the only pairs above
+    // tau=0.99 (natural max ≈ 0.51), and a planted copy is dropped exactly
+    // when the ±4% perturbation leaves it in its original's cell — the
+    // oracle recomputes that, so the kept column is hash-checked per doc
+    "q_dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      val centers = emb(s, d, 500).filter(col("vec_id").between(100, 115))
+        .orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .as[Seq[Double]].collect().map(_.toArray)
+      Dedup.semanticDedup(embWithPlantedDups(s, d, 500, 40), centers, 9900L)
+        .orderBy("vec_id")
+    }),
+
     // the 100 TB path, TIMED ALONE: LSH-bucketed embedding dedup over
     // planted near-dups. The planted structure is known analytically (every
     // pair is (i, i+100000)), so the query still self-checks — n_planted
@@ -1213,6 +1231,68 @@ object ExtraQueries {
         |       CAST(sum(CASE WHEN CAST(round(sim * 10000) AS BIGINT) >= 8000
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups
         |FROM sims""".stripMargin,
+
+    // SemDeDup with the pinned cluster table: planted-dup construction
+    // (REAL-rounded like Spark's float cast), argmin cell assignment with
+    // the same left-to-right distance accumulation as q_sim_ivf_probe,
+    // within-cell a<b pairs, cosine quantized to e4 BEFORE the tau cut
+    // (boundary bit-identical), dominated ids dropped
+    "q_dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+        |),
+        |dups AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, (x, i) ->
+        |           CAST(CAST(x AS DOUBLE) *
+        |                (CAST(1.0 AS DOUBLE) + CAST((i - 1) % 5 - 2 AS DOUBLE) * CAST(0.02 AS DOUBLE))
+        |                AS REAL)) AS embedding
+        |  FROM base WHERE vec_id < 40
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)
+        |),
+        |cent AS (
+        |  SELECT vec_id - 100 AS ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM base WHERE vec_id BETWEEN 100 AND 115
+        |),
+        |cd AS (
+        |  SELECT e.vec_id, cent.ci,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, len(e.ed)),
+        |             j -> (e.ed[j] - cent.c[j]) * (e.ed[j] - cent.c[j]))),
+        |           (a, b) -> a + b) AS dist
+        |  FROM e CROSS JOIN cent
+        |),
+        |cc AS (
+        |  SELECT vec_id, ci AS cell FROM (
+        |    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+        |    FROM cd)
+        |  WHERE rn = 1
+        |),
+        |dom AS (
+        |  SELECT DISTINCT xb.vec_id
+        |  FROM cc xa JOIN cc xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
+        |  JOIN e ea ON ea.vec_id = xa.vec_id JOIN e eb ON eb.vec_id = xb.vec_id
+        |  WHERE CAST(round(
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * eb.ed[j])),
+        |        (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, len(ea.ed)), j -> ea.ed[j] * ea.ed[j])),
+        |           (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(generate_series(1, len(eb.ed)), j -> eb.ed[j] * eb.ed[j])),
+        |             (x, y) -> x + y)))
+        |      * 10000) AS BIGINT) >= 9900
+        |),
+        |fin AS (
+        |  SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell,
+        |         CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |  FROM cc LEFT JOIN dom ON dom.vec_id = cc.vec_id
+        |)
+        |SELECT vec_id, cell, kept FROM fin ORDER BY vec_id""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH e AS (

@@ -682,6 +682,53 @@ object Dedup {
       .select("a", "b", "sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540 — public
+    * literature): SEMANTIC-level dedup, one level above MinHash/SimHash —
+    * two docs that say the same thing in different words share no shingles
+    * but sit next to each other in embedding space. The paper's recipe:
+    * cluster the embeddings, then inside each cluster drop every point
+    * that has a more-than-tau cosine neighbor EARLIER in the cluster's
+    * ordering (the upper-triangular rule — exactly one survivor per
+    * near-duplicate chain head, no iterative survivor election needed).
+    * Ordering here is vec_id (deterministic at any cluster size); the
+    * paper orders by distance-to-centroid, a one-column swap.
+    *
+    * `centers` is the cluster table — a pinned deterministic slice for the
+    * oracle-checked registry query, `ivfIndexBalanced` for production (the
+    * same build-once index the ANN path probes; SemDeDup reuses it free).
+    *
+    * The tau comparison happens on the e4-QUANTIZED cosine, so the
+    * keep/drop boundary is bit-identical across engines (the established
+    * convention of every embedding operator here).
+    *
+    * Scale shape: cell assignment is one codegen'd pass (centroid table is
+    * a plan literal, doc-local argmin, zero shuffle); the quadratic work is
+    * confined WITHIN a cell — the whole point of SemDeDup's clustering at
+    * web scale, nlist grows with the corpus so cells stay bounded (the
+    * cell-share guard in Similarity.ivfCellStats makes a degenerate fit
+    * visible); the dominated-id set is node-sized (vec_id only) and joins
+    * back against the node-sized assignment frame — embeddings themselves
+    * never shuffle twice. Returns one row per doc: (vec_id, cell, kept). */
+  def semanticDedup(emb: DataFrame, centers: Array[Array[Double]],
+                    tauE4: Long): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val cells = emb.select(col("vec_id"), Similarity.asDouble("embedding").as("e"))
+      .withColumn("cell", element_at(Similarity.nearestCells(centers, col("e"), 1), 1))
+    val a = cells.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"))
+    val b = cells.select(col("cell"), col("vec_id").as("b"), col("e").as("eb"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim_e4",
+        round(Similarity.cosine(col("ea"), col("eb")) * 10000).cast("long"))
+      .filter(col("sim_e4") >= tauE4)
+      .select(col("b").as("vec_id"))
+      .distinct()
+    cells.join(dominated.withColumn("dom", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        when(col("dom").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Exact cosine near-dup pairs above `threshold`. Quadratic BY DESIGN
     * (every pair scored) — the verifier behind embeddingNearDupsLsh, for
     * bounded inputs and recall gates, never the 100 TB path. The pair loop

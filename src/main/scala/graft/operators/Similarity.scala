@@ -367,8 +367,8 @@ object Similarity {
     * round 1 broke it): the centroid table is a plan literal (nlist x dim
     * doubles, tiny), distances via zip_with/aggregate, argmin-n via
     * array_sort on (dist, cell) structs. */
-  private def nearestCells(centers: Array[Array[Double]],
-                           e: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+  private[operators] def nearestCells(centers: Array[Array[Double]],
+                                      e: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val centersLit = typedLit(centers.map(_.toSeq).toSeq)
     val scored = transform(centersLit, (c, ci) => struct(
       aggregate(zip_with(e, c, (a, b) => (a - b) * (a - b)),

@@ -122,6 +122,40 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("SemDeDup: within-cell upper-triangular drop, cross-cell near-dups survive") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // cell 0 (chain head, kept)
+      (1L, Seq(1.0f, 0.01f)),  // cell 0, cos(0,1) ~ 0.99995 -> dominated by 0
+      (2L, Seq(0.9f, 0.1f)),   // cell 0, cos to 0/1 ~ 0.994 < tau -> kept
+      (3L, Seq(0.01f, 1.0f)),  // cell 1, nothing near -> kept
+      (4L, Seq(0.71f, 0.7f)),  // cell 0 \
+      (5L, Seq(0.7f, 0.71f))   // cell 1 / cos ~ 0.9999 but DIFFERENT cells -> both kept
+    ).toDF("vec_id", "embedding").repartition(3)
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Dedup.semanticDedup(emb, centers, tauE4 = 9998L)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Long)].collect()
+      .map { case (v, c, k) => v -> ((c, k)) }.toMap
+    assert(out == Map(
+      0L -> ((0L, 1L)), 1L -> ((0L, 0L)), 2L -> ((0L, 1L)),
+      3L -> ((1L, 1L)), 4L -> ((0L, 1L)), 5L -> ((1L, 1L))))
+  }
+
+  test("SemDeDup: planted random fixture — every same-cell planted copy drops, nothing else") {
+    // centroids = 16 of the base vectors (the pinned-slice convention the
+    // registry query uses); tau above the natural-pair ceiling
+    val centers = plantedEmb.filter(col("vec_id").between(50, 65)).orderBy("vec_id")
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val out = Dedup.semanticDedup(plantedEmb, centers, tauE4 = 9900L)
+    val cells = out.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val dropped = out.filter(col("kept") === 0L).select("vec_id").as[Long].collect().toSet
+    // expected drops: exactly the planted copies that landed in their
+    // original's cell (the perturbation can flip a thin-margin assignment)
+    val expected = (0L until 40L).filter(i => cells(i + 1000L) == cells(i)).map(_ + 1000L).toSet
+    assert(dropped == expected, s"dropped=$dropped expected=$expected")
+    assert(expected.size >= 20, s"fixture degenerate: only ${expected.size} same-cell planted copies")
+  }
+
   /** 200 seeded random 32-d vectors + planted near-dup copies of 40 of them
     * (small deterministic perturbation, cosine ≈ 0.999). */
   private lazy val plantedEmb = {
