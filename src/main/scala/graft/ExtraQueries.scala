@@ -585,6 +585,29 @@ object ExtraQueries {
         .orderBy("docid")
     }),
 
+    // Unicode NFC normalization (native codegen'd expression): planted
+    // decomposed combining sequences (e + U+0301, A + U+030A, o + U+0308)
+    // plus a precomposed é compose to NFC; every fifth doc stays pure ASCII
+    // and exercises the zero-allocation fast path (changed = 0). Both the
+    // changed flag and the sha256 of the normalized text are hash-checked
+    // against DuckDB's utf8proc-backed nfc_normalize — two independent
+    // Unicode implementations agreeing byte-for-byte
+    "q_text_nfc" -> ((s, d) => {
+      import s.implicits._
+      val decorated = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 300)
+        .select(lit("doc").as("repo"), col("doc_id").cast("string").as("path"),
+          lit("x").as("commit"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("text"))
+            .otherwise(concat(lit("Cafe\u0301 "), col("text"),
+              lit(" A\u030Angstro\u0308m \u00E9nd"))).as("content"))
+        .as[CodeDoc]
+      TextStats.nfcNormalize(decorated)
+        .select(col("path").as("docid"), col("changed"),
+          length(col("content")).cast("long").as("chars_nfc"),
+          sha2(col("content"), 256).as("sha_nfc"))
+        .orderBy("docid")
+    }),
+
     // web link graph: deterministic planted pages (see webPages) — the
     // host-level edge list with per-page target dedup.
     "q_web_linkgraph" -> ((s, d) =>
@@ -2016,6 +2039,27 @@ object ExtraQueries {
         |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, hkey
         |FROM r WHERE rnk <= 7
         |ORDER BY lang, rnk""".stripMargin,
+
+    // NFC normalization: the same decomposed plant via chr() codepoints
+    // (769 = U+0301, 778 = U+030A, 776 = U+0308, 233 = precomposed é),
+    // normalized by DuckDB's utf8proc — an INDEPENDENT Unicode
+    // implementation whose NFC output must agree with the JDK's
+    // byte-for-byte for the sha to match; changed/lengths ride along
+    "q_text_nfc" ->
+      """WITH dec AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         CASE WHEN doc_id % 5 = 0 THEN text
+        |              ELSE 'Cafe' || chr(769) || ' ' || text ||
+        |                   ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(233) || 'nd'
+        |         END AS content
+        |  FROM documents WHERE doc_id < 300
+        |),
+        |n AS (SELECT docid, content, nfc_normalize(content) AS nfc FROM dec)
+        |SELECT docid,
+        |       CAST(CASE WHEN nfc = content THEN 0 ELSE 1 END AS BIGINT) AS changed,
+        |       CAST(length(nfc) AS BIGINT) AS chars_nfc,
+        |       sha256(nfc) AS sha_nfc
+        |FROM n ORDER BY docid""".stripMargin,
 
     // markup extraction: identical planted HTML, identical RE2/Java-neutral
     // patterns (explicit ASCII classes, (?s), no \s, no lookaround), same

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, NullType, ShortType}
 
-import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail, TopKAgg, VectorSumAgg}
+import graft.functions.{ArrayDot, BloomMightContain, HyperGeom, LogHypergeomTail, NfcNormalize, TopKAgg, VectorSumAgg}
 
 /** Public SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions. Activate with
@@ -73,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NfcName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, GraftFunctions.NfcName),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"${GraftFunctions.NfcName} expects 1 argument")
+        // no builder-side coercion: normalizing the string form of a number
+        // is meaningless — a non-string argument must fail analysis loudly
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.VectorSumName),
       new ExpressionInfo(classOf[VectorSumAgg].getName, GraftFunctions.VectorSumName),
       (children: Seq[Expression]) => {
@@ -131,6 +140,7 @@ object GraftFunctions {
   val BloomMightContainName = "graft_bloom_might_contain"
   val VectorSumName = "graft_vector_sum"
   val TopKName = "graft_top_k"
+  val NfcName = "graft_nfc"
 
   /** Make graft functions callable on any session, including ones the driver
     * built without our extensions: if the native Catalyst expression is not
@@ -165,6 +175,14 @@ object GraftFunctions {
             if (ok) java.lang.Double.valueOf(s) else null.asInstanceOf[java.lang.Double]
           }
         })
+    }
+    if (!spark.catalog.functionExists(GraftFunctions.NfcName)) {
+      // scalar fallback: same semantics, minus codegen and the zero-copy
+      // ASCII fast path (the UDF boundary re-materializes the string)
+      spark.udf.register(GraftFunctions.NfcName,
+        (s: String) =>
+          if (s == null) null
+          else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
     }
     if (!spark.catalog.functionExists(GraftFunctions.BloomMightContainName)) {
       // fallback for sessions without the extension: the per-filter

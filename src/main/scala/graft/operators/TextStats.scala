@@ -544,6 +544,29 @@ object TextStats {
       .withColumn("content", cleaned)
   }
 
+  /** Unicode NFC normalization of `content` — the curation front door's
+    * hash invariant: two crawls of the same page that differ only in
+    * normalization form (U+00E9 vs U+0065 U+0301) must hash identically or
+    * every content-keyed operator downstream (exact dedup, line dedup,
+    * fingerprints, URL dedup on page text) sees phantom distinct documents.
+    * NFC is the W3C character-model recommendation for exactly this.
+    *
+    * Engine shape: one native codegen'd expression per row
+    * ([[graft.functions.NfcNormalize]]) with a zero-allocation ASCII fast
+    * path — on a code corpus the common row is a byte scan, nothing more.
+    * Zero shuffle at any scale. Adds `changed` (1 when normalization
+    * rewrote the text — a cheap crawl-health signal) and rewrites
+    * `content`. */
+  def nfcNormalize(docs: Dataset[CodeDoc]): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val nfc = call_function(graft.GraftFunctions.NfcName, col("content"))
+    docs.toDF()
+      .withColumn("nfc", nfc)
+      .withColumn("changed", when(col("nfc") === col("content"), 0L).otherwise(1L))
+      .withColumn("content", col("nfc"))
+      .drop("nfc")
+  }
+
   /** Double-quoted `href` attribute values (group 1). Same dialect rules as
     * the markup patterns: explicit ASCII case classes, no `\s`. Unquoted /
     * single-quoted attributes are out of scope BY DESIGN — like the C4

@@ -133,6 +133,38 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.langId(td("der the")).head().getString(1) == "de")
   }
 
+  test("NFC normalization: composes decomposed marks; fast paths return the input OBJECT") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalize
+    // ASCII fast path: no decode, no allocation — the same object comes back
+    val ascii = UTF8String.fromString("plain ascii_09 {}")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    // already-NFC non-ASCII: decoded once, but NOT re-encoded
+    val composed = UTF8String.fromString("caf\u00E9")
+    assert(NfcNormalize.nfc(composed) eq composed)
+    // decomposed sequences compose (e+U+0301 -> é, A+U+030A -> Å, o+U+0308 -> ö)
+    val dec = UTF8String.fromString("cafe\u0301 A\u030Angstro\u0308m")
+    assert(NfcNormalize.nfc(dec).toString == "caf\u00E9 \u00C5ngstr\u00F6m")
+    // idempotent
+    assert(NfcNormalize.nfc(NfcNormalize.nfc(dec)).toString == NfcNormalize.nfc(dec).toString)
+
+    // DataFrame operator: content rewritten, changed flag per row
+    val out = TextStats.nfcNormalize(Seq(
+      CodeDoc("r", "a", "c", "en", "cafe\u0301 x"),
+      CodeDoc("r", "b", "c", "en", "plain")).toDS())
+      .select("path", "content", "changed")
+      .as[(String, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("a") == (("caf\u00E9 x", 1L)))
+    assert(out("b") == (("plain", 0L)))
+
+    // SQL surface: NULL propagates; a non-string argument fails analysis loudly
+    val row = spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS n, graft_nfc('e\u0301') AS c").head()
+    assert(row.isNullAt(0) && row.getString(1) == "\u00E9")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc(1)").collect()
+    }
+  }
+
   test("extractText: blocks before tags, case-folded tags, entity order, whitespace collapse") {
     import spark.implicits._
     val html = "<html><!-- c -->\n<head><SCRIPT>if (a < b) { x = \"</div>\"; }</SCRIPT>" +
