@@ -435,6 +435,31 @@ object ExtraQueries {
       Dedup.dedupIncrement(corpus, batch).orderBy("sha")
     }),
 
+    // incremental NEAR-dup admission — the MinHash sibling of
+    // q_dedup_increment: corpus (docs 0..149) participates as its banded
+    // signature index; the batch carries fresh docs (f150..f199), near-
+    // copies of corpus docs (c0..c9, one token appended, jac ≈ 0.98 ->
+    // hit_corpus), and near-copies of fresh batch docs (w150..w154 ->
+    // dominated within batch by the smaller f-id). The whole chain —
+    // signatures, banding, both capped candidate joins, exact Jaccard —
+    // replays in the oracle, so all three flags hash-check per batch doc
+    "q_dedup_minhash_increment" -> ((s, d) => {
+      import s.implicits._
+      val corpus = tokdocsUnder(s, d, 150)
+      def slice(lo: Int, hi: Int, prefix: String, suffix: String) =
+        s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(concat(lit(prefix), col("doc_id").cast("string")).as("docid"),
+            concat(col("text"), lit(suffix)).as("text"))
+          .as[(String, String)]
+          .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+      val batch = slice(150, 200, "f", "")
+        .unionByName(slice(0, 10, "c", " zqy"))
+        .unionByName(slice(150, 155, "w", " zqy"))
+      Dedup.minhashIncrement(corpus, batch, n = 2, threshold = 0.8)
+        .orderBy("docid")
+    }),
+
     // mixture EMIT: the same weights applied — per-doc epoch copies via the
     // deterministic 16-bit coin; the resampled corpus itself, zero shuffle
     "q_mix_apply" -> ((s, d) => {
@@ -967,6 +992,99 @@ object ExtraQueries {
        |         CAST(sum(bit * CAST(power(2, ${width - 1} - (p % $width)) AS BIGINT)) AS BIGINT) AS bucket
        |  FROM bitsv GROUP BY vec_id, p // $width
        |)""".stripMargin
+
+  /** Shared SQL chain replaying the MinHash machinery in DuckDB over a
+    * CTE `t(docid, arr)` already in scope (WITH RECURSIVE required by the
+    * per-character h64 replay): distinct 2-gram shingles, the seeded
+    * murmur-style h64 in HUGEINT mod-2^64 arithmetic (32/64-split mulmod),
+    * the 64 one-hash-many-mixes signature rows, 16 FNV-banded bucket keys,
+    * and the exact-Jaccard frame `alljac(a, b, jac)` over canonical a<b
+    * pairs plus `sizes`, `sh`, `buckets`. ONE definition for the
+    * q_dedup_minhash_lsh detection oracle and the q_dedup_minhash_increment
+    * admission oracle, so signature/banding semantics can never silently
+    * diverge between detection and admission. */
+  private val minhashChainCte: String =
+    """sh AS (
+        |  SELECT DISTINCT docid,
+        |         unnest(list_transform(generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+        |  FROM t WHERE len(arr) >= 2
+        |),
+        |shv AS (SELECT DISTINCT shingle FROM sh),
+        |hb AS (
+        |  SELECT shingle, 1 AS pos,
+        |         xor(CAST(42 AS HUGEINT), CAST(11400714819323198485 AS HUGEINT)) AS h
+        |  FROM shv
+        |  UNION ALL
+        |  SELECT shingle, pos + 1,
+        |    xor(
+        |      ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT),
+        |      (((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
+        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |      ) % CAST(18446744073709551616 AS HUGEINT)) // 8589934592)
+        |  FROM hb WHERE pos <= len(shingle)
+        |),
+        |base AS (SELECT shingle, h AS b FROM hb WHERE pos = len(shingle) + 1),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |mix0 AS (
+        |  SELECT shingle, i,
+        |         xor(b, (CAST(i AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)) AS v
+        |  FROM base CROSS JOIN idx
+        |),
+        |mix1 AS (
+        |  SELECT shingle, i,
+        |    ((xor(v, v // 8589934592) % 4294967296) * 18397679294719823053
+        |     + ((xor(v, v // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
+        |  FROM mix0
+        |),
+        |mix2 AS (
+        |  SELECT shingle, i,
+        |    ((xor(v, v // 536870912) % 4294967296) * 14181476777654086739
+        |     + ((xor(v, v // 536870912) // 4294967296) * 14181476777654086739 % 4294967296) * 4294967296
+        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
+        |  FROM mix1
+        |),
+        |mix3 AS (SELECT shingle, i, xor(v, v // 4294967296) AS u FROM mix2),
+        |sigs AS (
+        |  SELECT sh.docid, m.i,
+        |         min(CAST(CASE WHEN m.u >= CAST(9223372036854775808 AS HUGEINT)
+        |             THEN m.u - CAST(18446744073709551616 AS HUGEINT) ELSE m.u END AS BIGINT)) AS sv
+        |  FROM sh JOIN mix3 m USING (shingle)
+        |  GROUP BY sh.docid, m.i
+        |),
+        |sigl AS (SELECT docid, list(sv ORDER BY i) AS sl FROM sigs GROUP BY docid),
+        |bands AS (SELECT unnest(generate_series(0, 15)) AS band),
+        |buckets AS (
+        |  SELECT docid, band,
+        |    list_reduce(
+        |      list_prepend(xor(CAST(14695981039346656037 AS HUGEINT), CAST(band AS HUGEINT)),
+        |        list_transform(sl[band*4+1 : band*4+4],
+        |          s -> CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+        |                    ELSE CAST(s AS HUGEINT) END)),
+        |      (h, s) -> (xor(h, s) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS bucket
+        |  FROM sigl CROSS JOIN bands
+        |),
+        |ok AS (
+        |  SELECT band, bucket FROM buckets GROUP BY band, bucket
+        |  HAVING count(*) BETWEEN 2 AND 1000
+        |),
+        |cand AS (
+        |  SELECT DISTINCT least(x.docid, y.docid) AS a, greatest(x.docid, y.docid) AS b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.docid < y.docid
+        |  JOIN ok o ON o.band = x.band AND o.bucket = x.bucket
+        |),
+        |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
+        |inter AS (
+        |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
+        |  GROUP BY a.docid, b.docid
+        |),
+        |alljac AS (
+        |  SELECT a, b, i / (sa.sz + sb.sz - i) AS jac
+        |  FROM inter JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
+        |),""".stripMargin
 
   /** Shared SQL prefix replaying the embedding-LSH dedup chain in DuckDB:
     * planted near-dup construction (REAL-rounded exactly like Spark's float
@@ -1643,92 +1761,12 @@ object ExtraQueries {
     // Jaccard verification. A regression anywhere in the stack flips the
     // hash-checked row.
     "q_dedup_minhash_lsh" ->
-      """WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS docid,
         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
         |  FROM documents WHERE doc_id < 200
         |),
-        |sh AS (
-        |  SELECT DISTINCT docid,
-        |         unnest(list_transform(generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i + 1])) AS shingle
-        |  FROM t WHERE len(arr) >= 2
-        |),
-        |shv AS (SELECT DISTINCT shingle FROM sh),
-        |hb AS (
-        |  SELECT shingle, 1 AS pos,
-        |         xor(CAST(42 AS HUGEINT), CAST(11400714819323198485 AS HUGEINT)) AS h
-        |  FROM shv
-        |  UNION ALL
-        |  SELECT shingle, pos + 1,
-        |    xor(
-        |      ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
-        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
-        |      ) % CAST(18446744073709551616 AS HUGEINT),
-        |      (((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) % 4294967296) * 18397679294719823053
-        |       + ((xor(h, CAST(ascii(substr(shingle, pos, 1)) AS HUGEINT)) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
-        |      ) % CAST(18446744073709551616 AS HUGEINT)) // 8589934592)
-        |  FROM hb WHERE pos <= len(shingle)
-        |),
-        |base AS (SELECT shingle, h AS b FROM hb WHERE pos = len(shingle) + 1),
-        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-        |mix0 AS (
-        |  SELECT shingle, i,
-        |         xor(b, (CAST(i AS HUGEINT) * 11400714819323198485) % CAST(18446744073709551616 AS HUGEINT)) AS v
-        |  FROM base CROSS JOIN idx
-        |),
-        |mix1 AS (
-        |  SELECT shingle, i,
-        |    ((xor(v, v // 8589934592) % 4294967296) * 18397679294719823053
-        |     + ((xor(v, v // 8589934592) // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
-        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
-        |  FROM mix0
-        |),
-        |mix2 AS (
-        |  SELECT shingle, i,
-        |    ((xor(v, v // 536870912) % 4294967296) * 14181476777654086739
-        |     + ((xor(v, v // 536870912) // 4294967296) * 14181476777654086739 % 4294967296) * 4294967296
-        |    ) % CAST(18446744073709551616 AS HUGEINT) AS v
-        |  FROM mix1
-        |),
-        |mix3 AS (SELECT shingle, i, xor(v, v // 4294967296) AS u FROM mix2),
-        |sigs AS (
-        |  SELECT sh.docid, m.i,
-        |         min(CAST(CASE WHEN m.u >= CAST(9223372036854775808 AS HUGEINT)
-        |             THEN m.u - CAST(18446744073709551616 AS HUGEINT) ELSE m.u END AS BIGINT)) AS sv
-        |  FROM sh JOIN mix3 m USING (shingle)
-        |  GROUP BY sh.docid, m.i
-        |),
-        |sigl AS (SELECT docid, list(sv ORDER BY i) AS sl FROM sigs GROUP BY docid),
-        |bands AS (SELECT unnest(generate_series(0, 15)) AS band),
-        |buckets AS (
-        |  SELECT docid, band,
-        |    list_reduce(
-        |      list_prepend(xor(CAST(14695981039346656037 AS HUGEINT), CAST(band AS HUGEINT)),
-        |        list_transform(sl[band*4+1 : band*4+4],
-        |          s -> CASE WHEN s < 0 THEN CAST(s AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
-        |                    ELSE CAST(s AS HUGEINT) END)),
-        |      (h, s) -> (xor(h, s) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS bucket
-        |  FROM sigl CROSS JOIN bands
-        |),
-        |ok AS (
-        |  SELECT band, bucket FROM buckets GROUP BY band, bucket
-        |  HAVING count(*) BETWEEN 2 AND 1000
-        |),
-        |cand AS (
-        |  SELECT DISTINCT least(x.docid, y.docid) AS a, greatest(x.docid, y.docid) AS b
-        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.docid < y.docid
-        |  JOIN ok o ON o.band = x.band AND o.bucket = x.bucket
-        |),
-        |sizes AS (SELECT docid, count(*) AS sz FROM sh GROUP BY docid),
-        |inter AS (
-        |  SELECT a.docid AS a, b.docid AS b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid
-        |  GROUP BY a.docid, b.docid
-        |),
-        |alljac AS (
-        |  SELECT a, b, i / (sa.sz + sb.sz - i) AS jac
-        |  FROM inter JOIN sizes sa ON sa.docid = a JOIN sizes sb ON sb.docid = b
-        |),
+        |${minhashChainCte}
         |lshp AS (
         |  SELECT aj.a, aj.b, aj.jac FROM alljac aj JOIN cand c ON c.a = aj.a AND c.b = aj.b
         |  WHERE aj.jac >= 0.2
@@ -1747,6 +1785,78 @@ object ExtraQueries {
         |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
         |       max_jac_e4
         |FROM mets""".stripMargin,
+
+    // incremental near-dup admission: the SAME chain (shared CTE text) over
+    // corpus ∪ batch, side derived from the docid prefix (corpus ids are
+    // bare digits); cross candidates = batch bands × corpus bands on the
+    // bucket key with per-side ≤1000 caps, within-batch candidates = the
+    // canonical a<b pairs with the 2..1000 cap; exact Jaccard at 0.8 on
+    // both; flags per batch doc
+    "q_dedup_minhash_increment" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+         |  FROM documents WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT 'f' || CAST(doc_id AS VARCHAR),
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')
+         |  FROM documents WHERE doc_id >= 150 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT 'c' || CAST(doc_id AS VARCHAR),
+         |         list_filter(regexp_split_to_array(lower(text || ' zqy'), '[^a-z0-9_]+'), x -> x <> '')
+         |  FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT 'w' || CAST(doc_id AS VARCHAR),
+         |         list_filter(regexp_split_to_array(lower(text || ' zqy'), '[^a-z0-9_]+'), x -> x <> '')
+         |  FROM documents WHERE doc_id >= 150 AND doc_id < 155
+         |),
+         |${minhashChainCte}
+         |bside AS (
+         |  SELECT b.band, b.bucket, b.docid,
+         |         CASE WHEN substr(b.docid, 1, 1) BETWEEN '0' AND '9' THEN 'C' ELSE 'B' END AS side
+         |  FROM buckets b
+         |),
+         |cok AS (SELECT band, bucket FROM bside WHERE side = 'C' GROUP BY band, bucket HAVING count(*) <= 1000),
+         |bok AS (SELECT band, bucket FROM bside WHERE side = 'B' GROUP BY band, bucket HAVING count(*) <= 1000),
+         |crossc AS (
+         |  SELECT DISTINCT xb.docid AS a, xc.docid AS b
+         |  FROM bside xb
+         |  JOIN bside xc ON xb.band = xc.band AND xb.bucket = xc.bucket
+         |  JOIN cok ON cok.band = xb.band AND cok.bucket = xb.bucket
+         |  JOIN bok ON bok.band = xb.band AND bok.bucket = xb.bucket
+         |  WHERE xb.side = 'B' AND xc.side = 'C'
+         |),
+         |bok2 AS (
+         |  SELECT band, bucket FROM bside WHERE side = 'B'
+         |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000
+         |),
+         |candb AS (
+         |  SELECT DISTINCT least(x.docid, y.docid) AS a, greatest(x.docid, y.docid) AS b
+         |  FROM bside x
+         |  JOIN bside y ON x.band = y.band AND x.bucket = y.bucket AND x.docid < y.docid
+         |  JOIN bok2 ON bok2.band = x.band AND bok2.bucket = x.bucket
+         |  WHERE x.side = 'B' AND y.side = 'B'
+         |),
+         |hitc AS (
+         |  SELECT DISTINCT c.a AS docid
+         |  FROM crossc c
+         |  JOIN alljac aj ON aj.a = least(c.a, c.b) AND aj.b = greatest(c.a, c.b)
+         |  WHERE aj.jac >= 0.8
+         |),
+         |domb AS (
+         |  SELECT DISTINCT c.b AS docid
+         |  FROM candb c JOIN alljac aj ON aj.a = c.a AND aj.b = c.b
+         |  WHERE aj.jac >= 0.8
+         |)
+         |SELECT t.docid,
+         |       CAST(CASE WHEN hitc.docid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit_corpus,
+         |       CAST(CASE WHEN domb.docid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_in_batch,
+         |       CAST(CASE WHEN hitc.docid IS NULL AND domb.docid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM t
+         |LEFT JOIN hitc ON hitc.docid = t.docid
+         |LEFT JOIN domb ON domb.docid = t.docid
+         |WHERE substr(t.docid, 1, 1) NOT BETWEEN '0' AND '9'
+         |ORDER BY t.docid""".stripMargin,
 
     // full oracle for the SimHash near-dup query: the 64-bit seeded term
     // hash (h64) is replayed with a recursive CTE over character positions —

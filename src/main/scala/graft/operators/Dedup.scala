@@ -159,6 +159,28 @@ object Dedup {
     }).toDF("docid", "sig")
   }
 
+  /** Banded (band, bucket, docid) rows from minhash signatures — the STORED
+    * LSH index at scale: built once over the standing corpus, appended as
+    * batches are admitted, and joined signature-to-signature by
+    * [[minhashIncrement]] so corpus CONTENT never moves for candidate
+    * generation. Band key = FNV-1a over the band's signature rows. */
+  def minhashBands(td: Dataset[TokDoc], n: Int, numHashes: Int = 64,
+                   bands: Int = 16, seed: Long = 42L): DataFrame = {
+    import td.sparkSession.implicits._
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rows = numHashes / bands
+    minhashSignatures(td, n, numHashes, seed)
+      .as[(String, Seq[Long])].flatMap { case (docid, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 0xcbf29ce484222325L ^ b
+          var i = b * rows
+          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+          (b, h, docid)
+        }
+      }.toDF("band", "bucket", "docid")
+  }
+
   /** MinHash + LSH banding: signatures → (band, bucket) keys → candidate
     * pairs within buckets → EXACT Jaccard verification. `bands` bands of
     * `numHashes/bands` rows; standard S-curve recall. Bucket size is capped
@@ -172,17 +194,7 @@ object Dedup {
     // rows=0 making every band hash the constant seed) — fail fast instead
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val rows = numHashes / bands
-    val sigs = minhashSignatures(td, n, numHashes, seed)
-
-    val buckets = sigs.as[(String, Seq[Long])].flatMap { case (docid, sig) =>
-      (0 until bands).iterator.map { b =>
-        var h = 0xcbf29ce484222325L ^ b
-        var i = b * rows
-        while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
-        (b, h, docid)
-      }
-    }.toDF("band", "bucket", "docid")
+    val buckets = minhashBands(td, n, numHashes, bands, seed)
 
     // hot-bucket-guarded, self-join-free candidate generation (a degenerate
     // bucket of m docs would emit m^2 pairs AND an m-sized agg buffer)
@@ -192,6 +204,76 @@ object Dedup {
     val sh = shingles(td, n)
     val sizes = sh.groupBy("docid").agg(count(lit(1)).as("sz"))
     minhashVerify(spark, candidates, sh, sizes, threshold)
+  }
+
+  /** Incremental NEAR-dup admission — the daily-crawl shape for the MinHash
+    * family, the near-dup sibling of [[dedupIncrement]] (which admits on
+    * exact sha equality): admit only the batch docs that are near-duplicates
+    * of NEITHER the standing corpus NOR a smaller-id batch doc.
+    *
+    * The corpus side participates as its banded signature INDEX
+    * ([[minhashBands]] — at 100 TB built once, stored, and appended as
+    * batches are admitted; here rebuilt from the TokDocs because the sandbox
+    * has no standing index store, a one-line swap). Candidate generation is
+    * a signature-to-signature equijoin on the (band, bucket) key, both
+    * sides hot-bucket-guarded — corpus CONTENT never moves. Exact Jaccard
+    * verification touches corpus shingle sets only for CANDIDATE corpus
+    * docs (semi-joined by id — the stored-index deployment fetches exactly
+    * those docs by key). Within-batch near-dups resolve by the same
+    * upper-triangular min-id-survives rule as [[semanticDedup]]: batch-local
+    * work on batch-sized frames.
+    *
+    * Returns one row per batch doc:
+    * (docid, hit_corpus, dup_in_batch, admitted). */
+  def minhashIncrement(corpus: Dataset[TokDoc], batch: Dataset[TokDoc],
+                       n: Int = 2, threshold: Double = 0.8,
+                       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+                       maxBucket: Int = 1000): DataFrame = {
+    val cBands = minhashBands(corpus, n, numHashes, bands, seed)
+    val bBands = minhashBands(batch, n, numHashes, bands, seed)
+
+    // cross candidates: batch bands probe the corpus index; a hot bucket on
+    // EITHER side (boilerplate signature) is pruned count-first, before any
+    // pair explodes
+    val cOk = cBands.groupBy("band", "bucket").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= maxBucket).select("band", "bucket")
+    val bOk = bBands.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket).select("band", "bucket")
+    val cross = bBands.join(bOk, Seq("band", "bucket"), "left_semi")
+      .join(cBands.join(cOk, Seq("band", "bucket"), "left_semi")
+        .withColumnRenamed("docid", "cdoc"), Seq("band", "bucket"))
+      .select(col("docid").as("a"), col("cdoc").as("b")).distinct()
+
+    val shB = shingles(batch, n)
+    val szB = shB.groupBy("docid").agg(count(lit(1)).as("sz"))
+    // corpus shingles for candidate docs ONLY (point fetch in deployment)
+    val candCorpus = cross.select(col("b").as("docid")).distinct()
+    val shC = shingles(corpus, n).join(candCorpus, Seq("docid"), "left_semi")
+    val szC = shC.groupBy("docid").agg(count(lit(1)).as("sz"))
+
+    def verified(cand: DataFrame, shA2: DataFrame, szA2: DataFrame,
+                 shB2: DataFrame, szB2: DataFrame): DataFrame =
+      cand.join(shA2.toDF("a", "shingle"), Seq("a"))
+        .join(shB2.toDF("b", "shingle"), Seq("b", "shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(szA2.toDF("a", "sza"), Seq("a"))
+        .join(szB2.toDF("b", "szb"), Seq("b"))
+        .filter(col("inter") / (col("sza") + col("szb") - col("inter")) >= threshold)
+
+    val hitCorpus = verified(cross, shB, szB, shC, szC)
+      .select(col("a").as("docid")).distinct()
+    // within-batch: canonical a<b pairs -> the larger id is dominated
+    val dominated = verified(pairsInBuckets(bBands, "docid", 2, maxBucket),
+        shB, szB, shB, szB)
+      .select(col("b").as("docid")).distinct()
+
+    batch.toDF().select("docid")
+      .join(hitCorpus.withColumn("hc", lit(1L)), Seq("docid"), "left")
+      .join(dominated.withColumn("db", lit(1L)), Seq("docid"), "left")
+      .select(col("docid"),
+        coalesce(col("hc"), lit(0L)).as("hit_corpus"),
+        coalesce(col("db"), lit(0L)).as("dup_in_batch"),
+        when(col("hc").isNull && col("db").isNull, 1L).otherwise(0L).as("admitted"))
   }
 
   /** Distinct canonical (a, b) candidate pairs from (band, bucket, id) rows,

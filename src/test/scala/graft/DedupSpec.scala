@@ -122,6 +122,28 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("minhashIncrement: corpus hits rejected, within-batch min-id survives, fresh admitted") {
+    def doc(id: String, toks: String) = TokDoc(id, toks.split(" "))
+    val a = "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu " * 4
+    val n = "one two three four five six seven eight nine ten eleven twelve " * 4
+    val corpus = Seq(doc("corp0", a.trim), doc("corp1",
+      ("red green blue cyan magenta yellow black white grey pink " * 4).trim)).toDS()
+    val batch = Seq(
+      doc("ba", a.trim + " zz"),          // near-copy of corp0 -> hit_corpus
+      doc("bfresh", n.trim),              // nothing near -> admitted
+      doc("bp1", n.trim + " yy"),         // near-copy of bfresh, but bfresh < bp1
+      doc("bp2", n.trim + " yy ww")       // near bp1/bfresh too -> dominated
+    ).toDS()
+    val out = Dedup.minhashIncrement(corpus, batch, n = 2, threshold = 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("hit_corpus"), r.getAs[Long]("dup_in_batch"), r.getAs[Long]("admitted"))))
+      .toMap
+    assert(out("ba") == ((1L, 0L, 0L)), s"$out")
+    assert(out("bfresh") == ((0L, 0L, 1L)), s"$out")
+    assert(out("bp1") == ((0L, 1L, 0L)), s"$out")   // dominated by bfresh
+    assert(out("bp2") == ((0L, 1L, 0L)), s"$out")
+  }
+
   test("SemDeDup: within-cell upper-triangular drop, cross-cell near-dups survive") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),   // cell 0 (chain head, kept)
