@@ -103,6 +103,19 @@ object CurationQueries {
       Curation.urlDedup(pages, "url", "doc_id").orderBy("canon_url")
     }),
 
+    // crawl-frontier politeness scheduling: 400 planted URLs over 17 hosts
+    // (mixed-case spellings, a kept non-default port — canonicalization is
+    // in the scheduled path), planted per-URL priority; at most 5 fetches
+    // per host per wave, priority-descending, canonical-URL tie-break —
+    // every (wave, slot) assignment hash-checked
+    "q_web_frontier" -> ((s, d) => {
+      val urls = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+        .select(concat(lit("HTTP://Site"), (col("doc_id") % 17).cast("string"),
+            lit(".example:8080/p/"), col("doc_id").cast("string")).as("url"),
+          ((col("doc_id") * 37) % 101).cast("long").as("priority"))
+      Curation.frontierSchedule(urls, perWave = 5).orderBy("canon_url")
+    }),
+
     // DSIR importance weights: target = the doc_id%7==0 slice (planted
     // target-domain suffix, which doc_id%7==1 docs share — those must
     // score target-like without being in the target set).
@@ -287,6 +300,26 @@ object CurationQueries {
         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
         |       CAST(min(doc_id) AS BIGINT) AS survivor_id
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // frontier scheduling: the canonical form is recomputed from the
+    // synthesis formula (canonicalUrl's regex chain is pinned by
+    // q_url_dedup); the window replays (priority DESC, canon_url) ranks
+    // and the wave/slot integer arithmetic
+    "q_web_frontier" ->
+      """WITH u AS (
+        |  SELECT 'http://site' || CAST(doc_id % 17 AS VARCHAR) || '.example:8080/p/'
+        |           || CAST(doc_id AS VARCHAR) AS canon_url,
+        |         'site' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host,
+        |         CAST((doc_id * 37) % 101 AS BIGINT) AS priority
+        |  FROM documents WHERE doc_id < 400
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, canon_url) - 1 AS rn
+        |  FROM u
+        |)
+        |SELECT canon_url, host, priority,
+        |       CAST(rn // 5 AS BIGINT) AS wave, CAST(rn % 5 AS BIGINT) AS slot
+        |FROM r ORDER BY canon_url""".stripMargin,
 
     "q_dsir_weights" ->
       s"""$dsirCte

@@ -113,6 +113,39 @@ object Curation {
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_variants"), min("id").as("survivor_id"))
 
+  /** Crawl-frontier politeness scheduling: give every URL a fetch (wave,
+    * slot) such that each HOST receives at most `perWave` fetches per wave,
+    * higher-priority URLs first (ties: canonical URL, so the schedule is
+    * identical at any cluster size). The scheduling half of the crawl loop
+    * whose selection half is the domain-authority rank (`q_web_authority`):
+    * rank decides WHAT to fetch next, this decides WHEN without hammering
+    * any single host. URLs that don't canonicalize (relative, mailto:) are
+    * dropped, like every canonicalUrl consumer.
+    *
+    * Scale shape: one hash exchange on `host`; the per-host window sort is
+    * bounded by a single host's own frontier — politeness scheduling is
+    * per-host BY DEFINITION, so no global ordering exists to pay for (and a
+    * pathological mega-host is exactly the input that should be re-sharded
+    * upstream by crawl budget, not sorted harder here).
+    *
+    * Output: (canon_url, host, priority, wave, slot). */
+  def frontierSchedule(urls: DataFrame, perWave: Int,
+                       urlCol: String = "url",
+                       prioCol: String = "priority"): DataFrame = {
+    require(perWave > 0, s"perWave must be positive, got $perWave")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col(prioCol).desc, col("canon_url"))
+    urls
+      .select(canonicalUrl(col(urlCol)).as("canon_url"),
+        col(prioCol).cast("long").as(prioCol))
+      .filter(col("canon_url").isNotNull)
+      .withColumn("host", regexp_extract(col("canon_url"), HostRe, 1))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .select(col("canon_url"), col("host"), col(prioCol),
+        floor(col("rn") / perWave).cast("long").as("wave"),
+        (col("rn") % perWave).as("slot"))
+  }
+
   // ======================================= DSIR importance weighting
 
   /** Doc-local hashed token counts: (docid, bucket, cnt). Counting happens

@@ -7,6 +7,28 @@ import graft.operators.Curation
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("frontierSchedule: per-host waves, priority order, canonicalized input, relatives dropped") {
+    val urls = Seq(
+      ("http://a.example/p1", 5L), ("http://a.example/p2", 9L),
+      ("http://a.example/p3", 9L), ("http://a.example/p4", 1L),
+      ("HTTP://A.example:80/p5", 7L),  // canonicalizes into host a.example
+      ("http://b.example/q1", 3L),
+      ("/relative", 9L)               // no host -> dropped
+    ).toDF("url", "priority")
+    val rows = Curation.frontierSchedule(urls, perWave = 2).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    // a.example by (priority desc, url): p2(9), p3(9), p5(7), p1(5), p4(1)
+    assert(rows("http://a.example/p2") == (("a.example", 0L, 0L)))
+    assert(rows("http://a.example/p3") == (("a.example", 0L, 1L)))
+    assert(rows("http://a.example/p5") == (("a.example", 1L, 0L)))
+    assert(rows("http://a.example/p1") == (("a.example", 1L, 1L)))
+    assert(rows("http://a.example/p4") == (("a.example", 2L, 0L)))
+    assert(rows("http://b.example/q1") == (("b.example", 0L, 0L)))
+    assert(rows.size == 6)
+    intercept[IllegalArgumentException] { Curation.frontierSchedule(urls, 0) }
+  }
+
   // --------------------------------------------------- canonicalUrl
 
   private def canonOf(urls: String*): Seq[Option[String]] =
