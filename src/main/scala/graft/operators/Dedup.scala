@@ -129,33 +129,52 @@ object Dedup {
   }
 
   /** Doc-local MinHash signatures over n-gram shingles (numHashes values). */
+  /** MinHash signature of ONE token sequence, or null when it has no
+    * shingles — the doc-local core shared by the batch operators and the
+    * streaming admission pre-filter. ONE string pass per shingle; the i-th
+    * hash function is a full murmur-style finalizer over (base, i) — the
+    * standard one-hash-many-mixes minhash recipe. (The round-2 version
+    * re-hashed the shingle STRING per function — 64 passes per shingle —
+    * which at corpus scale multiplies tokenizer-output bandwidth by
+    * numHashes.) */
+  private[graft] def signatureOf(terms: Array[String], n: Int,
+                                 numHashes: Int, seed: Long): Array[Long] = {
+    val sh = shingleSet(terms, n)
+    if (sh.isEmpty) null
+    else {
+      val sig = new Array[Long](numHashes)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      sh.foreach { s =>
+        val base = h64(s, seed)
+        var i = 0
+        while (i < numHashes) {
+          var v = base ^ (i.toLong * 0x9e3779b97f4a7c15L)
+          v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+          v ^= v >>> 29; v *= 0xc4ceb9fe1a85ec53L
+          v ^= v >>> 32
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** Banded FNV keys of ONE signature: (band, bucket) per band. */
+  private[graft] def bandKeysOf(sig: Array[Long], bands: Int): Array[(Int, Long)] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+      (b, h)
+    }
+  }
+
   def minhashSignatures(td: Dataset[TokDoc], n: Int, numHashes: Int, seed: Long): DataFrame = {
     import td.sparkSession.implicits._
     td.mapPartitions(_.flatMap { d =>
-      val sh = shingleSet(d.terms, n)
-      if (sh.isEmpty) None
-      else {
-        val sig = new Array[Long](numHashes)
-        java.util.Arrays.fill(sig, Long.MaxValue)
-        sh.foreach { s =>
-          // ONE string pass per shingle; the i-th hash function is a full
-          // murmur-style finalizer over (base, i) — the standard one-hash-
-          // many-mixes minhash recipe. The round-2 version re-hashed the
-          // shingle STRING per function (64 passes per shingle), which at
-          // corpus scale multiplies tokenizer-output bandwidth by numHashes.
-          val base = h64(s, seed)
-          var i = 0
-          while (i < numHashes) {
-            var v = base ^ (i.toLong * 0x9e3779b97f4a7c15L)
-            v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
-            v ^= v >>> 29; v *= 0xc4ceb9fe1a85ec53L
-            v ^= v >>> 32
-            if (v < sig(i)) sig(i) = v
-            i += 1
-          }
-        }
-        Some((d.docid, sig.toSeq))
-      }
+      Option(signatureOf(d.terms, n, numHashes, seed)).map(sig => (d.docid, sig.toSeq))
     }).toDF("docid", "sig")
   }
 
@@ -169,16 +188,11 @@ object Dedup {
     import td.sparkSession.implicits._
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val rows = numHashes / bands
-    minhashSignatures(td, n, numHashes, seed)
-      .as[(String, Seq[Long])].flatMap { case (docid, sig) =>
-        (0 until bands).iterator.map { b =>
-          var h = 0xcbf29ce484222325L ^ b
-          var i = b * rows
-          while (i < (b + 1) * rows) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
-          (b, h, docid)
-        }
-      }.toDF("band", "bucket", "docid")
+    td.mapPartitions(_.flatMap { d =>
+      Option(signatureOf(d.terms, n, numHashes, seed)).toSeq.flatMap { sig =>
+        bandKeysOf(sig, bands).iterator.map { case (b, h) => (b, h, d.docid) }
+      }
+    }).toDF("band", "bucket", "docid")
   }
 
   /** MinHash + LSH banding: signatures → (band, bucket) keys → candidate

@@ -120,6 +120,46 @@ object StreamingOps {
       .filter(col("margin_q") >= minMarginQ)
   }
 
+  /** Streaming crawl-ADMISSION pre-filter against a STATIC corpus MinHash
+    * band index (the batch-maintained [[graft.operators.Dedup.minhashBands]]
+    * table, parquet on disk and appended as batches are admitted): every
+    * incoming doc computes its band keys doc-locally (stateless — the same
+    * signatureOf/bandKeysOf core the batch index builder uses), and a doc
+    * is FLAGGED the moment ANY band hits a corpus bucket (stream-static
+    * left-semi join; Spark re-plans the static side per microbatch, so
+    * index appends are visible without restarting the query). Emits the
+    * flagged stream, one row per flagged doc per watermark horizon.
+    *
+    * Band hits are LSH candidates, NOT verified near-dups — conservative
+    * by design: the flagged slice routes to the batch verifier
+    * ([[graft.operators.Dedup.minhashIncrement]]) for exact Jaccard, and
+    * the admitted complement is a batch anti-join against this flag table,
+    * where the doc-level ALL-bands-miss rule is a plain aggregation
+    * instead of an append-mode-illegal streaming one. Same stream/batch
+    * division of labor as nearDedupStream's exact-signature matching. */
+  def admissionFlagStream(docs: Dataset[TimedDoc], corpusIndex: DataFrame,
+                          n: Int = 2, numHashes: Int = 64, bands: Int = 16,
+                          seed: Long = 42L, stopwords: Set[String] = Set.empty,
+                          watermark: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val banded = docs.mapPartitions { it =>
+      it.flatMap { d =>
+        val terms = Tokenize.tokensOf(d.content, stopwords)
+        val sig = graft.operators.Dedup.signatureOf(terms, n, numHashes, seed)
+        if (sig == null) Iterator.empty
+        else graft.operators.Dedup.bandKeysOf(sig, bands).iterator
+          .map { case (b, h) => (d.ts, d.repo, d.path, b, h) }
+      }
+    }.toDF("ts", "repo", "path", "band", "bucket")
+    banded
+      .join(corpusIndex.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("repo", "path"))
+      .select("ts", "repo", "path")
+  }
+
   /** Streaming NEAR-dup dedup: drop any document whose 64-bit SimHash
     * signature was already seen within the watermark horizon. Signature
     * computation is stateless and doc-local (tokenize + simhash in one

@@ -90,6 +90,39 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming admission pre-filter: corpus band hits flagged once, parity with batch candidates") {
+    implicit val sql = spark.sqlContext
+    val a = ("alpha beta gamma delta eps zeta eta theta iota kappa lambda mu " * 4).trim
+    val corpus = Seq(
+      TokDoc("corp0", a.split(" ")),
+      TokDoc("corp1", ("red green blue cyan magenta yellow black white grey pink " * 4).trim.split(" "))
+    ).toDS()
+    val index = graft.operators.Dedup.minhashBands(corpus, n = 2)
+    val stream = MemoryStream[StreamingOps.TimedDoc]
+    val out = StreamingOps.admissionFlagStream(stream.toDS(), index, n = 2)
+    val query = out.writeStream.format("memory").queryName("admission_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val batch = Seq(
+        StreamingOps.TimedDoc(t(0), "r", "near", a + " zz"), // near-copy of corp0 -> flagged
+        StreamingOps.TimedDoc(t(1), "r", "fresh",
+          ("one two three four five six seven eight nine ten eleven twelve " * 4).trim),
+        StreamingOps.TimedDoc(t(2), "r", "tokenfree", ":-)")) // no shingles -> never flagged
+      stream.addData(batch: _*)
+      query.processAllAvailable()
+      val flagged = spark.table("admission_stream").select("path").as[String].collect().toSet
+      assert(flagged == Set("near"), s"flagged=$flagged")
+      // parity: exactly the docs whose BATCH band keys intersect the index
+      val batchTd = batch.map(d =>
+        TokDoc(d.path, graft.operators.Tokenize.tokensOf(d.content, Set.empty))).toDS()
+      val expected = graft.operators.Dedup.minhashBands(batchTd, n = 2)
+        .join(index.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
+        .select("docid").as[String].collect().toSet
+      assert(flagged == expected, s"stream=$flagged batch=$expected")
+    } finally query.stop()
+  }
+
   test("streaming URL dedup: canonical variants collapse, relative links dropped") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, String)]
