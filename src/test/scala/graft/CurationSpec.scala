@@ -29,6 +29,14 @@ class CurationSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Curation.frontierSchedule(urls, 0) }
   }
 
+  test("frontierSchedule plan: one hash exchange (the host window), no range partitioning") {
+    val urls = Seq(("http://a.example/p1", 5L)).toDF("url", "priority")
+    val plan = Curation.frontierSchedule(urls, perWave = 2)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   // --------------------------------------------------- canonicalUrl
 
   private def canonOf(urls: String*): Seq[Option[String]] =

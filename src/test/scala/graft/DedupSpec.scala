@@ -178,6 +178,16 @@ class DedupSpec extends SparkTestBase {
     assert(expected.size >= 20, s"fixture degenerate: only ${expected.size} same-cell planted copies")
   }
 
+  test("SemDeDup plan: no range partitioning and no global sort in the drop pipeline") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plan = Dedup.semanticDedup(emb, Array(Array(1.0, 0.0), Array(0.0, 1.0)), 9900L)
+      .queryExecution.executedPlan.toString
+    // cell assignment is doc-local (plan-literal centroids); the only
+    // exchanges are the cell-keyed pair join and the node-sized
+    // dominated-id distinct/join — never a sort-based repartition
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   /** 200 seeded random 32-d vectors + planted near-dup copies of 40 of them
     * (small deterministic perturbation, cosine ≈ 0.999). */
   private lazy val plantedEmb = {
