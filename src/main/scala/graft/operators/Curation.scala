@@ -128,6 +128,11 @@ object Curation {
     * pathological mega-host is exactly the input that should be re-sharded
     * upstream by crawl budget, not sorted harder here).
     *
+    * Priorities are integer-lattice BY CONTRACT (the repo's cross-engine
+    * convention — e.g. the pageRank rank_q or a quantized score): the
+    * column is cast to LONG, so fractional priorities must be quantized
+    * upstream or their sub-integer ordering is deliberately not honored.
+    *
     * Output: (canon_url, host, priority, wave, slot). */
   def frontierSchedule(urls: DataFrame, perWave: Int,
                        urlCol: String = "url",

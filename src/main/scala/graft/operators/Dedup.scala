@@ -808,6 +808,9 @@ object Dedup {
     * never shuffle twice. Returns one row per doc: (vec_id, cell, kept). */
   def semanticDedup(emb: DataFrame, centers: Array[Array[Double]],
                     tauE4: Long): DataFrame = {
+    // an empty cluster table would silently assign NULL cells (element_at
+    // on an empty sorted array) and drop nothing — fail loudly instead
+    require(centers.nonEmpty, "semanticDedup needs a non-empty cluster table")
     graft.GraftFunctions.ensureRegistered(emb.sparkSession)
     val cells = emb.select(col("vec_id"), Similarity.asDouble("embedding").as("e"))
       .withColumn("cell", element_at(Similarity.nearestCells(centers, col("e"), 1), 1))
