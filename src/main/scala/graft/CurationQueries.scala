@@ -116,6 +116,19 @@ object CurationQueries {
       Curation.frontierSchedule(urls, perWave = 5).orderBy("canon_url")
     }),
 
+    // crawl-budget apportionment: 29 planted hosts with quadratic-residue
+    // weights ((h*h) % 97 — varied, one zero-weight host), budget 10007
+    // (prime, so remainders are nontrivial); floor shares, remainders, and
+    // the top-K bonus all replay exactly — and sum(budget) == 10007 is
+    // implied by the hash
+    "q_web_budget" -> ((s, d) => {
+      val hosts = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 290)
+        .select((col("doc_id") % 29).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"), lit(".example")).as("host"),
+          ((col("h") * col("h")) % 97).cast("long").as("w"))
+      Curation.crawlBudget(hosts, 10007L).orderBy("host")
+    }),
+
     // DSIR importance weights: target = the doc_id%7==0 slice (planted
     // target-domain suffix, which doc_id%7==1 docs share — those must
     // score target-like without being in the target set).
@@ -320,6 +333,26 @@ object CurationQueries {
         |SELECT canon_url, host, priority,
         |       CAST(rn // 5 AS BIGINT) AS wave, CAST(rn % 5 AS BIGINT) AS slot
         |FROM r ORDER BY canon_url""".stripMargin,
+
+    // largest-remainder apportionment in HUGEINT (exact // and %): floor
+    // shares, remainder rank (rem DESC, host), top-K bonus
+    "q_web_budget" ->
+      """WITH hosts AS (
+        |  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+        |         CAST((h * h) % 97 AS BIGINT) AS w
+        |  FROM (SELECT DISTINCT doc_id % 29 AS h FROM documents WHERE doc_id < 290)
+        |),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM hosts),
+        |base AS (
+        |  SELECT host, w,
+        |         CAST((CAST(w AS HUGEINT) * 10007) // wt AS BIGINT) AS fl,
+        |         CAST((CAST(w AS HUGEINT) * 10007) % wt AS BIGINT) AS rem
+        |  FROM hosts CROSS JOIN tot
+        |),
+        |k AS (SELECT 10007 - CAST(sum(fl) AS BIGINT) AS kk FROM base),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM base)
+        |SELECT host, w, CAST(fl + CASE WHEN rn <= kk THEN 1 ELSE 0 END AS BIGINT) AS budget
+        |FROM r CROSS JOIN k ORDER BY host""".stripMargin,
 
     "q_dsir_weights" ->
       s"""$dsirCte

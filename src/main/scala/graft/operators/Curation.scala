@@ -151,6 +151,50 @@ object Curation {
         (col("rn") % perWave).as("slot"))
   }
 
+  /** Authority-proportional crawl-budget apportionment (the
+    * largest-remainder / Hamilton method — the classic exact way to split
+    * an integer total by weights): give host h
+    * floor(B·w_h / W) fetches, then hand the K = B − Σfloor leftover
+    * fetches to the K largest remainders (ties: host ascending). The sum
+    * is EXACTLY B by construction and every quantity is BIGINT, so the
+    * allocation is identical at any cluster size and the oracle replays it
+    * bit-for-bit. Weights are integer-lattice by contract (the pageRank
+    * rank of q_web_authority, a quantized priority, page counts, …).
+    *
+    * Scale shape: the host frame is domain-sized — the same
+    * broadcast-scale frame the mixture/authority operators work over — so
+    * the two one-row aggregations (W and Σfloor) and the remainder-rank
+    * window are all host-bounded; corpus-scale data never enters.
+    * Overflow is guarded up front: B·max(w) must fit a LONG (quantize
+    * weights coarser otherwise — same envelope contract as pageRank).
+    *
+    * Output: (host, w, budget) with Σbudget == B. */
+  def crawlBudget(hostWeights: DataFrame, totalBudget: Long,
+                  hostCol: String = "host", wCol: String = "w"): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    val base0 = hostWeights.select(col(hostCol).as("host"), col(wCol).cast("long").as("w"))
+    val stats = base0.agg(sum(col("w")).as("wt"), max(col("w")).as("mx"),
+      min(col("w")).as("mn")).head()
+    require(!stats.isNullAt(0), "crawlBudget on an empty host frame")
+    val (wt, mx, mn) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(mn >= 0, s"negative weight ($mn) — weights are fetch priorities, not deltas")
+    require(wt > 0, "crawlBudget needs positive total weight")
+    require(mx <= Long.MaxValue / math.max(totalBudget, 1L),
+      s"budget * max weight would overflow LONG (max w = $mx) — quantize weights coarser")
+    val base = base0
+      .withColumn("bw", col("w") * totalBudget)
+      .withColumn("fl", expr(s"bw div $wt"))
+      .withColumn("rem", col("bw") % wt)
+    val k = totalBudget - base.agg(sum(col("fl"))).head().getLong(0)
+    // remainder rank: a window over the DOMAIN-sized host frame (documented
+    // above) — K < #hosts-with-remainder, so only rem>0 rows ever get +1
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("host").asc)
+    base.withColumn("rn", row_number().over(wnd))
+      .select(col("host"), col("w"),
+        (col("fl") + when(col("rn") <= k, 1L).otherwise(0L)).as("budget"))
+  }
+
   // ======================================= DSIR importance weighting
 
   /** Doc-local hashed token counts: (docid, bucket, cnt). Counting happens

@@ -37,6 +37,29 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("crawlBudget: hand-checked largest-remainder apportionment, ties on host, exact sum") {
+    val hosts = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("d", 1L), ("e", 0L)).toDF("host", "w")
+    // W=10, B=11: floors 3,3,3,1,0 (sum 10), K=1; remainders 3,3,3,1,0 —
+    // tie among a/b/c breaks on host asc, so a alone gets the bonus
+    val out = Curation.crawlBudget(hosts, 11L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+    assert(out == Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 1L, "e" -> 0L), s"$out")
+    assert(out.values.sum == 11L)
+    // exact-sum property on an uglier split
+    val out2 = Curation.crawlBudget(hosts, 10007L).collect().map(_.getAs[Long]("budget"))
+    assert(out2.sum == 10007L)
+    // loud guards: negative weight, zero total weight, overflow envelope
+    intercept[IllegalArgumentException] {
+      Curation.crawlBudget(Seq(("x", -1L)).toDF("host", "w"), 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.crawlBudget(Seq(("x", 0L)).toDF("host", "w"), 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.crawlBudget(Seq(("x", Long.MaxValue / 2)).toDF("host", "w"), 1000L)
+    }
+  }
+
   // --------------------------------------------------- canonicalUrl
 
   private def canonOf(urls: String*): Seq[Option[String]] =
