@@ -129,6 +129,35 @@ object CurationQueries {
       Curation.crawlBudget(hosts, 10007L).orderBy("host")
     }),
 
+    // robots-style gating: planted per-host rule sets exercising every
+    // RFC 9309 longest-match arm — a global '/private' disallow, a LONGER
+    // '/private/pub' allow on even hosts, an equal-length allow/disallow
+    // tie ('/x' on h%5==0, allow wins), a block-all '' disallow on h%3==0
+    // (overridden by any longer match), and the no-rule default (allowed,
+    // rule_len -1); every decision + audit column hash-checked
+    "q_web_robots" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+      val hcol = col("doc_id") % 29
+      val urls = docs.select(concat(
+        lit("http://site"), hcol.cast("string"), lit(".example"),
+        when(col("doc_id") % 4 === 0, concat(lit("/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1, concat(lit("/private/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2, concat(lit("/private/pub/"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/x"), col("doc_id").cast("string")))).as("url"))
+      val hosts = docs.select(hcol.as("h")).distinct()
+        .select(col("h"),
+          concat(lit("site"), col("h").cast("string"), lit(".example")).as("host"))
+      def arm(cond: org.apache.spark.sql.Column, prefix: String, allow: Int) =
+        hosts.filter(cond).select(col("host"),
+          lit(prefix).as("prefix"), lit(allow).as("allow"))
+      val rules = arm(lit(true), "/private", 0)
+        .unionByName(arm(col("h") % 2 === 0, "/private/pub", 1))
+        .unionByName(arm(col("h") % 5 === 0, "/x", 1))
+        .unionByName(arm(col("h") % 5 === 0, "/x", 0))
+        .unionByName(arm(col("h") % 3 === 0, "", 0))
+      Curation.robotsGate(urls, rules).orderBy("canon_url")
+    }),
+
     // DSIR importance weights: target = the doc_id%7==0 slice (planted
     // target-domain suffix, which doc_id%7==1 docs share — those must
     // score target-like without being in the target set).
@@ -353,6 +382,47 @@ object CurationQueries {
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM base)
         |SELECT host, w, CAST(fl + CASE WHEN rn <= kk THEN 1 ELSE 0 END AS BIGINT) AS budget
         |FROM r CROSS JOIN k ORDER BY host""".stripMargin,
+
+    // robots gating: relational replay of the longest-match rule — rank a
+    // url's matching rules by (len DESC, allow DESC) and keep the winner;
+    // the engine's array-fold computes the same max over the same total
+    // order, so decisions agree exactly
+    "q_web_robots" ->
+      """WITH hn AS (
+        |  SELECT h, 'site' || CAST(h AS VARCHAR) || '.example' AS host
+        |  FROM (SELECT DISTINCT doc_id % 29 AS h FROM documents WHERE doc_id < 400)
+        |),
+        |rules AS (
+        |  SELECT host, '/private' AS prefix, 0 AS allow FROM hn
+        |  UNION ALL SELECT host, '/private/pub', 1 FROM hn WHERE h % 2 = 0
+        |  UNION ALL SELECT host, '/x', 1 FROM hn WHERE h % 5 = 0
+        |  UNION ALL SELECT host, '/x', 0 FROM hn WHERE h % 5 = 0
+        |  UNION ALL SELECT host, '', 0 FROM hn WHERE h % 3 = 0
+        |),
+        |u AS (
+        |  SELECT 'http://site' || CAST(doc_id % 29 AS VARCHAR) || '.example' || p AS canon_url,
+        |         'site' || CAST(doc_id % 29 AS VARCHAR) || '.example' AS host,
+        |         p AS path
+        |  FROM (
+        |    SELECT doc_id,
+        |           CASE doc_id % 4
+        |             WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |             WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |             WHEN 2 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+        |             ELSE '/x' || CAST(doc_id AS VARCHAR) END AS p
+        |    FROM documents WHERE doc_id < 400)
+        |),
+        |m AS (
+        |  SELECT u.canon_url, r.prefix, r.allow,
+        |         row_number() OVER (PARTITION BY u.canon_url
+        |                            ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+        |  FROM u JOIN rules r ON r.host = u.host AND starts_with(u.path, r.prefix)
+        |)
+        |SELECT u.canon_url, u.host, u.path,
+        |       CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed,
+        |       CAST(COALESCE(len(m.prefix), -1) AS BIGINT) AS rule_len
+        |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.canon_url = u.canon_url
+        |ORDER BY u.canon_url""".stripMargin,
 
     "q_dsir_weights" ->
       s"""$dsirCte

@@ -195,6 +195,53 @@ object Curation {
         (col("fl") + when(col("rn") <= k, 1L).otherwise(0L)).as("budget"))
   }
 
+  /** Robots-style path gating (RFC 9309 §2.2.2 longest-match semantics,
+    * literal-prefix rules): a URL is governed by its host's longest
+    * matching rule prefix; an allow and a disallow of EQUAL length tie in
+    * favor of allow; a URL matching no rule is allowed. Wildcard (`*`,
+    * `$`) rules are out of scope BY DESIGN — literal prefixes are the
+    * overwhelmingly common case and the seam for a regex swap is one
+    * predicate. Gating runs on CANONICAL urls (case, ports, trackers,
+    * trailing slashes — [[canonicalUrl]]), so rule prefixes must be
+    * canonical too; uncanonicalizable urls are dropped like every other
+    * canonicalUrl consumer.
+    *
+    * `rules`: (host, prefix, allow) with allow in {0, 1}.
+    *
+    * Scale shape: the rule table is per-host-small and domain-sized in
+    * total → grouped to one array row per host and BROADCAST onto the URL
+    * stream; the longest-match scan is a doc-local higher-order aggregate
+    * over that array (whole-stage codegen, zero shuffle on the URL side).
+    *
+    * Output: (canon_url, host, path, allowed, rule_len) — rule_len is the
+    * matched prefix length (-1 = no rule matched), the audit column. */
+  def robotsGate(urls: DataFrame, rules: DataFrame,
+                 urlCol: String = "url"): DataFrame = {
+    val withHost = urls.select(canonicalUrl(col(urlCol)).as("canon_url"))
+      .filter(col("canon_url").isNotNull)
+      .withColumn("host", regexp_extract(col("canon_url"), HostRe, 1))
+      .withColumn("path", regexp_extract(col("canon_url"), PathRe, 1))
+    val ruleSets = rules
+      .select(col("host"), col("prefix"), col("allow").cast("int").as("allow"))
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+    withHost.join(broadcast(ruleSets), Seq("host"), "left")
+      .withColumn("best", aggregate(
+        filter(coalesce(col("rules"), array()),
+          r => col("path").startsWith(r.getField("prefix"))),
+        struct(lit(-1).as("len"), lit(1).as("allow")), // no match -> allowed
+        (acc, r) => {
+          val l = length(r.getField("prefix"))
+          val a = r.getField("allow")
+          when(l > acc.getField("len") ||
+               (l === acc.getField("len") && a > acc.getField("allow")),
+            struct(l.as("len"), a.as("allow"))).otherwise(acc)
+        }))
+      .select(col("canon_url"), col("host"), col("path"),
+        col("best").getField("allow").cast("long").as("allowed"),
+        col("best").getField("len").cast("long").as("rule_len"))
+  }
+
   // ======================================= DSIR importance weighting
 
   /** Doc-local hashed token counts: (docid, bucket, cnt). Counting happens

@@ -60,6 +60,31 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("robotsGate: longest match wins, equal-length tie favors allow, no-rule default allows") {
+    val rules = Seq(
+      ("a.example", "/private", 0),
+      ("a.example", "/private/pub", 1),
+      ("a.example", "/x", 1), ("a.example", "/x", 0), // equal-length tie -> allow
+      ("b.example", "", 0)                            // block-all
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      "http://a.example/private/secret", // /private disallow
+      "http://a.example/private/pub/ok", // longer allow wins
+      "http://a.example/x1",             // tie -> allow
+      "http://a.example/free",           // no rule -> allowed, rule_len -1
+      "http://b.example/anything",       // '' disallow
+      "/relative"                        // dropped
+    ).toDF("url")
+    val out = Curation.robotsGate(urls, rules).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("allowed"), r.getAs[Long]("rule_len")))).toMap
+    assert(out("http://a.example/private/secret") == ((0L, 8L)), s"$out")
+    assert(out("http://a.example/private/pub/ok") == ((1L, 12L)), s"$out")
+    assert(out("http://a.example/x1") == ((1L, 2L)), s"$out")
+    assert(out("http://a.example/free") == ((1L, -1L)), s"$out")
+    assert(out("http://b.example/anything") == ((0L, 0L)), s"$out")
+    assert(out.size == 5)
+  }
+
   // --------------------------------------------------- canonicalUrl
 
   private def canonOf(urls: String*): Seq[Option[String]] =
