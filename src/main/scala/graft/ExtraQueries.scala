@@ -610,6 +610,13 @@ object ExtraQueries {
         .orderBy("docid")
     }),
 
+    // one-pass dataset card: ROLLUP(lang, size-bucket) — the three-level
+    // composition summary in one shuffle (Expand + single exchange); doc
+    // counts, char/token mass, and the distinct-sha duplication signal per
+    // cell, all hash-checked against DuckDB's own ROLLUP
+    "q_dataset_card" -> ((s, d) =>
+      TextStats.datasetCard(docs(s, d)).orderBy("lang", "bucket")),
+
     // Unicode NFC normalization (native codegen'd expression): planted
     // decomposed combining sequences (e + U+0301, A + U+030A, o + U+0308)
     // plus a precomposed é compose to NFC; every fifth doc stays pure ASCII
@@ -2149,6 +2156,28 @@ object ExtraQueries {
         |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, hkey
         |FROM r WHERE rnk <= 7
         |ORDER BY lang, rnk""".stripMargin,
+
+    // dataset card: DuckDB's own ROLLUP over the same derived columns —
+    // both engines compute all three grouping levels from one input
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CASE WHEN length(text) < 200 THEN 'short'
+        |              WHEN length(text) < 1000 THEN 'medium'
+        |              ELSE 'long' END AS bucket,
+        |         sha256(text) AS sha,
+        |         length(text) AS nc,
+        |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |             x -> x <> '')) AS ntok
+        |  FROM documents
+        |)
+        |SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(bucket, 'ALL') AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nc) AS BIGINT) AS n_chars,
+        |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct
+        |FROM d GROUP BY ROLLUP(lang, bucket)
+        |ORDER BY lang, bucket""".stripMargin,
 
     // NFC normalization: the same decomposed plant via chr() codepoints
     // (769 = U+0301, 778 = U+030A, 776 = U+0308, 233 = precomposed é),

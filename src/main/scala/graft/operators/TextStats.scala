@@ -544,6 +544,34 @@ object TextStats {
       .withColumn("content", cleaned)
   }
 
+  /** One-pass dataset card — the first question asked of any corpus
+    * ("what's in it?") at three granularities in ONE shuffle: per
+    * (lang, size bucket), per lang, and the grand total, via ROLLUP.
+    * Catalyst's Expand fans each row into its grouping sets BEFORE the
+    * single exchange and partial aggregation still combines map-side — so
+    * the three-level card costs one corpus pass where three groupBys would
+    * cost three (at 100 TB, the difference between a dashboard refresh and
+    * an afternoon). n_distinct (distinct content shas) rides along as the
+    * duplication signal. Rollup-null grouping keys render as 'ALL'. */
+  def datasetCard(docs: Dataset[CodeDoc]): DataFrame = {
+    val sized = docs.toDF()
+      .withColumn("bucket",
+        when(length(col("content")) < 200, "short")
+          .when(length(col("content")) < 1000, "medium")
+          .otherwise("long"))
+      .withColumn("sha", sha2(col("content"), 256))
+      .withColumn("ntok",
+        size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= "")))
+    sized.rollup(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("content"))).cast("long").as("n_chars"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        countDistinct(col("sha")).as("n_distinct"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("bucket"), lit("ALL")).as("bucket"),
+        col("n_docs"), col("n_chars"), col("n_tokens"), col("n_distinct"))
+  }
+
   /** Unicode NFC normalization of `content` — the curation front door's
     * hash invariant: two crawls of the same page that differ only in
     * normalization form (U+00E9 vs U+0065 U+0301) must hash identically or

@@ -133,6 +133,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.langId(td("der the")).head().getString(1) == "de")
   }
 
+  test("datasetCard: three rollup levels from one pass, duplication signal counts distinct shas") {
+    val docs = Seq(
+      CodeDoc("r", "p1", "c", "en", "aa bb"),
+      CodeDoc("r", "p2", "c", "en", "aa bb"),          // exact dup -> n_distinct 1
+      CodeDoc("r", "p3", "c", "de", "x" * 250)).toDS() // medium bucket
+    val card = TextStats.datasetCard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct")))).toMap
+    assert(card(("en", "short")) == ((2L, 10L, 4L, 1L)), s"$card")
+    assert(card(("de", "medium")) == ((1L, 250L, 1L, 1L)), s"$card")
+    assert(card(("en", "ALL")) == ((2L, 10L, 4L, 1L)))
+    assert(card(("ALL", "ALL")) == ((3L, 260L, 5L, 2L)))
+    assert(card.size == 5)
+    // plan: ONE exchange family from a single Expand — not three scans
+    val plan = TextStats.datasetCard(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
+
   test("NFC normalization: composes decomposed marks; fast paths return the input OBJECT") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.NfcNormalize
