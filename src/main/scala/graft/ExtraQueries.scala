@@ -460,6 +460,18 @@ object ExtraQueries {
         .orderBy("docid")
     }),
 
+    // span-level decontamination EMIT: benchmark docs are planted as token
+    // windows [10, 18) of corpus docs 0..4, so hits are guaranteed (plus
+    // whatever trigrams recur naturally — the oracle recomputes those too);
+    // the excised token stream is sha-pinned per doc
+    "q_decontaminate_spans" -> ((s, d) => {
+      import s.implicits._
+      val corpus = tokdocsUnder(s, d, 200)
+      val bench = tokdocsUnder(s, d, 5)
+        .map(t => TokDoc("b" + t.docid, t.terms.slice(10, 18)))
+      TextStats.decontaminateSpans(corpus, bench, 3).orderBy("docid")
+    }),
+
     // mixture EMIT: the same weights applied — per-doc epoch copies via the
     // deterministic 16-bit coin; the resampled corpus itself, zero shuffle
     "q_mix_apply" -> ((s, d) => {
@@ -1792,6 +1804,57 @@ object ExtraQueries {
         |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
         |       max_jac_e4
         |FROM mets""".stripMargin,
+
+    // span decontamination: positions are 1-based here vs 0-based in the
+    // engine (internal only — the kept stream and span counts are what
+    // compare); coverage intervals, gap-merged span counting, and the
+    // sha256 of the excised stream all replay
+    "q_decontaminate_spans" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |bt AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')[11:18] AS barr
+        |  FROM documents WHERE doc_id < 5
+        |),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(barr) - 2),
+        |         i -> barr[i] || ' ' || barr[i+1] || ' ' || barr[i+2])) AS shingle
+        |  FROM bt WHERE len(barr) >= 3
+        |),
+        |g AS (
+        |  SELECT docid, i AS pos, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+        |  FROM (SELECT docid, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+        |        FROM t WHERE len(arr) >= 3)
+        |),
+        |h AS (
+        |  SELECT g.docid, list_sort(list(g.pos)) AS ps
+        |  FROM g JOIN bsh USING (shingle) GROUP BY g.docid
+        |),
+        |f AS (
+        |  SELECT t.docid, t.arr, h.ps,
+        |         CASE WHEN h.ps IS NULL THEN NULL
+        |              ELSE list_distinct(flatten(list_transform(h.ps, p -> generate_series(p, p + 2))))
+        |         END AS cov
+        |  FROM t LEFT JOIN h ON h.docid = t.docid
+        |),
+        |k AS (
+        |  SELECT docid, arr, ps,
+        |         CASE WHEN cov IS NULL THEN arr
+        |              ELSE list_transform(list_filter(generate_series(1, len(arr)),
+        |                     i -> NOT list_contains(cov, i)), i -> arr[i])
+        |         END AS kept
+        |  FROM f
+        |)
+        |SELECT docid, CAST(len(arr) AS BIGINT) AS ntok,
+        |       CAST(len(arr) - len(kept) AS BIGINT) AS removed_tokens,
+        |       CAST(CASE WHEN ps IS NULL THEN 0
+        |            ELSE 1 + len(list_filter(list_transform(generate_series(1, len(ps) - 1),
+        |                   j -> ps[j+1] - ps[j]), d -> d > 3)) END AS BIGINT) AS n_spans,
+        |       sha256(array_to_string(kept, ' ')) AS kept_sha
+        |FROM k ORDER BY docid""".stripMargin,
 
     // incremental near-dup admission: the SAME chain (shared CTE text) over
     // corpus ∪ batch, side derived from the docid prefix (corpus ids are

@@ -208,6 +208,52 @@ object TextStats {
       .filter(col("n_bench_hits") <= maxHits)
   }
 
+  /** Span-level decontamination EMIT — the salvage alternative to
+    * [[decontaminate]]'s drop-the-doc rule: excise exactly the token
+    * positions covered by a benchmark n-gram and keep the rest of the doc
+    * (the standard practice when the contamination is one quoted question
+    * inside an otherwise-good page). Returns one row per corpus doc:
+    * (docid, ntok, removed_tokens, n_spans, kept_sha) — kept_sha is the
+    * sha256 of the space-joined surviving token stream, the byte-level
+    * emit proof the oracle pins.
+    *
+    * Scale shape: corpus grams join the BROADCAST benchmark vocab and only
+    * HIT positions travel (benchmark-bounded, exactly like decontaminate);
+    * span merging and the excision are doc-local over each doc's own
+    * sorted hit list (coverage intervals via the duplicateSpans recipe);
+    * content tokens never shuffle — the kept stream is rebuilt where the
+    * doc's row lives. */
+  def decontaminateSpans(corpus: Dataset[TokDoc], benchmark: Dataset[TokDoc],
+                         n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import corpus.sparkSession.implicits._
+    val benchVocab = Dedup.shingles(benchmark, n).select("shingle").distinct()
+    val grams = corpus.mapPartitions(_.flatMap { d =>
+      if (d.terms.length < n) Iterator.empty
+      else (0 to d.terms.length - n).iterator
+        .map(i => (d.docid, i, d.terms.slice(i, i + n).mkString(" ")))
+    }).toDF("docid", "pos", "shingle")
+    val hits = grams.join(broadcast(benchVocab), Seq("shingle"), "left_semi")
+      .groupBy("docid").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val diffs = zip_with(
+      slice(col("ps"), lit(2), size(col("ps")) - 1),
+      slice(col("ps"), lit(1), size(col("ps")) - 1),
+      (a, b) => a - b)
+    val covered = array_distinct(flatten(
+      transform(col("ps"), p => sequence(p, p + n - 1))))
+    corpus.map(d => (d.docid, d.terms)).toDF("docid", "terms")
+      .join(hits, Seq("docid"), "left")
+      .withColumn("kept",
+        when(col("ps").isNull, col("terms"))
+          .otherwise(filter(col("terms"), (_, i) => !array_contains(covered, i))))
+      .select(col("docid"),
+        size(col("terms")).cast("long").as("ntok"),
+        (size(col("terms")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        when(col("ps").isNull, 0L)
+          .otherwise(lit(1) + size(filter(diffs, x => x > n))).cast("long").as("n_spans"),
+        sha2(concat_ws(" ", col("kept")), 256).as("kept_sha"))
+  }
+
   /** Sequence packing for LLM training (concat-and-chunk): documents are
     * concatenated in docid order into one global token stream and cut into
     * fixed `seqLen` chunks; each doc reports its token interval

@@ -133,6 +133,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.langId(td("der the")).head().getString(1) == "de")
   }
 
+  test("decontaminateSpans: exact excision, gap-merged spans, clean docs byte-identical") {
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq(
+      TokDoc("d1", "a b c d e f g h i j".split(" ")),  // hits at 2 and 7 -> 2 spans
+      TokDoc("d2", "x y z w y z w q".split(" ")),      // hits at 1 and 4, gap 3 <= n -> 1 span
+      TokDoc("d3", "p q r s t".split(" "))).toDS()     // clean
+    val bench = Seq(
+      TokDoc("b1", "c d e".split(" ")),
+      TokDoc("b2", "h i j".split(" ")),
+      TokDoc("b3", "y z w".split(" "))).toDS()
+    val out = TextStats.decontaminateSpans(corpus, bench, 3).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("removed_tokens"),
+        r.getAs[Long]("n_spans"), r.getString(4)))).toMap
+    assert(out("d1") == ((6L, 2L, sha("a b f g"))), s"$out")
+    assert(out("d2") == ((6L, 1L, sha("x q"))), s"$out")
+    assert(out("d3") == ((0L, 0L, sha("p q r s t"))), s"$out")
+  }
+
   test("datasetCard: three rollup levels from one pass, duplication signal counts distinct shas") {
     val docs = Seq(
       CodeDoc("r", "p1", "c", "en", "aa bb"),
