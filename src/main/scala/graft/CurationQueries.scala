@@ -158,6 +158,29 @@ object CurationQueries {
       Curation.robotsGate(urls, rules).orderBy("canon_url")
     }),
 
+    // crawl-plan capstone: the composed loop — authority-weighted budgets
+    // (crawlBudget) cut the politeness-scheduled frontier
+    // (frontierSchedule): a URL is fetched this cycle iff its global
+    // per-host position (wave*perWave + slot) fits inside its host's
+    // budget. Pure composition of two oracled operators; the join and the
+    // cut replay relationally
+    "q_web_crawlplan" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 400)
+      val urls = docs.select(concat(lit("HTTP://Site"), (col("doc_id") % 29).cast("string"),
+          lit(".example:8080/p/"), col("doc_id").cast("string")).as("url"),
+        ((col("doc_id") * 37) % 101).cast("long").as("priority"))
+      val hosts = docs.select((col("doc_id") % 29).as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"), lit(".example")).as("host"),
+          ((col("h") * col("h")) % 97).cast("long").as("w"))
+      val budget = Curation.crawlBudget(hosts, 500L).select(col("host"), col("budget"))
+      Curation.frontierSchedule(urls, perWave = 5)
+        .join(budget, Seq("host"), "left")
+        .select(col("canon_url"), col("host"), col("wave"), col("slot"),
+          when(col("wave") * 5 + col("slot") < coalesce(col("budget"), lit(0L)), 1L)
+            .otherwise(0L).as("selected"))
+        .orderBy("canon_url")
+    }),
+
     // DSIR importance weights: target = the doc_id%7==0 slice (planted
     // target-domain suffix, which doc_id%7==1 docs share — those must
     // score target-like without being in the target set).
@@ -362,6 +385,43 @@ object CurationQueries {
         |SELECT canon_url, host, priority,
         |       CAST(rn // 5 AS BIGINT) AS wave, CAST(rn % 5 AS BIGINT) AS slot
         |FROM r ORDER BY canon_url""".stripMargin,
+
+    // crawl plan: both operator chains replayed, then the budget cut
+    "q_web_crawlplan" ->
+      """WITH hosts AS (
+        |  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+        |         CAST((h * h) % 97 AS BIGINT) AS w
+        |  FROM (SELECT DISTINCT doc_id % 29 AS h FROM documents WHERE doc_id < 400)
+        |),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM hosts),
+        |base AS (
+        |  SELECT host, w,
+        |         CAST((CAST(w AS HUGEINT) * 500) // wt AS BIGINT) AS fl,
+        |         CAST((CAST(w AS HUGEINT) * 500) % wt AS BIGINT) AS rem
+        |  FROM hosts CROSS JOIN tot
+        |),
+        |k AS (SELECT 500 - CAST(sum(fl) AS BIGINT) AS kk FROM base),
+        |bud AS (
+        |  SELECT host, fl + CASE WHEN rn <= kk THEN 1 ELSE 0 END AS budget
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM base)
+        |  CROSS JOIN k
+        |),
+        |u AS (
+        |  SELECT 'http://site' || CAST(doc_id % 29 AS VARCHAR) || '.example:8080/p/'
+        |           || CAST(doc_id AS VARCHAR) AS canon_url,
+        |         'site' || CAST(doc_id % 29 AS VARCHAR) || '.example' AS host,
+        |         CAST((doc_id * 37) % 101 AS BIGINT) AS priority
+        |  FROM documents WHERE doc_id < 400
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, canon_url) - 1 AS rn
+        |  FROM u
+        |)
+        |SELECT r.canon_url, r.host,
+        |       CAST(rn // 5 AS BIGINT) AS wave, CAST(rn % 5 AS BIGINT) AS slot,
+        |       CAST(CASE WHEN rn < COALESCE(bud.budget, 0) THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM r LEFT JOIN bud ON bud.host = r.host
+        |ORDER BY r.canon_url""".stripMargin,
 
     // largest-remainder apportionment in HUGEINT (exact // and %): floor
     // shares, remainder rank (rem DESC, host), top-K bonus
