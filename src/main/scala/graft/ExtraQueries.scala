@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, CodeStats, Dedup, Mixing, Similarity, TextStats, Tokenize}
+import graft.operators.{Bpe, CodeStats, Dedup, Linking, Mixing, Similarity, TextStats, Tokenize}
 
 /** Training-data-pipeline operators registered on the driver contract:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -458,6 +458,23 @@ object ExtraQueries {
         .unionByName(slice(150, 155, "w", " zqy"))
       Dedup.minhashIncrement(corpus, batch, n = 2, threshold = 0.8)
         .orderBy("docid")
+    }),
+
+    // gazetteer entity matching: aliases planted from real corpus token
+    // windows (a 3-gram of doc 0, a 1-gram INSIDE it — suppressed wherever
+    // they overlap, found standalone everywhere else — and a 2-gram of
+    // doc 1); every kept (docid, start, len, entity) row hash-checked,
+    // dominance suppression replayed relationally
+    "q_kg_gazetteer" -> ((s, d) => {
+      import s.implicits._
+      val td = tokdocsUnder(s, d, 200)
+      val t0 = td.filter(col("docid") === "0").head().terms
+      val t1 = td.filter(col("docid") === "1").head().terms
+      val aliases = Seq(
+        ("E_a", t0.slice(5, 8).mkString(" ")),
+        ("E_b", t0.slice(6, 7).mkString(" ")),
+        ("E_c", t1.slice(3, 5).mkString(" "))).toDF("entity", "alias")
+      Linking.gazetteerMentions(td, aliases).orderBy("docid", "start", "entity")
     }),
 
     // span-level decontamination EMIT: benchmark docs are planted as token
@@ -1804,6 +1821,43 @@ object ExtraQueries {
         |       CAST(n_exact - n_found AS BIGINT) AS n_missed,
         |       max_jac_e4
         |FROM mets""".stripMargin,
+
+    // gazetteer matching: positional n-grams per dictionary length, alias
+    // join, NOT EXISTS dominance suppression; 1-based i converts to the
+    // engine's 0-based start
+    "q_kg_gazetteer" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS docid,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |al AS (
+        |  SELECT 'E_a' AS entity, array_to_string(arr[6:8], ' ') AS alias, 3 AS l
+        |  FROM t WHERE docid = '0'
+        |  UNION ALL SELECT 'E_b', arr[7], 1 FROM t WHERE docid = '0'
+        |  UNION ALL SELECT 'E_c', array_to_string(arr[4:5], ' '), 2 FROM t WHERE docid = '1'
+        |),
+        |g AS (
+        |  SELECT docid, i - 1 AS start, l AS len,
+        |         array_to_string(arr[i:i+l-1], ' ') AS gram
+        |  FROM (SELECT docid, arr, l, unnest(generate_series(1, len(arr) - l + 1)) AS i
+        |        FROM t CROSS JOIN (SELECT DISTINCT l FROM al) ll
+        |        WHERE len(arr) >= l)
+        |),
+        |m AS (
+        |  SELECT g.docid, g.start, g.len, al.entity
+        |  FROM g JOIN al ON al.alias = g.gram AND al.l = g.len
+        |),
+        |kept AS (
+        |  SELECT m.* FROM m
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM m o
+        |    WHERE o.docid = m.docid
+        |      AND o.start < m.start + m.len AND m.start < o.start + o.len
+        |      AND (o.start < m.start OR (o.start = m.start AND o.len > m.len)))
+        |)
+        |SELECT docid, CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len, entity
+        |FROM kept ORDER BY docid, start, entity""".stripMargin,
 
     // span decontamination: positions are 1-based here vs 0-based in the
     // engine (internal only — the kept stream and span counts are what

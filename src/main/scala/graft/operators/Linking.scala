@@ -12,6 +12,61 @@ import graft.WsidConfig
   */
 object Linking {
 
+  /** Gazetteer entity matching — multi-token dictionary NER, the mention
+    * DETECTION front of the linking family (T3 detects a single configured
+    * term; this finds occurrences of a whole alias table, "new york city"
+    * included). A match is an exact token-sequence hit of an alias;
+    * overlapping matches resolve by DOMINANCE SUPPRESSION: drop a match if
+    * any other match overlaps it with an earlier start, or the same start
+    * and a longer span — deterministic, order-free, and SQL-expressible
+    * (the conservative cousin of greedy longest-match; the difference only
+    * appears in shadow CHAINS, where this keeps less).
+    *
+    * `aliases`: (entity, alias) with alias a space-joined token string in
+    * the engine's token alphabet (tokenize upstream).
+    *
+    * Scale shape: the alias table is dictionary-sized → BROADCAST twice
+    * (once per gram length for the candidate join, once is a plan
+    * literal of distinct lengths); docs emit positional n-grams ONLY for
+    * the lengths the dictionary actually contains (doc-local flatMap);
+    * suppression self-joins matches per doc — match lists per doc are
+    * small by construction. Content never shuffles; only matches do.
+    *
+    * Output: (docid, start, len, entity), kept matches only. */
+  def gazetteerMentions(td: org.apache.spark.sql.Dataset[graft.TokDoc],
+                        aliases: DataFrame): DataFrame = {
+    import td.sparkSession.implicits._
+    val al = aliases.select(col("entity").cast("string").as("entity"),
+      col("alias").cast("string").as("alias"))
+      .withColumn("len", size(split(col("alias"), " ")))
+    // dictionary-sized collect: the distinct alias lengths drive which
+    // positional n-grams the corpus pass emits
+    val lens = al.select("len").distinct().as[Int].collect().sorted
+    require(lens.nonEmpty && lens.head >= 1, "gazetteer needs non-empty aliases")
+    val grams = td.mapPartitions(_.flatMap { d =>
+      lens.iterator.flatMap { l =>
+        if (d.terms.length < l) Iterator.empty
+        else (0 to d.terms.length - l).iterator
+          .map(i => (d.docid, i, l, d.terms.slice(i, i + l).mkString(" ")))
+      }
+    }).toDF("docid", "start", "len", "alias")
+    val m = grams.join(broadcast(al), Seq("alias", "len"))
+      .select("docid", "start", "len", "entity")
+    val other = m.select(col("docid").as("docid2"), col("start").as("s2"),
+      col("len").as("l2"))
+    // dominance suppression: an overlapping match that starts earlier (or
+    // same start, longer) shadows this one
+    m.join(other,
+        col("docid") === col("docid2") &&
+          col("s2") < col("start") + col("len") &&
+          col("start") < col("s2") + col("l2") &&
+          (col("s2") < col("start") ||
+            (col("s2") === col("start") && col("l2") > col("len"))),
+        "left_anti")
+      .select(col("docid"), col("start").cast("long").as("start"),
+        col("len").cast("long").as("len"), col("entity"))
+  }
+
   /** L1: cosine(ctx vector, sense vector) per (ctx, sense); argmax per ctx;
     * assignments below cfg.minSenseScore emit nothing (confidence floor).
     * The sense model is tiny (k x topK doubles per entity) — broadcast. */

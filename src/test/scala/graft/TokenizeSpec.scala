@@ -2,10 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cooc, Tokenize}
+import graft.operators.{Cooc, Linking, Tokenize}
 
 class TokenizeSpec extends SparkTestBase {
   import spark.implicits._
+
+  test("gazetteerMentions: multi-token matches, dominance suppression, standalone survivors") {
+    val td = Seq(
+      TokDoc("d1", "the big apple city of the big apple pie".split(" ")),
+      TokDoc("d2", "nothing to see here".split(" "))).toDS()
+    val aliases = Seq(
+      ("E_bac", "big apple city"),
+      ("E_bigapple", "big apple"),
+      ("E_apple", "apple")).toDF("entity", "alias")
+    val got = Linking.gazetteerMentions(td, aliases).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("start"), r.getAs[Long]("len"), r.getString(3)))
+      .toSet
+    // @1 the 3-gram shadows both shorter matches at/inside it; @6 the
+    // 2-gram survives and shadows apple@7; d2 matches nothing
+    assert(got == Set(("d1", 1L, 3L, "E_bac"), ("d1", 6L, 2L, "E_bigapple")), s"$got")
+    intercept[IllegalArgumentException] {
+      Linking.gazetteerMentions(td, Seq.empty[(String, String)].toDF("entity", "alias"))
+    }
+  }
 
   private val cfg = WsidConfig(entities = Seq("python", "java"), window = 2)
 
