@@ -17,21 +17,25 @@ probe() { python3 bin/copy_ceiling.py 1 1 2>/dev/null | head -1; }
 
 for i in $(seq "$MAX_PROBES"); do
   line="$(probe)"
+  # a crashed probe must not emit malformed JSONL ('"result": }')
+  [ -z "$line" ] && line='{"error": "probe failed"}'
   echo "{\"probe\": $i, \"result\": $line}" >> "$OUT"
   small=$(echo "$line" | python3 -c 'import sys,json;print(json.load(sys.stdin)["sec_small"])' 2>/dev/null || echo 999)
   ceil=$(echo "$line" | python3 -c 'import sys,json;print(json.load(sys.stdin)["ceiling"])' 2>/dev/null || echo 0)
   ok=$(python3 -c "print(1 if $small <= $CLEAN_SMALL_S and $ceil >= $CLEAN_CEIL else 0)")
   if [ "$ok" = "1" ]; then
     echo "# clean window at probe $i — final bench start $(date -u +%FT%T)" >> "$OUT"
+    ok=1
     SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT=BENCH/bench_r5_close.json \
-      sbt -batch 'runMain graft.Bench' >> "$OUT" 2>&1
-    echo "# bench done $(date -u +%FT%T), post-bench control:" >> "$OUT"
+      sbt -batch 'runMain graft.Bench' >> "$OUT" 2>&1 || ok=0
+    echo "# bench done $(date -u +%FT%T) (ok=$ok), post-bench control:" >> "$OUT"
     python3 bin/copy_ceiling.py 1 1 >> "$OUT" 2>/dev/null
     echo "# scaling campaign start $(date -u +%FT%T)" >> "$OUT"
-    bin/scaling.sh 1 60 3 >> "$OUT" 2>&1
+    bin/scaling.sh 1 60 3 >> "$OUT" 2>&1 || ok=0
     python3 bin/copy_ceiling.py 1 1 >> "$OUT" 2>/dev/null
-    echo "CLOSEOUT_DONE" >> "$OUT"
-    exit 0
+    # the artifact must not claim success for a failed bench/campaign
+    if [ "$ok" = "1" ]; then echo "CLOSEOUT_DONE" >> "$OUT"; exit 0
+    else echo "CLOSEOUT_FAILED" >> "$OUT"; exit 1; fi
   fi
   sleep "$PROBE_SLEEP"
 done

@@ -174,9 +174,14 @@ object Curation {
     require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
     val base0 = hostWeights.select(col(hostCol).as("host"), col(wCol).cast("long").as("w"))
     val stats = base0.agg(sum(col("w")).as("wt"), max(col("w")).as("mx"),
-      min(col("w")).as("mn")).head()
+      min(col("w")).as("mn"),
+      (count(lit(1)) - count(col("w"))).as("nulls")).head()
     require(!stats.isNullAt(0), "crawlBudget on an empty host frame")
     val (wt, mx, mn) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // a NULL weight would silently NULL that host's budget and break the
+    // Σbudget == B invariant — as loud as the other malformed-input arms
+    require(stats.getLong(3) == 0L,
+      s"crawlBudget: ${stats.getLong(3)} host(s) have NULL weight — coalesce upstream")
     require(mn >= 0, s"negative weight ($mn) — weights are fetch priorities, not deltas")
     require(wt > 0, "crawlBudget needs positive total weight")
     require(mx <= Long.MaxValue / math.max(totalBudget, 1L),

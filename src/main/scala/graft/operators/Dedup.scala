@@ -128,7 +128,6 @@ object Dedup {
     h
   }
 
-  /** Doc-local MinHash signatures over n-gram shingles (numHashes values). */
   /** MinHash signature of ONE token sequence, or null when it has no
     * shingles — the doc-local core shared by the batch operators and the
     * streaming admission pre-filter. ONE string pass per shingle; the i-th
@@ -171,6 +170,7 @@ object Dedup {
     }
   }
 
+  /** Doc-local MinHash signatures over n-gram shingles (numHashes values). */
   def minhashSignatures(td: Dataset[TokDoc], n: Int, numHashes: Int, seed: Long): DataFrame = {
     import td.sparkSession.implicits._
     td.mapPartitions(_.flatMap { d =>
@@ -243,8 +243,14 @@ object Dedup {
                        n: Int = 2, threshold: Double = 0.8,
                        numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
                        maxBucket: Int = 1000): DataFrame = {
-    val cBands = minhashBands(corpus, n, numHashes, bands, seed)
-    val bBands = minhashBands(batch, n, numHashes, bands, seed)
+    // pin both band tables: bBands is referenced by its cap count, the
+    // cross probe, AND pairsInBuckets' two passes — without the pin each
+    // reference re-signs the batch (64 murmur mixes per shingle), the
+    // exact bandwidth multiplication pairsInBuckets' design caps at two
+    // scans. In deployment cBands IS the stored index, i.e. pinned by
+    // definition; the pin reproduces that here.
+    val cBands = graft.plans.Pinned.pin(minhashBands(corpus, n, numHashes, bands, seed))
+    val bBands = graft.plans.Pinned.pin(minhashBands(batch, n, numHashes, bands, seed))
 
     // cross candidates: batch bands probe the corpus index; a hot bucket on
     // EITHER side (boilerplate signature) is pruned count-first, before any
@@ -812,8 +818,12 @@ object Dedup {
     // on an empty sorted array) and drop nothing — fail loudly instead
     require(centers.nonEmpty, "semanticDedup needs a non-empty cluster table")
     graft.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val cells = emb.select(col("vec_id"), Similarity.asDouble("embedding").as("e"))
-      .withColumn("cell", element_at(Similarity.nearestCells(centers, col("e"), 1), 1))
+    // pinned: `cells` feeds the pair join's BOTH sides and the final kept
+    // flag — unpinned, the O(nlist*dim) per-row argmin would re-run per
+    // reference (and nlist grows with the corpus)
+    val cells = graft.plans.Pinned.pin(
+      emb.select(col("vec_id"), Similarity.asDouble("embedding").as("e"))
+        .withColumn("cell", element_at(Similarity.nearestCells(centers, col("e"), 1), 1)))
     val a = cells.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"))
     val b = cells.select(col("cell"), col("vec_id").as("b"), col("e").as("eb"))
     val dominated = a.join(b, Seq("cell"))

@@ -243,9 +243,15 @@ object TextStats {
       transform(col("ps"), p => sequence(p, p + n - 1))))
     corpus.map(d => (d.docid, d.terms)).toDF("docid", "terms")
       .join(hits, Seq("docid"), "left")
+      // excision via array_except over the index sequence (hash-set
+      // semantics, order-preserving on the first argument) — a per-token
+      // array_contains scan would be O(ntok * ncovered) on a heavily
+      // contaminated doc
       .withColumn("kept",
         when(col("ps").isNull, col("terms"))
-          .otherwise(filter(col("terms"), (_, i) => !array_contains(covered, i))))
+          .otherwise(transform(
+            array_except(sequence(lit(0), size(col("terms")) - 1), covered),
+            i => element_at(col("terms"), i + 1))))
       .select(col("docid"),
         size(col("terms")).cast("long").as("ntok"),
         (size(col("terms")) - size(col("kept"))).cast("long").as("removed_tokens"),
