@@ -95,7 +95,9 @@ object ExtraQueries {
   /** Bench warm hook: populate the memoized BPE merge table so its one-time
     * training cost lands in the separately-attributed warm phase, not inside
     * whichever BPE query runs first in registry map order (VERDICT r4 #3). */
-  private[graft] def warmBpe(s: SparkSession, d: String): Unit = { bpeTable(s, d); () }
+  private[graft] def warmBpe(s: SparkSession, d: String): Unit = {
+    Tuning.ensure(s); bpeTable(s, d); ()
+  }
 
   /** Near-dup cluster fixture: docs 0..29 plus, for docs 0..9, two prefix
     * truncations (_v1 keeps the first 90% of tokens, _v2 the first 80%) —

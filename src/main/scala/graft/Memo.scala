@@ -155,13 +155,15 @@ object Memo {
   /** The shared tokenized projection (P2 guard applied, persisted columnar).
     * Tokenization is cfg-independent here (no stopwords on the contract
     * corpus); the guard bound is part of the key via cfg.maxDocChars. */
-  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] =
+  def tokDocsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Dataset[TokDoc] = {
+    Tuning.ensure(spark)
     tokdocsMemo.getOrBuild(
       (spark, s"$sfDir|${cfg.maxDocChars}|${cfg.stopwords.toSeq.sorted.mkString(",")}")) {
       val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
       Tokenize.tokDocs(Pipeline.guard(docs, cfg), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
   /** The KG bigram adjacency over the shared tokenized projection, counted
     * once per (session, corpus): the whole q_kg_* family reads this one

@@ -70,6 +70,7 @@ object Pipeline {
   def induceAndEmit(spark: SparkSession, docs: Dataset[CodeDoc], cfg: WsidConfig,
                     ckptRoot: Option[String] = None, corpusId: String = "",
                     sharedTokDocs: Option[Dataset[TokDoc]] = None): E1Result = {
+    Tuning.ensure(spark)
     val ck = ckptRoot.map(new Checkpoint(spark, _))
     val cfgId = s"$corpusId|${cfg.canonicalId}"
     val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
