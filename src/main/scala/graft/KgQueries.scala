@@ -27,11 +27,8 @@ object KgQueries {
   /** The registry's two standing triple-store fixtures: the top-20
     * `coOccursWith` store and the top-1 `isTopTermOf` store, both derived
     * from the PRODUCTION ranking (same total order as q_l3/q_c3). */
-  private def rankedStores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val cs = Memo.coStatsOf(s, d, Queries.cfg)
-    (Significance.topK(cs.scored, Queries.cfg.copy(topK = 20)),
-      Significance.topK(cs.scored, Queries.cfg.copy(topK = 1)))
-  }
+  private def rankedStores(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    Memo.rankedStoresOf(s, d, Queries.cfg)
 
   private def coocStore(top20: DataFrame): DataFrame =
     top20.select(col("entity").as("subj"),
@@ -122,8 +119,7 @@ object KgQueries {
     // corpus scale), two patterns joined on the shared object variable
     "q_kg_bgp" -> ((s, d) => {
       import TripleStore.{C, V}
-      val cs = Memo.coStatsOf(s, d, Queries.cfg)
-      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val (top20, _) = rankedStores(s, d)
       val triples = top20.select(col("entity").as("subj"),
         lit("coOccursWith").as("pred"), col("term").as("obj"))
       TripleStore.bgp(triples, Seq(
@@ -140,9 +136,7 @@ object KgQueries {
     // SPARQL LeftJoin arm an inner join would drop)
     "q_kg_bgp_optional" -> ((s, d) => {
       import TripleStore.{C, V}
-      val cs = Memo.coStatsOf(s, d, Queries.cfg)
-      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
-      val top1 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 1))
+      val (top20, top1) = rankedStores(s, d)
       val triples = top20.select(col("entity").as("subj"),
           lit("coOccursWith").as("pred"), col("term").as("obj"))
         .unionAll(top1.select(col("term").as("subj"),
@@ -158,9 +152,7 @@ object KgQueries {
     // anti twin of the optional query's NULL arm
     "q_kg_bgp_notexists" -> ((s, d) => {
       import TripleStore.{C, V}
-      val cs = Memo.coStatsOf(s, d, Queries.cfg)
-      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
-      val top1 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 1))
+      val (top20, top1) = rankedStores(s, d)
       val triples = top20.select(col("entity").as("subj"),
           lit("coOccursWith").as("pred"), col("term").as("obj"))
         .unionAll(top1.select(col("term").as("subj"),
@@ -245,8 +237,7 @@ object KgQueries {
     // are SPARQL bindings (no implicit inequality), the graph dedups
     "q_kg_construct" -> ((s, d) => {
       import TripleStore.{C, V}
-      val cs = Memo.coStatsOf(s, d, Queries.cfg)
-      val top20 = Significance.topK(cs.scored, Queries.cfg.copy(topK = 20))
+      val (top20, _) = rankedStores(s, d)
       val triples = top20.select(col("entity").as("subj"),
         lit("coOccursWith").as("pred"), col("term").as("obj"))
       TripleStore.construct(triples,

@@ -101,6 +101,9 @@ object Memo {
     d.unpersist(false); s.unpersist(false)
   })
   private val edgesMemo = new BoundedMemo[DataFrame](_.unpersist(false))
+  private val rankedMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (a, b) =>
+    a.unpersist(false); b.unpersist(false)
+  })
   private val ivfMemo = new BoundedMemo[Array[Array[Double]]](_ => ())
   private val bpeMemo = new BoundedMemo[Seq[(Long, String, String, Long)]](_ => ())
 
@@ -185,6 +188,21 @@ object Memo {
       cs.coverage.persist(StorageLevel.MEMORY_AND_DISK)
       cs.scored.persist(StorageLevel.MEMORY_AND_DISK)
       cs
+    }
+
+  /** The two standing ranked stores of the q_kg_* family — the top-20
+    * `coOccursWith` and top-1 `isTopTermOf` rankings over the memoized E2
+    * chain — persisted once per (session, input): ~25 registry queries each
+    * re-ranked the scored frame per invocation (two per-entity windows +
+    * their exchanges); one vocabulary-sized cached copy serves them all
+    * (same registry economics as the E2/edges memos, r6 optimization). */
+  def rankedStoresOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): (DataFrame, DataFrame) =
+    rankedMemo.getOrBuild((spark, s"$sfDir|ranked|${cfg.canonicalId}")) {
+      val cs = coStatsOf(spark, sfDir, cfg)
+      (operators.Significance.topK(cs.scored, cfg.copy(topK = 20))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        operators.Significance.topK(cs.scored, cfg.copy(topK = 1))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     }
 
   /** E3's sense model for (sfDir, cfg): induced ONCE into a version-keyed
@@ -281,10 +299,12 @@ object Memo {
 
   /** Drop every memoized artifact for a session (test hygiene). */
   def invalidate(spark: SparkSession): Unit = {
+    rankedMemo.invalidate(spark)
     costatsMemo.invalidate(spark)
     tokdocsMemo.invalidate(spark)
     modelMemo.invalidate(spark)
     ivfMemo.invalidate(spark)
     bpeMemo.invalidate(spark)
+    edgesMemo.invalidate(spark)
   }
 }

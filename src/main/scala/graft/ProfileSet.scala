@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only multi-query profiler (not part of the driver contract):
+  * replicates the bench's shape — warm the memo prefix first, then run each
+  * named query `reps` times and report the MIN (steady state), with
+  * per-query steal accounting so a stolen window is visible.
+  * Usage: runMain graft.ProfileSet <reps> <query> [query ...] */
+object ProfileSet {
+  def main(args: Array[String]): Unit = {
+    val reps = args(0).toInt
+    val names = args.drop(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.muteCheckpointWarns()
+
+    val t0 = System.nanoTime()
+    val warmCs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
+    warmCs.coverage.count(); warmCs.scored.count()
+    Memo.kgEdgesOf(spark, sfDir, Queries.cfg).count()
+    println(f"[pset] warm ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val steal0 = HostStat.stealJiffies()
+      val runs = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val steal = HostStat.stealSecSince(steal0).map(s => f"$s%.1f").getOrElse("?")
+      println(f"[pset] $name%-28s min ${runs.min}%6.2f s  runs ${runs.map(r => f"$r%.2f").mkString(" ")}  steal ${steal}s")
+    }
+    spark.stop()
+  }
+}

@@ -140,14 +140,17 @@ object Queries {
     // both rank via the PRODUCTION Significance.topK (quantized-logp asc,
     // term tiebreak) — a hand-copied window here would keep passing the
     // oracle while production ordering silently drifted
+    // the top-20 ranking is the memoized ranked store (Memo.rankedStoresOf,
+    // r6): one persisted copy of the PRODUCTION Significance.topK ranking
+    // serves every query that reads it
     "q_c3_topk" -> ((s, d) =>
-      Significance.topK(coStatsOf(s, d).scored, cfg.copy(topK = 20))
+      Memo.rankedStoresOf(s, d, cfg)._1
         .select(col("entity"), col("term"), col("rank").as("rnk"))
         .orderBy("entity", "rnk")),
 
     "q_l3_cooc_triples" -> ((s, d) => {
       val cs = coStatsOf(s, d)
-      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
+      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
       Pipeline.coocTriples(cs.coverage, top20).orderBy("subj", "obj")
     }),
 
@@ -156,7 +159,7 @@ object Queries {
     // the identical replace chain)
     "q_l3_ntriples" -> ((s, d) => {
       val cs = coStatsOf(s, d)
-      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
+      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
       Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)).orderBy("nt")
     }),
 
@@ -167,7 +170,7 @@ object Queries {
     // through via spark.read.text.
     "q_kg_ntriples_parse" -> ((s, d) => {
       val cs = coStatsOf(s, d)
-      val top20 = Significance.topK(cs.scored, cfg.copy(topK = 20))
+      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
       Pipeline.fromNTriples(
           Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)))
         .orderBy("subj", "obj")

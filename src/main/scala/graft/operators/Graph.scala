@@ -89,15 +89,20 @@ object Graph {
     val spark = edges.sparkSession
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    // pinned once, read every round
-    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
-    val (outw, owH) = Pinned.pinTracked(
-      e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
+    // pinned once, read every round. The per-source out-weight is folded
+    // INTO the pinned edge set up front (r6 optimization): the old loop
+    // re-joined edges ⋈ outw every round — identical rows, one join per
+    // round saved, and the pinned edge frame grows by one LONG column.
+    val (e, eH) = Pinned.pinTracked {
+      val e0 = edges.select(col("src"), col("dst"), col("w"))
+      e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
+    }
+    val (outSrcs, owH) = Pinned.pinTracked(e.select(col("src")).distinct())
     val (nodes, nodesH) = Pinned.pinTracked(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
     // dangling = nodes with no out-edge (their mass redistributes uniformly)
     val (dangling, dangH) = Pinned.pinTracked(
-      nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti"))
+      nodes.join(outSrcs.select(col("src").as("node")), Seq("node"), "left_anti"))
 
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge set")
@@ -110,7 +115,6 @@ object Graph {
     while (it < iters) {
       val inflow = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
-        .join(outw, Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       val dshare = dangling.join(ranks, Seq("node"))
@@ -153,13 +157,16 @@ object Graph {
     val spark = edges.sparkSession
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
-    val (outw, owH) = Pinned.pinTracked(
-      e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
+    // out-weight folded into the pinned edge set (same r6 move as pageRank)
+    val (e, eH) = Pinned.pinTracked {
+      val e0 = edges.select(col("src"), col("dst"), col("w"))
+      e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
+    }
+    val (outSrcs, owH) = Pinned.pinTracked(e.select(col("src")).distinct())
     val (nodes, nodesH) = Pinned.pinTracked(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
     val (dangling, dangH) = Pinned.pinTracked(
-      nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti"))
+      nodes.join(outSrcs.select(col("src").as("node")), Seq("node"), "left_anti"))
     // sources restricted to graph nodes: mass must stay on the lattice
     val (srcs, srcsH) = Pinned.pinTracked(
       sources.select(col("node")).distinct().join(nodes, Seq("node"), "left_semi"))
@@ -177,7 +184,6 @@ object Graph {
     while (it < iters) {
       val inflow = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
-        .join(outw, Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       val dshare = dangling.join(ranks, Seq("node"))
@@ -209,12 +215,17 @@ object Graph {
   def reach(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "reach needs at least one hop")
     val spark = edges.sparkSession
-    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst")).distinct())
+    // r6 optimization (same move as TripleStore.boundedClosure): the
+    // accumulated closure is a LAZY UNION of the pinned per-hop frontiers —
+    // one pin per hop instead of two, identical materialized rows, live
+    // memory still exactly the closure (frontiers are disjoint by the
+    // anti-join). The single base pin doubles as hop-1 frontier and
+    // edge set.
+    val (e, _) = Pinned.pinTracked(edges.select(col("src"), col("dst")).distinct())
     val eRen = e.select(col("src").as("mid"), col("dst").as("d2"))
-    var (all, allH) = Pinned.pinTracked(e)
-    var (delta, deltaH) = Pinned.pinTracked(e)
+    var all = e
+    var delta = e
     var hop = 1
     var drained = false
     while (hop < maxHops && !drained) {
@@ -223,22 +234,18 @@ object Graph {
       val (fresh, freshH) = Pinned.pinTracked(
         stepped.join(all, Seq("src", "dst"), "left_anti"))
       if (fresh.isEmpty) {
-        freeH(freshH)
+        Pinned.free(spark, freshH)
         drained = true
       } else {
-        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
-        freeH(allH); freeH(deltaH)
-        all = nextAll; allH = nextAllH
-        delta = fresh; deltaH = freshH
+        all = all.unionAll(fresh)
+        delta = fresh
       }
       hop += 1
     }
-    freeH(eH)
-    if (deltaH ne allH) freeH(deltaH) // last frontier is folded into `all`
     val out = all.filter(col("dst") =!= col("src"))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_reach"))
     // result derives from the still-pinned closure; caller-held references
-    // stay valid (the pin is only reclaimed when the frame is dropped)
+    // stay valid (the pins are only reclaimed when the frame is dropped)
     out
   }
 
@@ -478,43 +485,60 @@ object Graph {
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
     val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
-    val (nodes, nodesH) = Pinned.pinTracked(
+    val (nodes, _) = Pinned.pinTracked(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n > 0, "hits on an empty edge set")
 
-    /** One half-step: propagate `score` across `e` from `from` to `to`,
-      * then renormalize the totals to exactly `scale` lattice units. */
+    /** One half-step, SPARSE form (r6 optimization): rows exist only for
+      * nodes that RECEIVE mass this half-step; an absent row means score 0,
+      * which the next half-step's join treats identically (a 0-score row
+      * contributes s·w = 0 to every sum, and zeros don't move the
+      * renormalization total). The per-half-step `nodes` zero-fill join of
+      * the dense form is deferred to ONE final projection, and only the
+      * round-closing hub frame is pinned — the intermediate authority plan
+      * is referenced exactly once (by the hub it feeds), so inlining it
+      * recomputes nothing. Lattice arithmetic is unchanged round-for-round
+      * (same raw sums, same totals, same truncating renormalization). */
     def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
       val raw = e
         .join(score.select(col("node").as(from), col("s")), Seq(from))
         .select(col(to).as("node"), expr("s * w").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
       val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(tot)
+      raw.crossJoin(tot)
         .select(col("node"),
-          when(col("t") > 0L, expr(s"(coalesce(raw, 0L) * ${scale}L) div t"))
+          when(col("t") > 0L, expr(s"(raw * ${scale}L) div t"))
             .otherwise(lit(0L)).as("s"))
     }
 
     val seed = scale / n
-    var (hubs, hubsH) = Pinned.pinTracked(
-      nodes.select(col("node"), lit(seed).as("s")))
-    var (auths, authsH) = Pinned.pinTracked(
-      nodes.select(col("node"), lit(0L).as("s")))
+    var hubs = nodes.select(col("node"), lit(seed).as("s")) // lazy off pinned nodes
+    var hubsH: Option[Pinned.Handle] = None
+    var lastAuth: DataFrame = null
     var it = 0
     while (it < iters) {
-      val (nextA, nextAH) = Pinned.pinTracked(halfStep(hubs, "src", "dst"))
-      freeH(authsH); auths = nextA; authsH = nextAH
-      val (nextHb, nextHbH) = Pinned.pinTracked(halfStep(auths, "dst", "src"))
-      freeH(hubsH); hubs = nextHb; hubsH = nextHbH
+      val auth = halfStep(hubs, "src", "dst")
+      // the final round's authority frame is part of the OUTPUT: pin it;
+      // earlier rounds inline it into the hub pin (single reference)
+      val authIn =
+        if (it == iters - 1) { val (a, _) = Pinned.pinTracked(auth); lastAuth = a; a }
+        else auth
+      val (nextHb, nextHbH) = Pinned.pinTracked(halfStep(authIn, "dst", "src"))
+      hubsH.foreach(freeH)
+      hubs = nextHb
+      hubsH = Some(nextHbH)
       it += 1
     }
-    val out = hubs.select(col("node"), col("s").as("hub"))
-      .join(auths.select(col("node"), col("s").as("auth")), Seq("node"))
-    val (pinnedOut, _) = Pinned.pinTracked(out)
-    freeH(eH); freeH(nodesH); freeH(hubsH); freeH(authsH)
-    pinnedOut
+    freeH(eH)
+    // one dense zero-fill at the end (the contract returns every node)
+    nodes
+      .join(hubs.select(col("node"), col("s").as("hub")), Seq("node"), "left")
+      .join(lastAuth.select(col("node"), col("s").as("auth")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    // result derives from the still-pinned nodes/hub/auth frames; they are
+    // reclaimed when the caller drops the frame (same contract as reach)
   }
 
   /** Per-node local clustering coefficient over the undirected simple

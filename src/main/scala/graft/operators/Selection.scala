@@ -70,23 +70,27 @@ object Selection {
       // ceil-width so B buckets always cover [lo, hi]; integer `div` per
       // row (Spark's `/` on LONGs is DOUBLE division and would drift)
       val width = ((BigInt(hi) - BigInt(lo)) / Buckets + 1).toLong
+      // per-bucket ATTAINED min/max ride the same aggregation (r6
+      // optimization): the bracket narrows to the chosen bucket's attained
+      // value range, not its arithmetic edges — a bucket holding one
+      // distinct value ends the refinement immediately, so real (sparse /
+      // clustered) distributions converge in 1–2 counting scans instead of
+      // walking the full ⌈64/log₂B⌉ bound. Same answer by construction:
+      // the rank-k value lies in the chosen bucket, and every value there
+      // is within [attained min, attained max].
       val counts = base
         .filter(col("__v") >= lo && col("__v") <= hi)
         .groupBy(call_function("div", col("__v") - lo, lit(width)).as("__b"))
-        .agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
       var i = 0
       var found = false
       while (i < counts.length && !found) {
-        val (b, cnt) = counts(i)
+        val (_, cnt, mn, mx) = counts(i)
         if (residual <= cnt) {
-          val bLo = lo + b * width
-          lo = bLo
-          // overflow-safe upper edge: near Long.MaxValue the naive
-          // bLo + width - 1 wraps negative and would end the loop on the
-          // bucket's LOWER edge (returning the wrong value)
-          hi = if (bLo > Long.MaxValue - (width - 1)) hi
-               else math.min(hi, bLo + width - 1)
+          lo = mn
+          hi = mx
           found = true
         } else { residual -= cnt; i += 1 }
       }
@@ -165,8 +169,10 @@ object Selection {
       .filter(col("__s").isNotNull && col("__w").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // head pass additionally carries the TOTAL weight (r6 optimization):
+      // a single-valued score column then resolves with zero further jobs
       val head = base.agg(count(lit(1)), min(col("__s")), max(col("__s")),
-        min(col("__w"))).head()
+        min(col("__w")), coalesce(sum(col("__w")), lit(0L))).head()
       val n = head.getLong(0)
       require(n > 0, "no non-null (score, weight) rows to select from")
       require(head.getLong(3) >= 0,
@@ -180,8 +186,27 @@ object Selection {
         s"score range [$lo, $hi] spans more than 2^63 — shift/scale the column first")
       // exact weight strictly above the current bracket; invariant
       // aboveW <= budget (so "select only what's above the bracket" is
-      // always feasible) and the integer cut lies in [lo, hi + 1]
+      // always feasible) and the integer cut lies in [lo, hi + 1].
+      //
+      // r6 round-count optimization (VERDICT r5 "Next" #7): each round's
+      // aggregation also carries per-bucket attained min/max score, so the
+      // bracket narrows to ATTAINED values (a single-valued bucket ends the
+      // loop with its class weight in hand), and the walk tracks the
+      // smallest attained score ABOVE the bracket (minAbove) — which makes
+      // both post-loop scans (the wEq class weight and the attained-minimum
+      // probe) derivable on the driver. Every path below resolves the cut
+      // from state the counting rounds already computed:
+      //  - `lo` is always an ATTAINED score (global min, or a bucket's
+      //    attained min), so "admit lo's class" reports lo itself;
+      //  - cut = lo + 1 reports minAbove (the lowest attained score above
+      //    the final bracket), or maxScore + 1 when nothing is above.
       var aboveW = 0L
+      var minAbove = Long.MaxValue
+      var hasAbove = false
+      // weight of lo's class when the bracket collapsed onto one value;
+      // seeded with the TOTAL for the single-valued-column fast path
+      var wEq = head.getLong(4)
+      var decidedLo = false // set only when the walk PROVES cut == lo
       var guard = 0
       while (lo < hi) {
         guard += 1
@@ -190,39 +215,38 @@ object Selection {
         val counts = base
           .filter(col("__s") >= lo && col("__s") <= hi)
           .groupBy(call_function("div", col("__s") - lo, lit(width)).as("__b"))
-          .agg(sum(col("__w")).as("__w"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+          .agg(sum(col("__w")).as("__w"), min(col("__s")).as("__mn"),
+            max(col("__s")).as("__mx"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(-_._1)
         // walk top-down: find the highest bucket whose from-the-top
         // cumulative weight exceeds the budget — the cut is inside it
         var cum = aboveW
         var i = 0
         var found = false
         while (i < counts.length && !found) {
-          val (b, w) = counts(i)
+          val (_, w, mn, mx) = counts(i)
           if (cum + w > budget) {
-            lo = lo + b * width
-            hi = math.min(hi, if (lo > Long.MaxValue - (width - 1)) hi
-                              else lo + width - 1)
+            lo = mn
+            hi = mx
             aboveW = cum
+            if (mn == mx) wEq = w // the bracket IS lo's whole class
             found = true
-          } else { cum += w; i += 1 }
+          } else {
+            cum += w
+            if (mn < minAbove) { minAbove = mn; hasAbove = true }
+            i += 1
+          }
         }
         // every bucket fits (or the range held no rows): everything from
-        // `lo` up is selectable, so the cut is exactly lo
-        if (!found) hi = lo
+        // `lo` up is selectable, so the cut is exactly the (attained) lo —
+        // aboveW + the whole bracket's weight <= budget implies lo's class
+        // fits a fortiori
+        if (!found) { hi = lo; decidedLo = true }
       }
-      // single-value bracket: admit lo's class iff it still fits
-      val wEq = base.filter(col("__s") === lo)
-        .agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
-      val cutInt = if (aboveW + wEq <= budget) lo else lo + 1
-      // report the smallest ATTAINED score admitted (the value-level cut the
-      // oracle can state), or maxScore + 1 for an empty selection
-      if (cutInt > maxScore) maxScore + 1
-      else {
-        val attained = base.filter(col("__s") >= cutInt)
-          .agg(min(col("__s"))).head()
-        if (attained.isNullAt(0)) maxScore + 1 else attained.getLong(0)
-      }
+      if (decidedLo || aboveW + wEq <= budget) lo // attained by construction
+      else if (hasAbove) minAbove // smallest attained score >= lo + 1
+      else maxScore + 1 // nothing above lo fits: empty selection
     } finally base.unpersist()
   }
 

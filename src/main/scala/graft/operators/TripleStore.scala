@@ -532,14 +532,20 @@ object TripleStore {
   private[graft] def boundedClosure(pairs: DataFrame, maxHops: Int): DataFrame = {
     import graft.plans.Pinned
     require(maxHops >= 1, "boundedClosure needs at least one hop")
-    val spark = pairs.sparkSession
-    def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    val (e, eH) = Pinned.pinTracked(pairs.select(col("subj"), col("obj")).distinct())
+    // r6 optimization: the accumulated closure is kept as a LAZY UNION of
+    // the already-pinned per-hop frontiers instead of re-materializing
+    // `all ∪ fresh` every hop — the anti-join and the returned frame read
+    // the same materialized rows either way (a union of pinned RDDs
+    // recomputes nothing), but each hop now runs ONE pin job instead of
+    // two. Live pins are bounded by maxHops frontier frames whose total
+    // size is exactly the closure the old single pin held; all stay pinned
+    // until the caller drops the result (same lifetime contract as before —
+    // ContextCleaner reclaims on drop).
+    val (e, _) = Pinned.pinTracked(pairs.select(col("subj"), col("obj")).distinct())
     val eRen = e.select(col("subj").as("mid"), col("obj").as("o2"))
-    var (all, allH) = Pinned.pinTracked(e.withColumn("n_hops", lit(1L)))
+    var all = e.withColumn("n_hops", lit(1L))
     var delta = all
-    var deltaH = allH
     var hop = 1
     var drained = false
     while (hop < maxHops && !drained) {
@@ -549,19 +555,14 @@ object TripleStore {
         stepped.join(all, Seq("subj", "obj"), "left_anti")
           .withColumn("n_hops", lit((hop + 1).toLong)))
       if (fresh.isEmpty) {
-        freeH(freshH)
+        Pinned.free(pairs.sparkSession, freshH)
         drained = true
       } else {
-        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
-        if (deltaH ne allH) freeH(deltaH)
-        freeH(allH)
-        all = nextAll; allH = nextAllH
-        delta = fresh; deltaH = freshH
+        all = all.unionAll(fresh)
+        delta = fresh
       }
       hop += 1
     }
-    freeH(eH)
-    if (deltaH ne allH) freeH(deltaH) // last frontier is folded into `all`
     all
   }
 
@@ -805,15 +806,18 @@ object TripleStore {
         .select(col("subj").as("cp"), col("obj").as("cr")), Seq("cp"))
     val hasChains = !chains.isEmpty
 
-    var (all, allH) = Pinned.pinTracked(
+    // r6 optimization (same move as boundedClosure): `all` is a LAZY UNION
+    // of the pinned base and pinned per-round fresh frames — one pin per
+    // round instead of two, identical materialized rows, live memory still
+    // exactly the closure (fresh sets are disjoint by the anti-join).
+    val (all0, _) = Pinned.pinTracked(
       instance.select(col("subj"), col("pred"), col("obj")).distinct())
-    var delta = all
-    var deltaH = allH
+    var all = all0
+    var delta = all0
     var round = 0
     var drained = false
     while (!drained) {
       if (round >= maxRounds) {
-        freeH(allH); if (deltaH ne allH) freeH(deltaH)
         throw new IllegalStateException(
           s"owlClosure did not reach the fixpoint in $maxRounds rounds — " +
             "a truncated closure would be silently wrong; raise maxRounds")
@@ -849,15 +853,11 @@ object TripleStore {
         freeH(freshH)
         drained = true
       } else {
-        val (nextAll, nextAllH) = Pinned.pinTracked(all.unionAll(fresh))
-        if (deltaH ne allH) freeH(deltaH)
-        freeH(allH)
-        all = nextAll; allH = nextAllH
-        delta = fresh; deltaH = freshH
+        all = all.unionAll(fresh)
+        delta = fresh
       }
       round += 1
     }
-    if (deltaH ne allH) freeH(deltaH)
     all
   }
 
@@ -917,10 +917,40 @@ object TripleStore {
     val schemaX = schema
       .unionAll(eqAsSub("equivalentClass", "subClassOf"))
       .unionAll(eqAsSub("equivalentProperty", "subPropertyOf"))
+    // The hierarchy closures run ON THE DRIVER (r6 optimization): the schema
+    // is ontology-sized BY CONTRACT (a KB, not a corpus) and the closed
+    // hierarchies were ALREADY collected to the driver implicitly — every
+    // consumer below broadcasts them — so closing locally is strictly no
+    // more driver memory than before, and it replaces two distributed
+    // semi-naive loops (2 pins + 1 emptiness probe per hop, per hierarchy)
+    // with zero Spark jobs (the guard is loud, not silent truncation).
+    // Semantics are IDENTICAL to boundedClosure: all (a, b) pairs connected
+    // by 1..maxDepth hops, BFS first-discovery, cycles allowed (equivalence
+    // 2-cycles yield the same self-subsumptions the final distinct absorbs).
+    val spark = instance.sparkSession
+    import spark.implicits._
     def closureOf(pred: String): DataFrame = {
-      val edges = schemaX.filter(col("pred") === pred).select(col("subj"), col("obj"))
-      if (edges.isEmpty) edges
-      else boundedClosure(edges, maxDepth).select(col("subj"), col("obj"))
+      val rows = schemaX.filter(col("pred") === pred)
+        .select(col("subj"), col("obj")).distinct().collect()
+      require(rows.length <= 4000000,
+        s"schema hierarchy '$pred' has ${rows.length} edges — not ontology-sized; " +
+          "rdfsClosure's broadcast contract does not hold for corpus-scale schemas")
+      val adj = rows.iterator.map(r => (r.getString(0), r.getString(1))).toArray
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val out = Seq.newBuilder[(String, String)]
+      adj.keysIterator.foreach { start =>
+        val seen = scala.collection.mutable.Set.empty[String]
+        var frontier = adj(start)
+        frontier.foreach { n => out += ((start, n)); seen += n }
+        var d = 1
+        while (d < maxDepth && frontier.nonEmpty) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+          next.foreach { n => out += ((start, n)); seen += n }
+          frontier = next
+          d += 1
+        }
+      }
+      out.result().toDF("subj", "obj")
     }
     val subProp = closureOf("subPropertyOf")
     val subClass = closureOf("subClassOf")
