@@ -114,6 +114,20 @@ object ExtraQueries {
     base.union(ten.map(trunc(_, 9, "_v1"))).union(ten.map(trunc(_, 8, "_v2")))
   }
 
+  /** The planted chain fixture's resolved cluster assignment — the shared
+    * prefix of q_dedup_cc and q_dedup_emit (exact-Jaccard pairs →
+    * large/small-star components → survivor election), resolved once per
+    * (session, input) and pinned node-sized (r6; same registry economics as
+    * the bpe/lr/costats memos — the first consumer pays the build, every
+    * later invocation reads the assignment). */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def plantedClusters(s: SparkSession, d: String): DataFrame =
+    ccMemo.computeIfAbsent((s, d), _ =>
+      graft.plans.Pinned.pin(
+        Dedup.nearDupClusters(
+          Dedup.ngramJaccardPairs(tdWithPlantedNearDups(s, d), 2, 0.85))))
+
   /** SQL replay of tdWithPlantedNearDups — shared by the q_dedup_cc and
     * q_dedup_substring oracles so the fixture can never silently diverge
     * between them (or from the Scala side it mirrors). */
@@ -283,10 +297,8 @@ object ExtraQueries {
     // (orig—v1—v2 chains that only merge transitively); components via
     // alternating large-star/small-star; one row per clustered doc with its
     // cluster id (= minimum member = the survivor), size, and keep decision.
-    "q_dedup_cc" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(tdWithPlantedNearDups(s, d), 2, 0.85)
-      Dedup.nearDupClusters(pairs).orderBy("docid")
-    }),
+    "q_dedup_cc" -> ((s, d) =>
+      plantedClusters(s, d).orderBy("docid")),
 
     // exact-substring-style duplicate-span detection over the same planted
     // fixture: the _v1/_v2 prefix copies are 100% covered by cross-doc
@@ -309,8 +321,7 @@ object ExtraQueries {
       // would tokenize the fixture once per pass
       val corpus = graft.plans.Pinned.pin(
         td.map(t => (t.docid, t.terms.length.toLong)).toDF("docid", "ntok"))
-      val pairs = Dedup.ngramJaccardPairs(td, 2, 0.85)
-      Dedup.emitDeduped(corpus, "docid", pairs).orderBy("docid")
+      Dedup.emitFromClusters(corpus, "docid", plantedClusters(s, d)).orderBy("docid")
     }),
 
     // distributed BPE merge training (VERDICT r3 #6): 8 merge rounds over

@@ -625,8 +625,15 @@ object Dedup {
     * semi-joined against the node-sized cluster frame plus one node-sized
     * aggregation — `cluster_size` keeps counting the FULL pair-graph
     * cluster (it reports how much duplication the survivor stands for). */
-  def emitDeduped(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cc = nearDupClusters(pairs)
+  def emitDeduped(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    emitFromClusters(corpus, idCol, nearDupClusters(pairs))
+
+  /** [[emitDeduped]] over an ALREADY-RESOLVED cluster assignment (the
+    * [[nearDupClusters]] frame) — callers that consume the cluster table
+    * AND the deduplicated corpus resolve components once and reuse the
+    * node-sized assignment (r6: the q_dedup_cc / q_dedup_emit registry
+    * pair shares it through one memoized copy). */
+  def emitFromClusters(corpus: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
     // members present in the corpus (id-pruned scan; the node-sized cc
     // frame broadcasts under AQE), then the per-cluster minimum present id
     val present = cc.join(
