@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r6: the JVM-wide whole-stage-codegen class cache defaults to 100
+  // entries; a many-query session (148 registry queries x their AQE query
+  // stages) generates thousands of distinct classes and thrashes it,
+  // re-paying ~20-45 ms Janino compiles for plans it already compiled
+  // (measured: repeated identical queries kept compiling new classes at
+  // steady state until the cache was raised). Static conf, so it must be
+  // set before SparkContext creation; env-overridable.
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "5000")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -77,14 +77,18 @@ object Pipeline {
     // checkpoint parquet doubles as stage materialization; without it,
     // persist each reused stage so downstream actions don't re-run the
     // whole upstream chain (ALS alone takes ~30 actions)
-    def staged(name: String, inputs: Seq[String])(compute: => DataFrame): DataFrame =
-      ck match {
+    def staged(name: String, inputs: Seq[String])(compute: => DataFrame): DataFrame = {
+      // §1.5 job labels: every action triggered while building this stage
+      // shows up under its name in the UI / listener profiles
+      spark.sparkContext.setJobDescription(s"e1:$name")
+      try ck match {
         case Some(c) => c.stage(name, inputs, cfgId)(compute)
         case None =>
           val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           persisted += df
           df
-      }
+      } finally spark.sparkContext.setJobDescription(null)
+    }
 
     val guarded = guard(docs, cfg)
 

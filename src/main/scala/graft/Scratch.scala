@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler._
 
 /** Dev-only microbenchmark scratchpad (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("GRAFT_CODEGEN_CACHE").isDefined)
+      System.setProperty("spark.sql.codegen.cache.maxEntries",
+        sys.env("GRAFT_CODEGEN_CACHE"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -20,76 +22,28 @@ object Scratch {
     Bench.muteCheckpointWarns()
     Tuning.ensure(spark)
 
-    @volatile var tasks = 0
-    @volatile var stages = 0
-    @volatile var jobs = 0
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks += 1
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = stages += 1
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
-    })
-    def reset(): Unit = { tasks = 0; stages = 0; jobs = 0 }
-    def report(name: String, t0: Long): Unit = {
-      Thread.sleep(200)
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s  jobs=$jobs stages=$stages tasks=$tasks")
+    def codegenStats(): String = {
+      import org.apache.spark.metrics.source.CodegenMetrics._
+      s"compiled=${METRIC_SOURCE_CODE_SIZE.getCount} bytes, " +
+        s"compileTime=${METRIC_COMPILATION_TIME.getCount} ms-count " +
+        s"hist-mean=${METRIC_COMPILATION_TIME.getSnapshot.getMean}"
     }
 
-    // warm the memoized edges (charged separately)
-    var t0 = System.nanoTime()
+    val t0w = System.nanoTime()
     val edges = Memo.kgEdgesOf(spark, sfDir, Queries.cfg)
     edges.count()
-    report("warm kgEdges+costats", t0)
+    println(f"[scratch] warm ${(System.nanoTime() - t0w) / 1e9}%.2f s; codegen: ${codegenStats()}")
 
-    // one HITS run end-to-end
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) total", t0)
-
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) total rep2", t0)
-
-    // a single pin of a tiny shuffled frame
-    val agg = edges.groupBy("src").agg(sum(col("w")).as("ow"))
-    reset(); t0 = System.nanoTime()
-    val p = graft.plans.Pinned.pinTracked(agg)
-    println(s"[scratch] pinned partitions = ${p._1.rdd.getNumPartitions}")
-    report("single pin of tiny agg", t0)
-
-    reset(); t0 = System.nanoTime()
-    val p2 = graft.plans.Pinned.pinTracked(agg)
-    report("single pin rep2", t0)
-
-    reset(); t0 = System.nanoTime()
-    val c = p2._1.count()
-    report(s"count pinned ($c rows)", t0)
-
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) AQE off", t0)
-
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) AQE off rep2", t0)
-
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) AQEoff sp=4", t0)
-
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    reset(); t0 = System.nanoTime()
-    Graph.hitsCount(spark, edges)
-    report("hits(5) AQE back on", t0)
-
+    (1 to 4).foreach { i =>
+      val t0 = System.nanoTime()
+      operators.Graph.hits(edges, iters = 5).count()
+      println(f"[scratch] hits rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s; codegen: ${codegenStats()}")
+    }
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_kg_triangles")(spark, sfDir).count()
+      println(f"[scratch] triangles rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s; codegen: ${codegenStats()}")
+    }
     spark.stop()
-  }
-}
-
-object Graph {
-  def hitsCount(spark: SparkSession, edges: org.apache.spark.sql.DataFrame): Unit = {
-    graft.operators.Graph.hits(edges, iters = 5).count(); ()
   }
 }

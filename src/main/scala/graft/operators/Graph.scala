@@ -439,8 +439,17 @@ object Graph {
     // order-sensitive
     var (e, eH) = Pinned.pinTracked(
       undirected(edges).filter(col("w") >= minW).select(col("a"), col("b")))
+    // r6: a peel round that removes NO edge is a fixpoint — degrees, and
+    // therefore every later round, are identical, so the loop may stop
+    // early with the exact same result as running all `rounds` (the
+    // fixed-round contract bounds the rounds; it does not require paying
+    // for provably-identity ones). One cheap count per round on the
+    // already-pinned edge frame buys up to (rounds − convergence) whole
+    // round bodies.
+    var nEdges = e.count()
     var it = 0
-    while (it < rounds) {
+    var stable = false
+    while (it < rounds && !stable) {
       val keep = degreesOf(e).filter(col("deg") >= k).select(col("node"))
       val next = e
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
@@ -450,6 +459,9 @@ object Graph {
       Pinned.free(spark, eH)
       e = pinnedNext
       eH = nextH
+      val n2 = pinnedNext.count()
+      stable = n2 == nEdges
+      nEdges = n2
       it += 1
     }
     val out = degreesOf(e).filter(col("deg") >= k)

@@ -54,7 +54,10 @@ object Selection {
   }
 
   private def refine(base: DataFrame, n: Long, lo0: Long, hi0: Long,
-                     k: Long): Long = {
+                     k: Long,
+                     histCache: scala.collection.mutable.Map[(Long, Long),
+                       Array[(Long, Long, Long, Long)]] =
+                       scala.collection.mutable.Map.empty): Long = {
     require(k >= 1, s"rank k must be >= 1 (1-based); got $k")
     require(k <= n, s"rank k=$k out of range (only $n non-null values)")
     var lo = lo0
@@ -78,12 +81,15 @@ object Selection {
       // walking the full ⌈64/log₂B⌉ bound. Same answer by construction:
       // the rank-k value lies in the chosen bucket, and every value there
       // is within [attained min, attained max].
-      val counts = base
+      // the histogram of a bracket is a pure function of (base, lo, hi) —
+      // batched callers (exactQuantiles) share one cache so the q quantiles
+      // pay ONE first-round scan instead of q identical ones (r6)
+      val counts = histCache.getOrElseUpdate((lo, hi), base
         .filter(col("__v") >= lo && col("__v") <= hi)
         .groupBy(call_function("div", col("__v") - lo, lit(width)).as("__b"))
         .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
+        .sortBy(_._1))
       var i = 0
       var found = false
       while (i < counts.length && !found) {
@@ -115,9 +121,11 @@ object Selection {
       val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
       val n = head.getLong(0)
       require(n > 0, "no non-null values to select from")
+      val cache = scala.collection.mutable.Map.empty[(Long, Long),
+        Array[(Long, Long, Long, Long)]]
       qs.map { q =>
         val k = math.max(1L, math.ceil(q * n).toLong)
-        (math.round(q * 10000), k, refine(base, n, head.getLong(1), head.getLong(2), k))
+        (math.round(q * 10000), k, refine(base, n, head.getLong(1), head.getLong(2), k, cache))
       }
     } finally base.unpersist()
   }
