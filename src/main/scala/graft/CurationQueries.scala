@@ -49,14 +49,21 @@ object CurationQueries {
           .as("text"))
 
   /** Shared DSIR weight frame for q_dsir_weights / q_select_dsir — target =
-    * the doc_id%7==0 slice of the suffix-planted corpus. */
-  private def dsirWeightFrame(s: SparkSession, d: String): DataFrame = {
-    val aug = dsirAug(s, d)
-    val feats = Curation.bucketCounts(toTok(aug), DsirB)
-    val tgtFeats = Curation.bucketCounts(
-      toTok(aug.filter(col("docid").cast("long") % 7 === 0)), DsirB)
-    Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB))
-  }
+    * the doc_id%7==0 slice of the suffix-planted corpus. Pinned once per
+    * (session, input) (r6): the two consumers each re-tokenized the corpus
+    * twice (full + target slice) per invocation for the same
+    * document-sized weight frame. */
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dsirWeightFrame(s: SparkSession, d: String): DataFrame =
+    dsirMemo.computeIfAbsent((s, d), _ => {
+      val aug = dsirAug(s, d)
+      val feats = Curation.bucketCounts(toTok(aug), DsirB)
+      val tgtFeats = Curation.bucketCounts(
+        toTok(aug.filter(col("docid").cast("long") % 7 === 0)), DsirB)
+      graft.plans.Pinned.pin(
+        Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB)))
+    })
 
   private def lrFeat(s: SparkSession, d: String): DataFrame = {
     val aug = lrAug(s, d)

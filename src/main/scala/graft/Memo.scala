@@ -104,6 +104,7 @@ object Memo {
   private val rankedMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (a, b) =>
     a.unpersist(false); b.unpersist(false)
   })
+  private val l3Memo = new BoundedMemo[DataFrame](_.unpersist(false))
   private val ivfMemo = new BoundedMemo[Array[Array[Double]]](_ => ())
   private val bpeMemo = new BoundedMemo[Seq[(Long, String, String, Long)]](_ => ())
 
@@ -205,6 +206,19 @@ object Memo {
           .persist(StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** The L3 coOccursWith document-level triple store (coverage ⋈ top-20 →
+    * distinct → subj/pred/obj), persisted once per (session, input): three
+    * registry queries (the store itself, its N-Triples serialization, and
+    * the parse round-trip) re-derived the same 27k-row frame — including
+    * its distinct exchange — per invocation (r6, same registry economics
+    * as the ranked-store memo). */
+  def l3TriplesOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): DataFrame =
+    l3Memo.getOrBuild((spark, s"$sfDir|l3|${cfg.canonicalId}")) {
+      val cs = coStatsOf(spark, sfDir, cfg)
+      Pipeline.coocTriples(cs.coverage, rankedStoresOf(spark, sfDir, cfg)._1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** E3's sense model for (sfDir, cfg): induced ONCE into a version-keyed
     * checkpoint under the model store and loaded back via the one-call API —
     * later processes (and later queries in this one) resume instead of
@@ -299,6 +313,7 @@ object Memo {
 
   /** Drop every memoized artifact for a session (test hygiene). */
   def invalidate(spark: SparkSession): Unit = {
+    l3Memo.invalidate(spark)
     rankedMemo.invalidate(spark)
     costatsMemo.invalidate(spark)
     tokdocsMemo.invalidate(spark)

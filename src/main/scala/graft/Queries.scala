@@ -148,33 +148,26 @@ object Queries {
         .select(col("entity"), col("term"), col("rank").as("rnk"))
         .orderBy("entity", "rnk")),
 
-    "q_l3_cooc_triples" -> ((s, d) => {
-      val cs = coStatsOf(s, d)
-      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
-      Pipeline.coocTriples(cs.coverage, top20).orderBy("subj", "obj")
-    }),
+    // the document-level L3 store is memoized too (Memo.l3TriplesOf): the
+    // store query, its serialization, and the parse round-trip share one
+    // persisted copy of the distinct'd triple frame
+    "q_l3_cooc_triples" -> ((s, d) =>
+      Memo.l3TriplesOf(s, d, cfg).orderBy("subj", "obj")),
 
     // RDF interchange: the same L3 graph serialized as W3C N-Triples lines
     // (IRI percent-encoding + literal ECHAR escaping replayed in SQL with
     // the identical replace chain)
-    "q_l3_ntriples" -> ((s, d) => {
-      val cs = coStatsOf(s, d)
-      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
-      Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)).orderBy("nt")
-    }),
+    "q_l3_ntriples" -> ((s, d) =>
+      Pipeline.toNTriples(Memo.l3TriplesOf(s, d, cfg)).orderBy("nt")),
 
     // RDF interchange, ingest direction: serialize the L3 graph to
     // N-Triples and PARSE it back — the oracle is the plain L3 store SQL,
     // so any encode/decode asymmetry (percent chain order, ECHAR pairing)
     // breaks the hash. fromNTriples is what a 100 TB external dump feeds
     // through via spark.read.text.
-    "q_kg_ntriples_parse" -> ((s, d) => {
-      val cs = coStatsOf(s, d)
-      val top20 = Memo.rankedStoresOf(s, d, cfg)._1
-      Pipeline.fromNTriples(
-          Pipeline.toNTriples(Pipeline.coocTriples(cs.coverage, top20)))
-        .orderBy("subj", "obj")
-    })
+    "q_kg_ntriples_parse" -> ((s, d) =>
+      Pipeline.fromNTriples(Pipeline.toNTriples(Memo.l3TriplesOf(s, d, cfg)))
+        .orderBy("subj", "obj"))
   )
 
   // ------------------------------------------------------------------

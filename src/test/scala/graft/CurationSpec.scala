@@ -60,6 +60,47 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("crawlBudget: no window anywhere in the plan (r6 scale-funnel fix), " +
+    "tie-heavy inputs equal the sorted-remainder brute force") {
+    // plan guard: the old implementation ranked remainders with one GLOBAL
+    // row_number window (a single-task funnel at web host counts); the
+    // refinement rewrite must plan without ANY Window operator
+    val hosts = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("d", 1L), ("e", 0L)).toDF("host", "w")
+    val plan = Curation.crawlBudget(hosts, 11L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+
+    // randomized tie-heavy sweep (few distinct weights over many hosts →
+    // large remainder tie classes, exercising the chunked host-boundary
+    // selection) vs the driver-side largest-remainder brute force
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 17
+      val names = (0 until n).map(i => s"h${rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString}$i")
+      val ws = names.map(_ => (1 + rnd.nextInt(3)).toLong) // 3 weight classes
+      val df = names.zip(ws).toDF("host", "w")
+      val b = 17L + rnd.nextInt(500)
+      val got = Curation.crawlBudget(df, b).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("budget")).toMap
+      val wt = ws.sum
+      val fl = names.zip(ws).map { case (h, w) => (h, w * b / wt, (w * b) % wt) }
+      val k = b - fl.map(_._2).sum
+      val bonus = fl.sortBy { case (h, _, rem) => (-rem, h) }.take(k.toInt).map(_._1).toSet
+      val want = fl.map { case (h, f, _) => h -> (f + (if (bonus(h)) 1L else 0L)) }.toMap
+      assert(got == want, s"trial $trial B=$b")
+      assert(got.values.sum == b)
+    }
+  }
+
+  test("kthStringBytewise equals the sorted order on random ASCII strings") {
+    val rnd = new scala.util.Random(11)
+    val strs = (0 until 60).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(20)).mkString).distinct
+    val df = strs.toDF("s")
+    val sorted = strs.sorted // String.compareTo == bytewise for ASCII
+    for (k <- Seq(1, 2, sorted.size / 2, sorted.size))
+      assert(Curation.kthStringBytewise(df, "s", k.toLong) == sorted(k - 1), s"k=$k")
+  }
+
   test("robotsGate: longest match wins, equal-length tie favors allow, no-rule default allows") {
     val rules = Seq(
       ("a.example", "/private", 0),
