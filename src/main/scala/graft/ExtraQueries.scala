@@ -23,14 +23,24 @@ object ExtraQueries {
   private def emb(spark: SparkSession, sfDir: String, maxId: Int) =
     spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < maxId)
 
+  /** The doc_id-keyed tokenized projection, persisted once per (session,
+    * input, condition) (r6): ~20 registry entries re-tokenized the corpus
+    * slice per invocation; the handful of distinct conditions (full corpus,
+    * the <30/<40/<200 fixture slices) now share one cached columnar copy
+    * each — the same shared-projection economics as Memo.tokDocsOf, bounded
+    * by the same LRU memo class. */
+  private val tdwMemo = new Memo.BoundedMemo[Dataset[TokDoc]](_.unpersist(false))
   private def tokdocsWhere(spark: SparkSession, sfDir: String,
                            cond: org.apache.spark.sql.Column): Dataset[TokDoc] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(cond)
-      .select(col("doc_id").cast("string").as("docid"), col("text"))
-      .as[(String, String)]
-      .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+    tdwMemo.getOrBuild((spark, s"$sfDir|tdw|${cond.toString}")) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(cond)
+        .select(col("doc_id").cast("string").as("docid"), col("text"))
+        .as[(String, String)]
+        .map { case (id, t) => TokDoc(id, Tokenize.tokensOf(t, Set.empty)) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   /** The corpus embeddings carry no natural near-duplicates (max pairwise
