@@ -65,11 +65,19 @@ object CurationQueries {
         Curation.dsirWeights(feats, Curation.dsirDeltas(feats, tgtFeats, DsirB)))
     })
 
-  private def lrFeat(s: SparkSession, d: String): DataFrame = {
-    val aug = lrAug(s, d)
-    Curation.presenceFeatures(toTok(aug), LrB)
-      .join(aug.select("docid", "y"), "docid")
-  }
+  /** Pinned once per (session, input) (r6): the feature frame is the
+    * shared prefix of LR training (warm phase), q_lr_score and
+    * q_select_classifier — each invocation re-tokenized the corpus for the
+    * same document-sized hashed-presence frame. */
+  private val lrFeatMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lrFeat(s: SparkSession, d: String): DataFrame =
+    lrFeatMemo.computeIfAbsent((s, d), _ => {
+      val aug = lrAug(s, d)
+      graft.plans.Pinned.pin(
+        Curation.presenceFeatures(toTok(aug), LrB)
+          .join(aug.select("docid", "y"), "docid"))
+    })
 
   /** The trained model is pure driver data (B+1 longs) with no session
     * references, so it memoizes safely per sf dir — q_lr_train and

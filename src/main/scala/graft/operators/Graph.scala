@@ -327,15 +327,19 @@ object Graph {
     val und = undirected(edges).select(col("a"), col("b"))
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient by (deg, node): u = smaller endpoint under the order
-    val o = und
+    // orient by (deg, node): u = smaller endpoint under the order.
+    // The oriented edge frame is PINNED (r6): the plan below references it
+    // three times (both wedge legs and the closing-edge probe) and a plan
+    // is a tree, so the un-pinned form re-derived the orientation joins
+    // per reference — pinning computes the edge-sized frame once.
+    val o = Pinned.pin(und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("v"))
+          col("b")).otherwise(col("a")).as("v")))
     // wedges (u->v, u->w) with v before w under the same order = distinct
     // oriented pairs out of u; close each with the oriented edge (v, w)
     val e1 = o.select(col("u"), col("v"))
