@@ -39,4 +39,7 @@ for i in $(seq "$MAX_PROBES"); do
   fi
   sleep "$PROBE_SLEEP"
 done
+# exit 2 so CI/cron callers can distinguish "no clean window found" from a
+# completed close-out (ADVICE r5)
 echo "NO_CLEAN_WINDOW" >> "$OUT"
+exit 2

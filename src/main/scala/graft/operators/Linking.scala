@@ -36,13 +36,24 @@ object Linking {
   def gazetteerMentions(td: org.apache.spark.sql.Dataset[graft.TokDoc],
                         aliases: DataFrame): DataFrame = {
     import td.sparkSession.implicits._
+    // alias length counts NON-EMPTY space-separated tokens (ADVICE r5): a
+    // raw size(split(..)) counts empty fragments, so leading/double spaces
+    // (or an empty alias, which split renders as ['']) got a wrong length
+    // and silently never matched — identical output for well-formed
+    // aliases, loud require for genuinely token-free ones
     val al = aliases.select(col("entity").cast("string").as("entity"),
       col("alias").cast("string").as("alias"))
-      .withColumn("len", size(split(col("alias"), " ")))
+      // the join key is normalized to single-spaced non-empty tokens so a
+      // malformed alias matches its token sequence instead of silently
+      // never matching the single-spaced grams
+      .withColumn("toks", filter(split(col("alias"), " "), t => t =!= ""))
+      .select(col("entity"), array_join(col("toks"), " ").as("alias"),
+        size(col("toks")).as("len"))
     // dictionary-sized collect: the distinct alias lengths drive which
     // positional n-grams the corpus pass emits
     val lens = al.select("len").distinct().as[Int].collect().sorted
-    require(lens.nonEmpty && lens.head >= 1, "gazetteer needs non-empty aliases")
+    require(lens.nonEmpty && lens.head >= 1,
+      "gazetteer needs aliases with at least one non-empty token")
     val grams = td.mapPartitions(_.flatMap { d =>
       lens.iterator.flatMap { l =>
         if (d.terms.length < l) Iterator.empty

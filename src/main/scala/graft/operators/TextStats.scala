@@ -614,13 +614,20 @@ object TextStats {
       .withColumn("sha", sha2(col("content"), 256))
       .withColumn("ntok",
         size(filter(split(lower(col("content")), "[^a-z0-9_]+"), t => t =!= "")))
+    // subtotal rows are labeled via grouping() (ADVICE r5): a coalesce on
+    // the VALUE column would collide a genuinely-NULL lang (or a literal
+    // 'ALL') with the subtotal label; grouping() marks the rollup arm
+    // itself, so the label is unambiguous on any corpus — and identical
+    // output to the old form wherever lang/bucket are non-null non-'ALL'
     sized.rollup(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("content"))).cast("long").as("n_chars"),
         sum(col("ntok")).cast("long").as("n_tokens"),
-        countDistinct(col("sha")).as("n_distinct"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("bucket"), lit("ALL")).as("bucket"),
+        countDistinct(col("sha")).as("n_distinct"),
+        grouping(col("lang")).as("__gl"), grouping(col("bucket")).as("__gb"))
+      .select(
+        when(col("__gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("__gb") === 1, lit("ALL")).otherwise(col("bucket")).as("bucket"),
         col("n_docs"), col("n_chars"), col("n_tokens"), col("n_distinct"))
   }
 
