@@ -185,9 +185,25 @@ object Memo {
     * (coverage feeds A3/A4/L3, scored feeds C1/C2/C3/L3) persisted once. */
   def coStatsOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): Pipeline.CoStats =
     costatsMemo.getOrBuild((spark, s"$sfDir|${cfg.canonicalId}")) {
-      val cs = Pipeline.coStatsFrom(tokDocsOf(spark, sfDir, cfg), cfg)
+      // r6 (guide §2.6 — overlap independent jobs): materialize the shared
+      // tokenized projection ONCE up front, then let the chain's two
+      // independent corpus aggregations (coverage-side and marginals/
+      // scored-side) materialize on concurrent driver threads — the
+      // sequential build paid max+min where max alone is inherent. Safe to
+      // fork because both read the already-cached projection; results are
+      // unchanged (each frame is materialized exactly once, just earlier).
+      val td = tokDocsOf(spark, sfDir, cfg)
+      td.toDF().count() // tokenize exactly once, before the fork
+      val cs = Pipeline.coStatsFrom(td, cfg)
       cs.coverage.persist(StorageLevel.MEMORY_AND_DISK)
       cs.scored.persist(StorageLevel.MEMORY_AND_DISK)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fCov = Future { cs.coverage.count() }
+      val fScored = Future { cs.scored.count() }
+      Await.result(fCov, Duration.Inf)
+      Await.result(fScored, Duration.Inf)
       cs
     }
 
