@@ -97,12 +97,17 @@ object Graph {
       val e0 = edges.select(col("src"), col("dst"), col("w"))
       e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
     }
-    val (outSrcs, owH) = Pinned.pinTracked(e.select(col("src")).distinct())
-    val (nodes, nodesH) = Pinned.pinTracked(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    // dangling = nodes with no out-edge (their mass redistributes uniformly)
-    val (dangling, dangH) = Pinned.pinTracked(
-      nodes.join(outSrcs.select(col("src").as("node")), Seq("node"), "left_anti"))
+    // the node frame carries the dangling flag (r6): the old loop re-joined
+    // `dangling ⋈ ranks` every round just to sum the dangling mass; with
+    // the flag riding the pinned rank frame, the dangling share is a plain
+    // filtered 1-row aggregation of the frame the round reads anyway.
+    val (nodes, nodesH) = Pinned.pinTracked {
+      val outSrcs = e.select(col("src").as("node")).distinct()
+        .withColumn("has_out", lit(true))
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+        .join(outSrcs, Seq("node"), "left")
+        .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"))
+    }
 
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge set")
@@ -110,14 +115,14 @@ object Graph {
     val teleport = seed * (dampDen - dampNum) / dampDen
 
     var (ranks, ranksH) = Pinned.pinTracked(
-      nodes.select(col("node"), lit(seed).as("rank")))
+      nodes.select(col("node"), lit(seed).as("rank"), col("dang")))
     var it = 0
     while (it < iters) {
       val inflow = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val dshare = dangling.join(ranks, Seq("node"))
+      val dshare = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
         .select(expr(s"dsum div ${n}L").as("dshare"))
       val next = nodes
@@ -125,16 +130,16 @@ object Graph {
         .crossJoin(dshare)
         .select(col("node"),
           expr(s"${teleport}L + ((coalesce(inflow, 0L) + dshare) * ${dampNum}L) div ${dampDen}L")
-            .as("rank"))
+            .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
       freeH(ranksH)
       ranks = pinnedNext
       ranksH = nextH
       it += 1
     }
-    freeH(eH); freeH(owH); freeH(nodesH); freeH(dangH)
+    freeH(eH); freeH(nodesH)
     // the final pinned rank frame is the result (caller drops -> cleaner)
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank: the teleport mass lands on `sources` (column
@@ -157,55 +162,59 @@ object Graph {
     val spark = edges.sparkSession
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    // out-weight folded into the pinned edge set (same r6 move as pageRank)
+    // out-weight folded into the pinned edge set, and the dangling/source
+    // flags folded into the node and rank frames (same r6 moves as
+    // pageRank): the per-round `dangling ⋈ ranks` and `⋈ isSrc` joins
+    // become a filtered aggregation and a carried column.
     val (e, eH) = Pinned.pinTracked {
       val e0 = edges.select(col("src"), col("dst"), col("w"))
       e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
     }
-    val (outSrcs, owH) = Pinned.pinTracked(e.select(col("src")).distinct())
-    val (nodes, nodesH) = Pinned.pinTracked(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    val (dangling, dangH) = Pinned.pinTracked(
-      nodes.join(outSrcs.select(col("src").as("node")), Seq("node"), "left_anti"))
-    // sources restricted to graph nodes: mass must stay on the lattice
-    val (srcs, srcsH) = Pinned.pinTracked(
-      sources.select(col("node")).distinct().join(nodes, Seq("node"), "left_semi"))
+    val (nodes, nodesH) = Pinned.pinTracked {
+      val outSrcs = e.select(col("src").as("node")).distinct()
+        .withColumn("has_out", lit(true))
+      val srcFlag = sources.select(col("node")).distinct()
+        .withColumn("src_flag", lit(1L))
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+        .join(outSrcs, Seq("node"), "left")
+        .join(srcFlag, Seq("node"), "left")
+        .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"),
+          coalesce(col("src_flag"), lit(0L)).as("is_src"))
+    }
 
-    val nS = srcs.count()
+    val nS = nodes.filter(col("is_src") === 1L).count()
     require(nS > 0, "personalizedPageRank needs at least one source present in the graph")
     val tp = scale * (dampDen - dampNum) / dampDen / nS
-    val isSrc = srcs.select(col("node"), lit(1L).as("is_src"))
 
     var (ranks, ranksH) = Pinned.pinTracked(
-      nodes.join(isSrc, Seq("node"), "left")
-        .select(col("node"),
-          when(col("is_src") === 1L, lit(scale / nS)).otherwise(lit(0L)).as("rank")))
+      nodes.select(col("node"),
+        when(col("is_src") === 1L, lit(scale / nS)).otherwise(lit(0L)).as("rank"),
+        col("dang")))
     var it = 0
     while (it < iters) {
       val inflow = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val dshare = dangling.join(ranks, Seq("node"))
+      val dshare = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
         .select(expr(s"dsum div ${nS}L").as("dshare"))
       val next = nodes
         .join(inflow, Seq("node"), "left")
-        .join(isSrc, Seq("node"), "left")
         .crossJoin(dshare)
         .select(col("node"),
-          expr(s"""coalesce(is_src, 0L) * ${tp}L
-                  | + ((coalesce(inflow, 0L) + coalesce(is_src, 0L) * dshare)
+          expr(s"""is_src * ${tp}L
+                  | + ((coalesce(inflow, 0L) + is_src * dshare)
                   |    * ${dampNum}L) div ${dampDen}L""".stripMargin.replace("\n", " "))
-            .as("rank"))
+            .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
       freeH(ranksH)
       ranks = pinnedNext
       ranksH = nextH
       it += 1
     }
-    freeH(eH); freeH(owH); freeH(nodesH); freeH(dangH); freeH(srcsH)
-    ranks
+    freeH(eH); freeH(nodesH)
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Nodes reachable within `maxHops` directed hops, excluding the node
