@@ -98,7 +98,13 @@ object ExtraQueries {
     * contract as the IVF index; training is deterministic in sfDir). */
   private def bpeTable(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
     Memo.bpeMergesOf(s, s"$d|nmerges8") {
-      Bpe.merges(tokdocsWhere(s, d, lit(true)), 8).orderBy("step").collect()
+      // r6: train via the batched-EXACT trainer — BIT-IDENTICAL merge table
+      // to the sequential `Bpe.merges` on every input (BpeSpec proves it on
+      // randomized adversarial corpora; the q_vocab_bpe oracle replays the
+      // sequential 8 rounds and stays green), in fewer Spark rounds
+      // wherever the ranked prefix is provably conflict-free
+      Bpe.mergesBatched(tokdocsWhere(s, d, lit(true)), 8, exact = true)
+        .orderBy("step").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     }
 
