@@ -136,13 +136,13 @@ object ExtraQueries {
     * (session, input) and pinned node-sized (r6; same registry economics as
     * the bpe/lr/costats memos — the first consumer pays the build, every
     * later invocation reads the assignment). */
-  private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ccMemo = new Memo.BoundedMemo[DataFrame](_.unpersist(false))
   private def plantedClusters(s: SparkSession, d: String): DataFrame =
-    ccMemo.computeIfAbsent((s, d), _ =>
+    ccMemo.getOrBuild((s, s"$d|plantedcc")) {
       graft.plans.Pinned.pin(
         Dedup.nearDupClusters(
-          Dedup.ngramJaccardPairs(tdWithPlantedNearDups(s, d), 2, 0.85))))
+          Dedup.ngramJaccardPairs(tdWithPlantedNearDups(s, d), 2, 0.85)))
+    }
 
   /** SQL replay of tdWithPlantedNearDups — shared by the q_dedup_cc and
     * q_dedup_substring oracles so the fixture can never silently diverge
