@@ -29,6 +29,12 @@ object Scratch {
         s"hist-mean=${METRIC_COMPILATION_TIME.getSnapshot.getMean}"
     }
 
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = stages += 1
+    })
     val t0w = System.nanoTime()
     val edges = Memo.kgEdgesOf(spark, sfDir, Queries.cfg)
     edges.count()
@@ -36,8 +42,9 @@ object Scratch {
 
     (1 to 4).foreach { i =>
       val t0 = System.nanoTime()
+      jobs = 0; stages = 0
       operators.Graph.hits(edges, iters = 5).count()
-      println(f"[scratch] hits rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s; codegen: ${codegenStats()}")
+      println(f"[scratch] hits rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=$jobs stages=$stages; codegen: ${codegenStats()}")
     }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
