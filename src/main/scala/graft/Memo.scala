@@ -176,9 +176,17 @@ object Memo {
     * the E2/E3 memos). */
   def kgEdgesOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): DataFrame =
     edgesMemo.getOrBuild((spark, s"$sfDir|kgedges|${cfg.maxDocChars}")) {
-      operators.Graph.bigramEdges(
+      val e = operators.Graph.bigramEdges(
         Tokenize.tokensFrom(tokDocsOf(spark, sfDir, cfg)).toDF())
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // r6: materialize at build time (the count was always charged to the
+      // warm phase — Bench counts this frame immediately) and hand every
+      // consumer a size-compacted view: the whole q_kg_* family scans this
+      // edge frame per query, and a KB-sized cached frame otherwise costs
+      // core-count task launches per scan (Tuning.compact is a narrow
+      // wrapper; unchanged at production edge counts). Graph results are
+      // partitioning-invariant by contract (GraphSpec bit-equality).
+      Tuning.compact(e, e.count())
     }
 
   /** The E2 chain over the shared projection, with its two reused frames

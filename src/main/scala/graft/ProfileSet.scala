@@ -23,6 +23,14 @@ object ProfileSet {
     spark.sparkContext.setLogLevel("WARN")
     Bench.muteCheckpointWarns()
 
+    // steal-insensitive shape evidence: jobs/stages per query rep
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = jobs += 1
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = stages += 1
+    })
+
     val t0 = System.nanoTime()
     val warmCs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
     warmCs.coverage.count(); warmCs.scored.count()
@@ -34,11 +42,13 @@ object ProfileSet {
       val steal0 = HostStat.stealJiffies()
       val runs = (1 to reps).map { _ =>
         val t = System.nanoTime()
+        jobs = 0; stages = 0
         fn(spark, sfDir).count()
-        (System.nanoTime() - t) / 1e9
+        ((System.nanoTime() - t) / 1e9, jobs, stages)
       }
       val steal = HostStat.stealSecSince(steal0).map(s => f"$s%.1f").getOrElse("?")
-      println(f"[pset] $name%-28s min ${runs.min}%6.2f s  runs ${runs.map(r => f"$r%.2f").mkString(" ")}  steal ${steal}s")
+      val best = runs.minBy(_._1)
+      println(f"[pset] $name%-28s min ${best._1}%6.2f s  jobs ${best._2}%3d stages ${best._3}%3d  runs ${runs.map(r => f"${r._1}%.2f").mkString(" ")}  steal ${steal}s")
     }
     spark.stop()
   }

@@ -6,9 +6,6 @@ import org.apache.spark.scheduler._
 /** Dev-only microbenchmark scratchpad (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    if (sys.env.get("GRAFT_CODEGEN_CACHE").isDefined)
-      System.setProperty("spark.sql.codegen.cache.maxEntries",
-        sys.env("GRAFT_CODEGEN_CACHE"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -22,35 +19,22 @@ object Scratch {
     Bench.muteCheckpointWarns()
     Tuning.ensure(spark)
 
-    def codegenStats(): String = {
-      import org.apache.spark.metrics.source.CodegenMetrics._
-      s"compiled=${METRIC_SOURCE_CODE_SIZE.getCount} bytes, " +
-        s"compileTime=${METRIC_COMPILATION_TIME.getCount} ms-count " +
-        s"hist-mean=${METRIC_COMPILATION_TIME.getSnapshot.getMean}"
-    }
-
     @volatile var jobs = 0
-    @volatile var stages = 0
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = stages += 1
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs += 1
+        val desc = Option(e.properties).flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        val site = Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobLog.add(s"job ${e.jobId} stages=${e.stageInfos.size} tasks=${e.stageInfos.map(_.numTasks).sum} site=$site desc=$desc")
+      }
     })
-    val t0w = System.nanoTime()
     val edges = Memo.kgEdgesOf(spark, sfDir, Queries.cfg)
     edges.count()
-    println(f"[scratch] warm ${(System.nanoTime() - t0w) / 1e9}%.2f s; codegen: ${codegenStats()}")
 
-    (1 to 4).foreach { i =>
-      val t0 = System.nanoTime()
-      jobs = 0; stages = 0
-      operators.Graph.hits(edges, iters = 5).count()
-      println(f"[scratch] hits rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s jobs=$jobs stages=$stages; codegen: ${codegenStats()}")
-    }
-    (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q_kg_triangles")(spark, sfDir).count()
-      println(f"[scratch] triangles rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s; codegen: ${codegenStats()}")
-    }
+    val r = operators.Graph.pageRank(edges, iters = 8)
+    println(s"[scratch] result partitions = ${r.rdd.getNumPartitions}")
+    println(s"[scratch] edges partitions = ${edges.rdd.getNumPartitions}")
     spark.stop()
   }
 }

@@ -27,6 +27,37 @@ import org.apache.spark.sql.SparkSession
   * hook (the session then runs exactly as the caller built it). */
 object Tuning {
 
+  /** Row-count ceiling under which a MEASURED node-sized frame may be
+    * broadcast-hinted by the iterative graph loops (guide §3.1: hint
+    * explicitly when you KNOW a side is small — these loops have just
+    * counted it). At the ~40–80 bytes/row of a (node, rank) frame the
+    * default 1M rows is ≤ ~100 MB framed, far under the 8 GB / 512M-row
+    * broadcast cap; production-scale graphs exceed the limit and keep the
+    * shuffle path — the decision is data-adaptive, not local-tuned.
+    * Env-overridable; 0 disables the hints. */
+  val broadcastNodeLimit: Long =
+    sys.env.getOrElse("GRAFT_BROADCAST_NODE_LIMIT", "1000000").toLong
+
+  /** Size-adaptive narrow compaction of an already-materialized (pinned or
+    * persisted) frame. AQE cannot re-coalesce a cached plan's output
+    * partitioning (`canChangeCachedPlanOutputPartitioning` is off by
+    * default, and flipping it would also re-partition the float-path
+    * model-induction inputs, which are partition-order-sensitive), so a
+    * node-/edge-sized cached frame keeps the harness' core-count partitions
+    * and every downstream scan pays that many task launches for near-empty
+    * blocks. When the MEASURED row count implies fewer useful tasks, wrap
+    * the frame in a narrow `coalesce` — no data moves, no shuffle; at
+    * production row counts the target meets/exceeds the current partition
+    * count and the frame is returned UNCHANGED. Callers restrict this to
+    * integer-exact consumers (graph lattice, counting aggs), whose results
+    * are partitioning-invariant by spec'd contract. */
+  def compact(df: org.apache.spark.sql.DataFrame, rows: Long,
+              rowsPerTask: Long = 262144L): org.apache.spark.sql.DataFrame = {
+    val cur = df.rdd.getNumPartitions
+    val want = math.max(1L, math.min(cur.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt
+    if (want < cur) df.coalesce(want) else df
+  }
+
   private val applied =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -449,10 +449,15 @@ object Curation {
     * with map-side combine on ≤ B+1 keys; model state never exceeds B+1
     * longs. `feat` must carry an integer `y` ∈ {0,1}. */
   def trainLogReg(feat: DataFrame, b: Int, rounds: Int, lr: Double = 1.0): LrModel = {
-    val cached = feat.select(col("y").cast("long").as("y"), col("buckets"))
+    val cachedRaw = feat.select(col("y").cast("long").as("y"), col("buckets"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cached.count()
+    val n = cachedRaw.count()
     require(n > 0, "trainLogReg: empty training frame")
+    // r6: size-compact the cached training frame (narrow wrapper, see
+    // Tuning.compact) — every round scans it, the per-row gradient is
+    // quantized to a Long BEFORE the sum, so the aggregate is partition-
+    // order-invariant and the round replay (q_lr_train oracle) unchanged
+    val cached = graft.Tuning.compact(cachedRaw, n)
     val wq = new Array[Long](b)
     var biasq = 0L
     var r = 0
@@ -471,7 +476,7 @@ object Curation {
       }
       r += 1
     }
-    cached.unpersist()
+    cachedRaw.unpersist()
     LrModel(b, rounds, wq, biasq)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.Pinned
+import graft.Tuning
 
 /** Knowledge-graph analytics over an edge frame `(src, dst, w)` — the
   * graph-side consumers of the triple/co-occurrence outputs the pipeline
@@ -93,15 +94,19 @@ object Graph {
     // INTO the pinned edge set up front (r6 optimization): the old loop
     // re-joined edges ⋈ outw every round — identical rows, one join per
     // round saved, and the pinned edge frame grows by one LONG column.
-    val (e, eH) = Pinned.pinTracked {
+    val (ePinned, eH) = Pinned.pinTracked {
       val e0 = edges.select(col("src"), col("dst"), col("w"))
       e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
     }
+    // r6: size-compact the pinned loop frames (narrow wrapper, see
+    // Tuning.compact) — the round bodies scan them `iters` times, and a
+    // KB-sized pin otherwise costs core-count task launches per scan
+    val e = Tuning.compact(ePinned, ePinned.count())
     // the node frame carries the dangling flag (r6): the old loop re-joined
     // `dangling ⋈ ranks` every round just to sum the dangling mass; with
     // the flag riding the pinned rank frame, the dangling share is a plain
     // filtered 1-row aggregation of the frame the round reads anyway.
-    val (nodes, nodesH) = Pinned.pinTracked {
+    val (nodesPinned, nodesH) = Pinned.pinTracked {
       val outSrcs = e.select(col("src").as("node")).distinct()
         .withColumn("has_out", lit(true))
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
@@ -109,27 +114,44 @@ object Graph {
         .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"))
     }
 
-    val n = nodes.count()
+    val n = nodesPinned.count()
     require(n > 0, "pageRank on an empty edge set")
+    val nodes = Tuning.compact(nodesPinned, n)
     val seed = scale / n
     val teleport = seed * (dampDen - dampNum) / dampDen
+
+    // r6 (guide §3.1): every per-round join has one node-sized side (ranks
+    // into the edge join, the inflow aggregate into the node join). n was
+    // just measured, so when it is provably broadcast-safe, hint it — the
+    // edge-sized side then never exchanges. Data-adaptive: production node
+    // counts exceed the limit and keep the shuffle plan.
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (n <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
+        df.hint("broadcast") else df
 
     var (ranks, ranksH) = Pinned.pinTracked(
       nodes.select(col("node"), lit(seed).as("rank"), col("dang")))
     var it = 0
     while (it < iters) {
+      // r6: the dangling share is ONE scalar per round — collected from the
+      // already-pinned rank frame (1-row driver result, node-sized scan of
+      // cached blocks) and injected into the round plan as a LITERAL. The
+      // old per-round crossJoin(dshare) paid a single-partition exchange +
+      // broadcast + nested-loop stage for that scalar; the lattice value is
+      // bit-identical (Long `div` and Scala `/` both truncate toward zero,
+      // and rank mass is non-negative).
+      val dsum = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+        .head().getLong(0)
+      val dshare = dsum / n
       val inflow = e
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(maybeBcast(ranks.select(col("node").as("src"), col("rank"))), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val dshare = ranks.filter(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .select(expr(s"dsum div ${n}L").as("dshare"))
       val next = nodes
-        .join(inflow, Seq("node"), "left")
-        .crossJoin(dshare)
+        .join(maybeBcast(inflow), Seq("node"), "left")
         .select(col("node"),
-          expr(s"${teleport}L + ((coalesce(inflow, 0L) + dshare) * ${dampNum}L) div ${dampDen}L")
+          expr(s"${teleport}L + ((coalesce(inflow, 0L) + ${dshare}L) * ${dampNum}L) div ${dampDen}L")
             .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
       freeH(ranksH)
@@ -166,11 +188,13 @@ object Graph {
     // flags folded into the node and rank frames (same r6 moves as
     // pageRank): the per-round `dangling ⋈ ranks` and `⋈ isSrc` joins
     // become a filtered aggregation and a carried column.
-    val (e, eH) = Pinned.pinTracked {
+    val (ePinned, eH) = Pinned.pinTracked {
       val e0 = edges.select(col("src"), col("dst"), col("w"))
       e0.join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
     }
-    val (nodes, nodesH) = Pinned.pinTracked {
+    // r6: size-compact the pinned loop frames (narrow wrapper, Tuning.compact)
+    val e = Tuning.compact(ePinned, ePinned.count())
+    val (nodesPinned, nodesH) = Pinned.pinTracked {
       val outSrcs = e.select(col("src").as("node")).distinct()
         .withColumn("has_out", lit(true))
       val srcFlag = sources.select(col("node")).distinct()
@@ -182,9 +206,16 @@ object Graph {
           coalesce(col("src_flag"), lit(0L)).as("is_src"))
     }
 
-    val nS = nodes.filter(col("is_src") === 1L).count()
+    val nS = nodesPinned.filter(col("is_src") === 1L).count()
     require(nS > 0, "personalizedPageRank needs at least one source present in the graph")
     val tp = scale * (dampDen - dampNum) / dampDen / nS
+
+    // same measured-size broadcast hint as pageRank (guide §3.1)
+    val nN = nodesPinned.count()
+    val nodes = Tuning.compact(nodesPinned, nN)
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (nN <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
+        df.hint("broadcast") else df
 
     var (ranks, ranksH) = Pinned.pinTracked(
       nodes.select(col("node"),
@@ -192,19 +223,23 @@ object Graph {
         col("dang")))
     var it = 0
     while (it < iters) {
+      // r6: same literal-dangling-share move as pageRank — one scalar
+      // collected from the pinned rank frame replaces the per-round
+      // crossJoin broadcast; truncating division is sign-identical on the
+      // non-negative mass domain, so the lattice replay is unchanged.
+      val dsum = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+        .head().getLong(0)
+      val dshare = dsum / nS
       val inflow = e
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(maybeBcast(ranks.select(col("node").as("src"), col("rank"))), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val dshare = ranks.filter(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .select(expr(s"dsum div ${nS}L").as("dshare"))
       val next = nodes
-        .join(inflow, Seq("node"), "left")
-        .crossJoin(dshare)
+        .join(maybeBcast(inflow), Seq("node"), "left")
         .select(col("node"),
           expr(s"""is_src * ${tp}L
-                  | + ((coalesce(inflow, 0L) + is_src * dshare)
+                  | + ((coalesce(inflow, 0L) + is_src * ${dshare}L)
                   |    * ${dampNum}L) div ${dampDen}L""".stripMargin.replace("\n", " "))
             .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
@@ -509,32 +544,49 @@ object Graph {
     val spark = edges.sparkSession
     def freeH(h: Pinned.Handle): Unit = Pinned.free(spark, h)
 
-    val (e, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
-    val (nodes, _) = Pinned.pinTracked(
+    val (ePinned, eH) = Pinned.pinTracked(edges.select(col("src"), col("dst"), col("w")))
+    // r6: size-compact the pinned loop frames (narrow wrapper, Tuning.compact)
+    val e = Tuning.compact(ePinned, ePinned.count())
+    val (nodesPinned, _) = Pinned.pinTracked(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
+    val n = nodesPinned.count()
     require(n > 0, "hits on an empty edge set")
+    val nodes = Tuning.compact(nodesPinned, n)
+
+    // same measured-size broadcast hint as pageRank (guide §3.1): the score
+    // side of every half-step join is node-sized and n was just counted
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (n <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
+        df.hint("broadcast") else df
 
     /** One half-step, SPARSE form (r6 optimization): rows exist only for
       * nodes that RECEIVE mass this half-step; an absent row means score 0,
       * which the next half-step's join treats identically (a 0-score row
       * contributes s·w = 0 to every sum, and zeros don't move the
       * renormalization total). The per-half-step `nodes` zero-fill join of
-      * the dense form is deferred to ONE final projection, and only the
-      * round-closing hub frame is pinned — the intermediate authority plan
-      * is referenced exactly once (by the hub it feeds), so inlining it
-      * recomputes nothing. Lattice arithmetic is unchanged round-for-round
-      * (same raw sums, same totals, same truncating renormalization). */
-    def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      * the dense form is deferred to ONE final projection.
+      *
+      * The renormalization total is ONE scalar: the raw frame is pinned
+      * (edge join + aggregation, the half-step's real work), the total is
+      * collected from the pinned blocks as a 1-row driver result, and the
+      * truncating renormalization becomes a LAZY literal projection over
+      * the pinned raw frame. The old form's per-half-step total paid a
+      * single-partition exchange + broadcast + nested-loop stage inside
+      * the round pin; arithmetic is bit-identical (same raw sums, same
+      * total, same truncating division — Long `div` and Scala `/` agree on
+      * the non-negative mass domain). Returns the renormalized frame plus
+      * the handle of the raw pin backing it. */
+    def halfStep(score: DataFrame, from: String, to: String): (DataFrame, Pinned.Handle) = {
       val raw = e
-        .join(score.select(col("node").as(from), col("s")), Seq(from))
+        .join(maybeBcast(score.select(col("node").as(from), col("s"))), Seq(from))
         .select(col(to).as("node"), expr("s * w").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
-      val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
-      raw.crossJoin(tot)
-        .select(col("node"),
-          when(col("t") > 0L, expr(s"(raw * ${scale}L) div t"))
-            .otherwise(lit(0L)).as("s"))
+      val (rawP, rawH) = Pinned.pinTracked(raw)
+      val t = rawP.agg(coalesce(sum(col("raw")), lit(0L)).as("t")).head().getLong(0)
+      val s =
+        if (t > 0L) rawP.select(col("node"), expr(s"(raw * ${scale}L) div ${t}L").as("s"))
+        else rawP.select(col("node"), lit(0L).as("s"))
+      (s, rawH)
     }
 
     val seed = scale / n
@@ -543,14 +595,12 @@ object Graph {
     var lastAuth: DataFrame = null
     var it = 0
     while (it < iters) {
-      val auth = halfStep(hubs, "src", "dst")
-      // the final round's authority frame is part of the OUTPUT: pin it;
-      // earlier rounds inline it into the hub pin (single reference)
-      val authIn =
-        if (it == iters - 1) { val (a, _) = Pinned.pinTracked(auth); lastAuth = a; a }
-        else auth
-      val (nextHb, nextHbH) = Pinned.pinTracked(halfStep(authIn, "dst", "src"))
+      val (auth, authH) = halfStep(hubs, "src", "dst")
+      val (nextHb, nextHbH) = halfStep(auth, "dst", "src")
+      // the hub pin has consumed the auth frame, so the auth raw pin can be
+      // freed — except the final round's, whose frame is part of the OUTPUT
       hubsH.foreach(freeH)
+      if (it == iters - 1) lastAuth = auth else freeH(authH)
       hubs = nextHb
       hubsH = Some(nextHbH)
       it += 1
@@ -558,8 +608,8 @@ object Graph {
     freeH(eH)
     // one dense zero-fill at the end (the contract returns every node)
     nodes
-      .join(hubs.select(col("node"), col("s").as("hub")), Seq("node"), "left")
-      .join(lastAuth.select(col("node"), col("s").as("auth")), Seq("node"), "left")
+      .join(maybeBcast(hubs.select(col("node"), col("s").as("hub"))), Seq("node"), "left")
+      .join(maybeBcast(lastAuth.select(col("node"), col("s").as("auth"))), Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
     // result derives from the still-pinned nodes/hub/auth frames; they are
