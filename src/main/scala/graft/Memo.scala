@@ -210,9 +210,21 @@ object Memo {
       import scala.concurrent.duration.Duration
       val fCov = Future { cs.coverage.count() }
       val fScored = Future { cs.scored.count() }
-      Await.result(fCov, Duration.Inf)
-      Await.result(fScored, Duration.Inf)
-      cs
+      val nCov = Await.result(fCov, Duration.Inf)
+      val nScored = Await.result(fScored, Duration.Inf)
+      // r6: hand consumers size-compacted views of the two persisted frames
+      // (narrow coalesce, same rationale as Tuning.compact — AQE cannot
+      // re-coalesce a cached plan, so a KB-sized cache otherwise costs
+      // core-count task launches on every one of its ~30 consumers' scans).
+      // Values were materialized by the counts above, so nothing can drift;
+      // unchanged at production row counts.
+      def compactDs[T](ds: org.apache.spark.sql.Dataset[T], rows: Long): org.apache.spark.sql.Dataset[T] = {
+        val cur = ds.rdd.getNumPartitions
+        val want = math.max(1L, math.min(cur.toLong, (rows + 262143L) / 262144L)).toInt
+        if (want < cur) ds.coalesce(want) else ds
+      }
+      cs.copy(coverage = compactDs(cs.coverage, nCov),
+        scored = compactDs(cs.scored, nScored))
     }
 
   /** The two standing ranked stores of the q_kg_* family — the top-20

@@ -19,22 +19,36 @@ object Scratch {
     Bench.muteCheckpointWarns()
     Tuning.ensure(spark)
 
-    @volatile var jobs = 0
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // per-description wall-time accounting for E1 jobs
+    val t0ofJob = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val agg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        jobs += 1
-        val desc = Option(e.properties).flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-        val site = Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        jobLog.add(s"job ${e.jobId} stages=${e.stageInfos.size} tasks=${e.stageInfos.map(_.numTasks).sum} site=$site desc=$desc")
+        val desc = Option(e.properties).flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("<none>")
+        t0ofJob.put(e.jobId, (desc, System.nanoTime()))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(t0ofJob.remove(e.jobId)).foreach { case (desc, t0) =>
+          val dt = System.nanoTime() - t0
+          agg.merge(desc, (dt, 1), (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
       }
     })
-    val edges = Memo.kgEdgesOf(spark, sfDir, Queries.cfg)
-    edges.count()
-
-    val r = operators.Graph.pageRank(edges, iters = 8)
-    println(s"[scratch] result partitions = ${r.rdd.getNumPartitions}")
-    println(s"[scratch] edges partitions = ${edges.rdd.getNumPartitions}")
+    val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    (1 to 3).foreach { i =>
+      agg.clear()
+      val t0 = System.nanoTime()
+      val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
+      val n = r.triples.count()
+      println(f"[scratch] e1 rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s triples=$n")
+      if (i == 3) {
+        import scala.jdk.CollectionConverters._
+        agg.asScala.toSeq.sortBy(-_._2._1).foreach { case (d, (ns, cnt)) =>
+          println(f"[scratch]   ${ns/1e9}%6.2f s  $cnt%3d jobs  $d")
+        }
+      }
+      r.cleanup()
+    }
     spark.stop()
   }
 }
