@@ -133,25 +133,23 @@ object Graph {
       nodes.select(col("node"), lit(seed).as("rank"), col("dang")))
     var it = 0
     while (it < iters) {
-      // r6: the dangling share is ONE scalar per round — collected from the
-      // already-pinned rank frame (1-row driver result, node-sized scan of
-      // cached blocks) and injected into the round plan as a LITERAL. The
-      // old per-round crossJoin(dshare) paid a single-partition exchange +
-      // broadcast + nested-loop stage for that scalar; the lattice value is
-      // bit-identical (Long `div` and Scala `/` both truncate toward zero,
-      // and rank mass is non-negative).
-      val dsum = ranks.filter(col("dang"))
+      // the dangling share stays a 1-row SUBPLAN of the round (not a
+      // driver-collected literal): AQE schedules it CONCURRENTLY with the
+      // independent inflow aggregation inside the round's one pin job,
+      // whereas a per-round collect is a strictly serial driver round-trip
+      // (measured +0.15 s/query at 8 rounds — tried and reverted r6)
+      val dshare = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .head().getLong(0)
-      val dshare = dsum / n
+        .select(expr(s"dsum div ${n}L").as("dshare"))
       val inflow = e
         .join(maybeBcast(ranks.select(col("node").as("src"), col("rank"))), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       val next = nodes
         .join(maybeBcast(inflow), Seq("node"), "left")
+        .crossJoin(dshare)
         .select(col("node"),
-          expr(s"${teleport}L + ((coalesce(inflow, 0L) + ${dshare}L) * ${dampNum}L) div ${dampDen}L")
+          expr(s"${teleport}L + ((coalesce(inflow, 0L) + dshare) * ${dampNum}L) div ${dampDen}L")
             .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
       freeH(ranksH)
@@ -223,23 +221,20 @@ object Graph {
         col("dang")))
     var it = 0
     while (it < iters) {
-      // r6: same literal-dangling-share move as pageRank — one scalar
-      // collected from the pinned rank frame replaces the per-round
-      // crossJoin broadcast; truncating division is sign-identical on the
-      // non-negative mass domain, so the lattice replay is unchanged.
-      val dsum = ranks.filter(col("dang"))
+      // dangling share stays a concurrent 1-row subplan (see pageRank note)
+      val dshare = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-        .head().getLong(0)
-      val dshare = dsum / nS
+        .select(expr(s"dsum div ${nS}L").as("dshare"))
       val inflow = e
         .join(maybeBcast(ranks.select(col("node").as("src"), col("rank"))), Seq("src"))
         .select(col("dst").as("node"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       val next = nodes
         .join(maybeBcast(inflow), Seq("node"), "left")
+        .crossJoin(dshare)
         .select(col("node"),
           expr(s"""is_src * ${tp}L
-                  | + ((coalesce(inflow, 0L) + is_src * ${dshare}L)
+                  | + ((coalesce(inflow, 0L) + is_src * dshare)
                   |    * ${dampNum}L) div ${dampDen}L""".stripMargin.replace("\n", " "))
             .as("rank"), col("dang"))
       val (pinnedNext, nextH) = Pinned.pinTracked(next)
@@ -582,10 +577,15 @@ object Graph {
         .select(col(to).as("node"), expr("s * w").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
       val (rawP, rawH) = Pinned.pinTracked(raw)
-      val t = rawP.agg(coalesce(sum(col("raw")), lit(0L)).as("t")).head().getLong(0)
-      val s =
-        if (t > 0L) rawP.select(col("node"), expr(s"(raw * ${scale}L) div ${t}L").as("s"))
-        else rawP.select(col("node"), lit(0L).as("s"))
+      // the total stays a 1-row SUBPLAN over the pinned raw frame (not a
+      // driver-collected literal): the consumer's pin job schedules it as
+      // its own tiny stage over cached blocks, where a per-half-step
+      // collect would be a strictly serial driver round-trip
+      val tot = rawP.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
+      val s = rawP.crossJoin(tot)
+        .select(col("node"),
+          when(col("t") > 0L, expr(s"(raw * ${scale}L) div t"))
+            .otherwise(lit(0L)).as("s"))
       (s, rawH)
     }
 
