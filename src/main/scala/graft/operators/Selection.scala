@@ -110,7 +110,18 @@ object Selection {
     * a local Seq (quantiles are a driver-sized result by definition).
     * The single-column projection is persisted for the batch — one parquet
     * scan total; count/min/max are computed once and shared by every
-    * quantile's refinement. */
+    * quantile's refinement.
+    *
+    * Batched refinement (r6): every round histograms ALL still-active
+    * quantile brackets in ONE counting aggregation (a row is tagged with
+    * its bracket, then bucketed with that bracket's width), so the batch
+    * pays max(rounds) scans of the projection instead of Σ rounds — at
+    * 100 TB each saved round is a saved full counting scan. Brackets are
+    * pairwise disjoint-or-identical by construction (every bracket is a
+    * bucket of a shared parent walk, and identical brackets are deduped),
+    * which a loud require guards; each quantile walks its own bracket's
+    * counts exactly as the sequential form did, so the answers are
+    * bit-identical (SelectionSpec's sort-equality suite). */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      qs: Seq[Double]): Seq[(Long, Long, Long)] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
@@ -121,12 +132,71 @@ object Selection {
       val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
       val n = head.getLong(0)
       require(n > 0, "no non-null values to select from")
-      val cache = scala.collection.mutable.Map.empty[(Long, Long),
-        Array[(Long, Long, Long, Long)]]
-      qs.map { q =>
+      require(BigInt(head.getLong(2)) - BigInt(head.getLong(1)) <= BigInt(Long.MaxValue),
+        s"value range [${head.getLong(1)}, ${head.getLong(2)}] spans more than 2^63 — " +
+          "shift/scale the column first (the per-row offset v - lo must stay in LONG)")
+      final class St(var lo: Long, var hi: Long, var residual: Long)
+      val sts = qs.map { q =>
         val k = math.max(1L, math.ceil(q * n).toLong)
-        (math.round(q * 10000), k, refine(base, n, head.getLong(1), head.getLong(2), k, cache))
+        require(k >= 1 && k <= n, s"rank k=$k out of range (only $n non-null values)")
+        (math.round(q * 10000), k, new St(head.getLong(1), head.getLong(2), k))
       }
+      var guard = 0
+      while (sts.exists { case (_, _, s) => s.lo < s.hi }) {
+        guard += 1
+        require(guard <= 8,
+          s"selection failed to converge (${sts.map { case (_, _, s) => (s.lo, s.hi) }})")
+        val brackets = sts.collect { case (_, _, s) if s.lo < s.hi => (s.lo, s.hi) }.distinct
+        // laminar-family sanity: active brackets never partially overlap
+        for (Seq((l1, h1), (l2, h2)) <- brackets.combinations(2))
+          require(h1 < l2 || h2 < l1,
+            s"quantile brackets overlap: [$l1,$h1] vs [$l2,$h2]")
+        val widths = brackets.map { case (lo, hi) =>
+          ((BigInt(hi) - BigInt(lo)) / Buckets + 1).toLong
+        }
+        // one pass: tag each in-ANY-bracket row with its bracket index and
+        // that bracket's bucket (first-match when-chain; brackets disjoint)
+        val brCol = brackets.zipWithIndex
+          .foldRight(lit(null).cast("int")) { case (((lo, hi), i), acc) =>
+            when(col("__v") >= lo && col("__v") <= hi, lit(i)).otherwise(acc)
+          }
+        val bkCol = brackets.zipWithIndex
+          .foldRight(lit(null).cast("long")) { case (((lo, _), i), acc) =>
+            when(col("__br") === i,
+              call_function("div", col("__v") - lo, lit(widths(i)))).otherwise(acc)
+          }
+        val hist = base
+          .select(brCol.as("__br"), col("__v"))
+          .filter(col("__br").isNotNull)
+          .select(col("__br"), bkCol.as("__b"), col("__v"))
+          .groupBy(col("__br"), col("__b"))
+          .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .groupBy(_._1)
+          .map { case (br, rows) => br -> rows.map(_._2).sortBy(_._1) }
+        sts.foreach { case (_, _, s) =>
+          if (s.lo < s.hi) {
+            val br = brackets.indexOf((s.lo, s.hi))
+            val counts = hist.getOrElse(br,
+              throw new IllegalStateException(
+                s"rank walk found no rows in bracket [${s.lo},${s.hi}]"))
+            var i = 0
+            var found = false
+            while (i < counts.length && !found) {
+              val (_, cnt, mn, mx) = counts(i)
+              if (s.residual <= cnt) {
+                s.lo = mn
+                s.hi = mx
+                found = true
+              } else { s.residual -= cnt; i += 1 }
+            }
+            require(found,
+              s"rank walk exhausted buckets (range [${s.lo},${s.hi}], residual ${s.residual})")
+          }
+        }
+      }
+      sts.map { case (qe4, k, s) => (qe4, k, s.lo) }
     } finally base.unpersist()
   }
 
