@@ -19,35 +19,30 @@ object Scratch {
     Bench.muteCheckpointWarns()
     Tuning.ensure(spark)
 
-    // per-description wall-time accounting for E1 jobs
-    val t0ofJob = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
-    val agg = new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    val qname = args.headOption.getOrElse("q_quality_buckets")
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t0ofJob = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties).flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("<none>")
-        t0ofJob.put(e.jobId, (desc, System.nanoTime()))
+        t0ofJob.put(e.jobId, System.nanoTime())
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        Option(t0ofJob.remove(e.jobId)).foreach { case (desc, t0) =>
-          val dt = System.nanoTime() - t0
-          agg.merge(desc, (dt, 1), (a, b) => (a._1 + b._1, a._2 + b._2))
-        }
+        val dt = Option(t0ofJob.remove(e.jobId)).map(t0 => (System.nanoTime()-t0)/1e6).getOrElse(-1.0)
+        jobLog.add(f"job ${e.jobId} ${dt}%7.1f ms")
       }
     })
-    val docs = sources.CorpusSynth.fromDocuments(spark, sfDir)
+    // warm memo prefix like pset
+    val warmCs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
+    warmCs.coverage.count(); warmCs.scored.count()
+    Memo.kgEdgesOf(spark, sfDir, Queries.cfg).count()
+
+    val fn = SparkEntry.queries(qname)
     (1 to 3).foreach { i =>
-      agg.clear()
+      jobLog.clear()
       val t0 = System.nanoTime()
-      val r = Pipeline.induceAndEmit(spark, docs, Queries.cfg.copy(topK = 50), None, sfDir)
-      val n = r.triples.count()
-      println(f"[scratch] e1 rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s triples=$n")
-      if (i == 3) {
-        import scala.jdk.CollectionConverters._
-        agg.asScala.toSeq.sortBy(-_._2._1).foreach { case (d, (ns, cnt)) =>
-          println(f"[scratch]   ${ns/1e9}%6.2f s  $cnt%3d jobs  $d")
-        }
-      }
-      r.cleanup()
+      fn(spark, sfDir).count()
+      println(f"[scratch] $qname rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (i == 3) jobLog.forEach(l => println(s"[scratch]   $l"))
     }
     spark.stop()
   }

@@ -30,13 +30,17 @@ object Tuning {
   /** Row-count ceiling under which a MEASURED node-sized frame may be
     * broadcast-hinted by the iterative graph loops (guide §3.1: hint
     * explicitly when you KNOW a side is small — these loops have just
-    * counted it). At the ~40–80 bytes/row of a (node, rank) frame the
-    * default 1M rows is ≤ ~100 MB framed, far under the 8 GB / 512M-row
-    * broadcast cap; production-scale graphs exceed the limit and keep the
-    * shuffle path — the decision is data-adaptive, not local-tuned.
-    * Env-overridable; 0 disables the hints. */
+    * counted it). DEFAULT 0 = hints off: same-window A/B measured the
+    * hinted plans ~0.2 s/query SLOWER locally (pagerank 1.66 vs 1.44,
+    * hits 1.46 vs 1.28, authority 1.79 vs 1.53) — each broadcast build is
+    * a serialized driver step, while the unhinted exchanges of the
+    * compacted 1-partition frames are trivial and AQE-pipelined. On a
+    * cluster where the node side genuinely fits (≤ ~100 MB framed at 1M
+    * rows) the hint saves re-shuffling the edge-sized side every round —
+    * enable it there via GRAFT_BROADCAST_NODE_LIMIT; the loops only apply
+    * it when the measured count is under the limit. */
   val broadcastNodeLimit: Long =
-    sys.env.getOrElse("GRAFT_BROADCAST_NODE_LIMIT", "1000000").toLong
+    sys.env.getOrElse("GRAFT_BROADCAST_NODE_LIMIT", "0").toLong
 
   /** Size-adaptive narrow compaction of an already-materialized (pinned or
     * persisted) frame. AQE cannot re-coalesce a cached plan's output
