@@ -100,7 +100,12 @@ object Memo {
   private val modelMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (d, s) =>
     d.unpersist(false); s.unpersist(false)
   })
-  private val edgesMemo = new BoundedMemo[DataFrame](_.unpersist(false))
+  // stores (raw persisted frame, row count): eviction must unpersist the
+  // RAW frame — `uncacheQuery(cascade = false)` matches by plan equality,
+  // so unpersisting the size-compacted coalesce VIEW would be a no-op and
+  // leak the cache entry (review finding, r6). Consumers get the view,
+  // rebuilt per call from the stored count (no job — a plan wrapper).
+  private val edgesMemo = new BoundedMemo[(DataFrame, Long)](_._1.unpersist(false))
   private val rankedMemo = new BoundedMemo[(DataFrame, DataFrame)]({ case (a, b) =>
     a.unpersist(false); b.unpersist(false)
   })
@@ -174,20 +179,22 @@ object Memo {
     * persisted vocabulary-sized frame instead of re-running
     * tokenize→window→aggregate per query (the same registry economics as
     * the E2/E3 memos). */
-  def kgEdgesOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): DataFrame =
-    edgesMemo.getOrBuild((spark, s"$sfDir|kgedges|${cfg.maxDocChars}")) {
+  def kgEdgesOf(spark: SparkSession, sfDir: String, cfg: WsidConfig): DataFrame = {
+    // r6: materialize at build time (the count was always charged to the
+    // warm phase — Bench counts this frame immediately) and hand every
+    // consumer a size-compacted view: the whole q_kg_* family scans this
+    // edge frame per query, and a KB-sized cached frame otherwise costs
+    // core-count task launches per scan (Tuning.compact is a narrow
+    // wrapper; unchanged at production edge counts). Graph results are
+    // partitioning-invariant by contract (GraphSpec bit-equality).
+    val (raw, rows) = edgesMemo.getOrBuild((spark, s"$sfDir|kgedges|${cfg.maxDocChars}")) {
       val e = operators.Graph.bigramEdges(
         Tokenize.tokensFrom(tokDocsOf(spark, sfDir, cfg)).toDF())
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // r6: materialize at build time (the count was always charged to the
-      // warm phase — Bench counts this frame immediately) and hand every
-      // consumer a size-compacted view: the whole q_kg_* family scans this
-      // edge frame per query, and a KB-sized cached frame otherwise costs
-      // core-count task launches per scan (Tuning.compact is a narrow
-      // wrapper; unchanged at production edge counts). Graph results are
-      // partitioning-invariant by contract (GraphSpec bit-equality).
-      Tuning.compact(e, e.count())
+      (e, e.count())
     }
+    Tuning.compact(raw, rows)
+  }
 
   /** The E2 chain over the shared projection, with its two reused frames
     * (coverage feeds A3/A4/L3, scored feeds C1/C2/C3/L3) persisted once. */
@@ -213,18 +220,17 @@ object Memo {
       val nCov = Await.result(fCov, Duration.Inf)
       val nScored = Await.result(fScored, Duration.Inf)
       // r6: hand consumers size-compacted views of the two persisted frames
-      // (narrow coalesce, same rationale as Tuning.compact — AQE cannot
-      // re-coalesce a cached plan, so a KB-sized cache otherwise costs
-      // core-count task launches on every one of its ~30 consumers' scans).
-      // Values were materialized by the counts above, so nothing can drift;
-      // unchanged at production row counts.
-      def compactDs[T](ds: org.apache.spark.sql.Dataset[T], rows: Long): org.apache.spark.sql.Dataset[T] = {
-        val cur = ds.rdd.getNumPartitions
-        val want = math.max(1L, math.min(cur.toLong, (rows + 262143L) / 262144L)).toInt
-        if (want < cur) ds.coalesce(want) else ds
-      }
-      cs.copy(coverage = compactDs(cs.coverage, nCov),
-        scored = compactDs(cs.scored, nScored))
+      // (narrow coalesce, Tuning.compact — AQE cannot re-coalesce a cached
+      // plan, so a KB-sized cache otherwise costs core-count task launches
+      // on every one of its ~30 consumers' scans). Values were materialized
+      // by the counts above, so nothing can drift; unchanged at production
+      // row counts. The RAW frames ride `internal` so the memo's evict
+      // callback unpersists the actual cache entries — unpersisting only
+      // the coalesce views would be a plan-equality no-op and leak them
+      // (review finding, r6).
+      cs.copy(coverage = Tuning.compact(cs.coverage, nCov),
+        scored = Tuning.compact(cs.scored, nScored),
+        internal = cs.internal ++ Seq(cs.coverage.toDF(), cs.scored.toDF()))
     }
 
   /** The two standing ranked stores of the q_kg_* family — the top-20

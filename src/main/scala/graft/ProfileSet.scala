@@ -44,7 +44,11 @@ object ProfileSet {
         val t = System.nanoTime()
         jobs = 0; stages = 0
         fn(spark, sfDir).count()
-        ((System.nanoTime() - t) / 1e9, jobs, stages)
+        val sec = (System.nanoTime() - t) / 1e9
+        // listener events are delivered asynchronously; give the bus a
+        // beat before reading/resetting so per-rep counts don't bleed
+        Thread.sleep(120)
+        (sec, jobs, stages)
       }
       val steal = HostStat.stealSecSince(steal0).map(s => f"$s%.1f").getOrElse("?")
       val best = runs.minBy(_._1)

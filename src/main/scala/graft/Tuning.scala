@@ -55,12 +55,21 @@ object Tuning {
     * count and the frame is returned UNCHANGED. Callers restrict this to
     * integer-exact consumers (graph lattice, counting aggs), whose results
     * are partitioning-invariant by spec'd contract. */
-  def compact(df: org.apache.spark.sql.DataFrame, rows: Long,
-              rowsPerTask: Long = 262144L): org.apache.spark.sql.DataFrame = {
-    val cur = df.rdd.getNumPartitions
+  def compact[T](ds: org.apache.spark.sql.Dataset[T], rows: Long,
+                 rowsPerTask: Long = 262144L): org.apache.spark.sql.Dataset[T] = {
+    val cur = ds.rdd.getNumPartitions
     val want = math.max(1L, math.min(cur.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt
-    if (want < cur) df.coalesce(want) else df
+    if (want < cur) ds.coalesce(want) else ds
   }
+
+  /** Broadcast-hint a MEASURED node-sized join side when the count is under
+    * [[broadcastNodeLimit]] — the one gate shared by the iterative graph
+    * loops (pageRank / personalizedPageRank / hits), so the gating rule
+    * cannot silently diverge between them. */
+  def maybeBroadcastNodes(df: org.apache.spark.sql.DataFrame,
+                          measuredRows: Long): org.apache.spark.sql.DataFrame =
+    if (broadcastNodeLimit > 0 && measuredRows <= broadcastNodeLimit)
+      df.hint("broadcast") else df
 
   private val applied =
     java.util.Collections.newSetFromMap(

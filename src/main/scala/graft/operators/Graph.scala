@@ -125,9 +125,7 @@ object Graph {
     // just measured, so when it is provably broadcast-safe, hint it — the
     // edge-sized side then never exchanges. Data-adaptive: production node
     // counts exceed the limit and keep the shuffle plan.
-    def maybeBcast(df: DataFrame): DataFrame =
-      if (n <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
-        df.hint("broadcast") else df
+    def maybeBcast(df: DataFrame): DataFrame = Tuning.maybeBroadcastNodes(df, n)
 
     var (ranks, ranksH) = Pinned.pinTracked(
       nodes.select(col("node"), lit(seed).as("rank"), col("dang")))
@@ -211,9 +209,7 @@ object Graph {
     // same measured-size broadcast hint as pageRank (guide §3.1)
     val nN = nodesPinned.count()
     val nodes = Tuning.compact(nodesPinned, nN)
-    def maybeBcast(df: DataFrame): DataFrame =
-      if (nN <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
-        df.hint("broadcast") else df
+    def maybeBcast(df: DataFrame): DataFrame = Tuning.maybeBroadcastNodes(df, nN)
 
     var (ranks, ranksH) = Pinned.pinTracked(
       nodes.select(col("node"),
@@ -550,9 +546,7 @@ object Graph {
 
     // same measured-size broadcast hint as pageRank (guide §3.1): the score
     // side of every half-step join is node-sized and n was just counted
-    def maybeBcast(df: DataFrame): DataFrame =
-      if (n <= Tuning.broadcastNodeLimit && Tuning.broadcastNodeLimit > 0)
-        df.hint("broadcast") else df
+    def maybeBcast(df: DataFrame): DataFrame = Tuning.maybeBroadcastNodes(df, n)
 
     /** One half-step, SPARSE form (r6 optimization): rows exist only for
       * nodes that RECEIVE mass this half-step; an absent row means score 0,

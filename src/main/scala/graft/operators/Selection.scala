@@ -136,7 +136,9 @@ object Selection {
         s"value range [${head.getLong(1)}, ${head.getLong(2)}] spans more than 2^63 — " +
           "shift/scale the column first (the per-row offset v - lo must stay in LONG)")
       final class St(var lo: Long, var hi: Long, var residual: Long)
-      val sts = qs.map { q =>
+      // force strictness: a lazy caller Seq (Stream/LazyList/view) would
+      // re-run this map per traversal, discarding the St mutations
+      val sts = qs.toVector.map { q =>
         val k = math.max(1L, math.ceil(q * n).toLong)
         require(k >= 1 && k <= n, s"rank k=$k out of range (only $n non-null values)")
         (math.round(q * 10000), k, new St(head.getLong(1), head.getLong(2), k))

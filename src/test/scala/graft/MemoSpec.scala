@@ -131,6 +131,24 @@ class MemoSpec extends SparkTestBase {
     assert(memo.getOrBuild(key)("recovered") == "recovered")
   }
 
+  test("evicting a size-compacted memo frame unpersists the RAW cache entry (r6 leak regression)") {
+    // kgEdgesOf / coStatsOf hand out coalesce() VIEWS over their persisted
+    // frames; `unpersist` matches by plan equality, so an evict callback
+    // holding only the view would silently leak the cache entry. The memos
+    // therefore keep the raw frames for eviction — this pins that contract.
+    Memo.invalidate(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Memo.kgEdgesOf(spark, sfDir, Queries.cfg).count()
+    val cs = Memo.coStatsOf(spark, sfDir, Queries.cfg)
+    cs.coverage.count(); cs.scored.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected the memo builds to persist frames")
+    Memo.invalidate(spark)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"invalidate leaked persisted frames: $before before build, $after after invalidate")
+  }
+
   test("memos are LRU-bounded: sweeping 10 configs holds <= graft.memo.max entries") {
     withProp("graft.memo.max", "3") {
       val before = Memo.totalEntries
